@@ -1,0 +1,96 @@
+"""CG family end-to-end tests — BASELINE config #1 and variants.
+
+Mirrors the reference's solver integration tests
+(packages/tpetra/core/test/PerformanceCGSolve/cg_solve_file.hpp,
+packages/belos/tpetra/test/BlockCG/): solve Galeri problems to rtol and
+assert the true residual meets the tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace1d, laplace2d, laplace3d
+from trilinos_tpu.ops import formats as F
+from trilinos_tpu.ops import matvec as S
+from trilinos_tpu.solvers import cg, cg_pipeline, cg_single_reduce
+
+
+def make_problem(a_csr, nrhs=0, seed=3, fmt="dia"):
+    dev = F.csr_to_dia(a_csr) if fmt == "dia" else F.csr_to_ell(a_csr)
+    n = a_csr.shape[0]
+    npad = dev.n_rows_pad
+    rng = np.random.default_rng(seed)
+    shape = (npad,) if nrhs == 0 else (npad, nrhs)
+    b = np.zeros(shape)
+    b[:n] = rng.standard_normal((n,) if nrhs == 0 else (n, nrhs))
+    op = lambda x: S.spmv(dev, x, impl="xla")
+    return op, jnp.asarray(b), a_csr.to_dense(), n
+
+
+@pytest.mark.parametrize("solver", [cg, cg_single_reduce, cg_pipeline])
+def test_cg_laplace2d_100x100(solver):
+    """BASELINE config #1: Galeri Laplace2D 100x100, unprec CG, rtol 1e-8."""
+    a = laplace2d(100, 100)
+    op, b, dense, n = make_problem(a)
+    res = solver(op, b, rtol=1e-8, maxiter=1000)
+    x = np.asarray(res.x)[:n]
+    true_res = np.linalg.norm(np.asarray(b)[:n] - dense @ x)
+    assert true_res <= 1.1e-8 * np.linalg.norm(np.asarray(b)[:n])
+    assert bool(res.converged.all())
+    assert 100 < int(res.iters) < 600  # CG on 100^2 Laplacian ~ O(hundreds)
+
+
+@pytest.mark.parametrize("solver", [cg, cg_single_reduce, cg_pipeline])
+def test_cg_multivector(solver):
+    a = laplace2d(20, 20)
+    op, b, dense, n = make_problem(a, nrhs=3)
+    res = solver(op, b, rtol=1e-10, maxiter=2000)
+    x = np.asarray(res.x)[:n]
+    r = np.asarray(b)[:n] - dense @ x
+    rel = np.linalg.norm(r, axis=0) / np.linalg.norm(np.asarray(b)[:n], axis=0)
+    assert (rel <= 1.1e-10).all()
+
+
+def test_cg_variants_agree_iteration_counts():
+    """Single-reduce and pipelined CG are algebraically equivalent to CG;
+    iteration counts should match within a couple of iters."""
+    a = laplace2d(30, 30)
+    op, b, dense, n = make_problem(a)
+    k0 = int(cg(op, b, rtol=1e-8).iters)
+    k1 = int(cg_single_reduce(op, b, rtol=1e-8).iters)
+    k2 = int(cg_pipeline(op, b, rtol=1e-8).iters)
+    assert abs(k1 - k0) <= 3
+    assert abs(k2 - k0) <= 3
+
+
+def test_cg_with_jacobi_prec():
+    a = laplace3d(8, 8, 8)
+    op, b, dense, n = make_problem(a)
+    dinv = np.zeros(b.shape[0])
+    dinv[:n] = 1.0 / np.diag(dense)
+    dinv[n:] = 1.0
+    dinv = jnp.asarray(dinv)
+    prec = lambda x: dinv * x
+    res = cg(op, b, prec=prec, rtol=1e-8)
+    x = np.asarray(res.x)[:n]
+    true_res = np.linalg.norm(np.asarray(b)[:n] - dense @ x)
+    assert true_res <= 1.1e-8 * np.linalg.norm(np.asarray(b)[:n])
+
+
+def test_cg_x0_and_exact_start():
+    a = laplace1d(50)
+    op, b, dense, n = make_problem(a)
+    x_exact = np.zeros(b.shape[0])
+    x_exact[:n] = np.linalg.solve(dense, np.asarray(b)[:n])
+    res = cg(op, b, x0=jnp.asarray(x_exact), rtol=1e-8)
+    assert int(res.iters) == 0
+    assert bool(res.converged.all())
+
+
+def test_cg_maxiter_stops():
+    a = laplace2d(40, 40)
+    op, b, dense, n = make_problem(a)
+    res = cg(op, b, rtol=1e-12, maxiter=5)
+    assert int(res.iters) == 5
+    assert not bool(res.converged.all())

@@ -1,0 +1,185 @@
+"""Unit tests for local sparse formats and SpMV/SpMM.
+
+Modeled on the reference's per-class unit-test layout
+(packages/tpetra/core/test/CrsMatrix/) and kokkos-kernels spmv tests:
+each format is validated against a dense reference product.
+"""
+import numpy as np
+import pytest
+
+from trilinos_tpu.ops import formats as F
+from trilinos_tpu.ops import matvec as S
+
+
+def random_csr(rng, m, n, density=0.1, dtype=np.float64):
+    nnz = max(int(m * n * density), 1)
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz).astype(dtype)
+    return F.CsrHost.from_coo(rows, cols, vals, (m, n))
+
+
+class TestCsrHost:
+    def test_from_coo_sums_duplicates(self):
+        a = F.CsrHost.from_coo([0, 0, 1], [1, 1, 0], [1.0, 2.0, 5.0], (2, 2))
+        d = a.to_dense()
+        np.testing.assert_allclose(d, [[0, 3], [5, 0]])
+
+    def test_round_trip_dense(self, rng):
+        a = random_csr(rng, 17, 23)
+        np.testing.assert_allclose(a.to_dense(),
+                                   F.CsrHost.from_dense(a.to_dense()).to_dense())
+
+    def test_transpose(self, rng):
+        a = random_csr(rng, 11, 7)
+        np.testing.assert_allclose(a.transpose().to_dense(), a.to_dense().T)
+
+    def test_diagonal(self, rng):
+        a = random_csr(rng, 9, 9, density=0.4)
+        np.testing.assert_allclose(a.diagonal(), np.diag(a.to_dense()))
+
+    def test_scipy_round_trip(self, rng):
+        a = random_csr(rng, 12, 12)
+        b = F.CsrHost.from_scipy(a.to_scipy())
+        np.testing.assert_allclose(a.to_dense(), b.to_dense())
+
+
+def _check_spmv(a_csr, dev, nrhs, rtol=1e-12):
+    rng = np.random.default_rng(7)
+    n_pad_cols = {
+        F.EllMatrix: lambda d: d.n_rows_pad,
+        F.DiaMatrix: lambda d: d.n_rows_pad,
+        F.BsrMatrix: lambda d: d.n_brows_pad * d.block_size,
+    }[type(dev)](dev)
+    dense = a_csr.to_dense()
+    m, n = a_csr.shape
+    shape = (n_pad_cols,) if nrhs == 0 else (n_pad_cols, nrhs)
+    x = np.zeros(shape)
+    xin = rng.standard_normal((n,) if nrhs == 0 else (n, nrhs))
+    x[:n] = xin
+    y = S.spmv(dev, x, impl="xla")
+    expect = dense @ xin
+    np.testing.assert_allclose(np.asarray(y)[:m], expect, rtol=rtol, atol=1e-12)
+    # padding must stay zero... except identity pad rows map zero->zero anyway
+    np.testing.assert_allclose(np.asarray(y)[m:], 0.0, atol=1e-12)
+    # transpose apply
+    shape_t = (dev.n_rows_pad if not isinstance(dev, F.BsrMatrix)
+               else dev.n_brows_pad * dev.block_size,)
+    if nrhs:
+        shape_t = shape_t + (nrhs,)
+    xt = np.zeros(shape_t)
+    xt_in = rng.standard_normal((m,) if nrhs == 0 else (m, nrhs))
+    xt[:m] = xt_in
+    yt = S.spmv(dev, xt, transpose=True, impl="xla")
+    expect_t = dense.T @ xt_in
+    got = np.asarray(yt)[:n]
+    # padded identity rows contribute x_pad (zero) — nothing
+    np.testing.assert_allclose(got, expect_t, rtol=rtol, atol=1e-12)
+
+
+class TestEll:
+    @pytest.mark.parametrize("nrhs", [0, 1, 4])
+    def test_spmv_random(self, rng, nrhs):
+        a = random_csr(rng, 33, 33, density=0.2)
+        _check_spmv(a, F.csr_to_ell(a), nrhs)
+
+    def test_rect(self, rng):
+        a = random_csr(rng, 16, 24, density=0.2)
+        dev = F.csr_to_ell(a, identity_pad_rows=False)
+        x = rng.standard_normal(24)
+        y = S.spmv(dev, np.asarray(x), impl="xla")
+        np.testing.assert_allclose(np.asarray(y)[:16], a.to_dense() @ x,
+                                   rtol=1e-12)
+
+    def test_empty_rows(self):
+        a = F.CsrHost.from_coo([2], [1], [3.0], (5, 5))
+        _check_spmv(a, F.csr_to_ell(a), 0)
+
+
+class TestDia:
+    @pytest.mark.parametrize("nrhs", [0, 2])
+    def test_laplace1d(self, nrhs):
+        from trilinos_tpu.galeri import laplace1d
+
+        a = laplace1d(37)
+        _check_spmv(a, F.csr_to_dia(a), nrhs)
+
+    def test_identity_padding(self):
+        from trilinos_tpu.galeri import laplace1d
+
+        a = laplace1d(10)
+        d = F.csr_to_dia(a)
+        assert d.n_rows_pad == 16
+        dense_pad = np.asarray(d.data)
+        assert (dense_pad[d.offsets.index(0), 10:] == 1.0).all()
+
+
+class TestBsr:
+    @pytest.mark.parametrize("b,nrhs", [(2, 0), (2, 4), (4, 1)])
+    def test_spmv_random(self, rng, b, nrhs):
+        a = random_csr(rng, 24, 24, density=0.15)
+        _check_spmv(a, F.csr_to_bsr(a, b), nrhs)
+
+    def test_unaligned_dims_padded(self, rng):
+        a = random_csr(rng, 10, 10, density=0.3)
+        dev = F.csr_to_bsr(a, 4)
+        assert dev.n_rows % 4 == 0  # got identity-extended
+        dense = F.to_dense(dev)
+        np.testing.assert_allclose(dense[:10, :10], a.to_dense())
+        np.testing.assert_allclose(dense[10:12, 10:12], np.eye(2))
+
+
+class TestChooseFormat:
+    def test_stencil_goes_dia(self):
+        from trilinos_tpu.galeri import laplace2d
+
+        a = laplace2d(10, 10)
+        assert isinstance(F.choose_format(a), F.DiaMatrix)
+
+    def test_random_goes_ell(self, rng):
+        a = random_csr(rng, 64, 64, density=0.2)
+        assert isinstance(F.choose_format(a), F.EllMatrix)
+
+    def test_blocked_goes_bsr(self, rng):
+        a = random_csr(rng, 24, 24, density=0.2)
+        assert isinstance(F.choose_format(a, block_size=2), F.BsrMatrix)
+
+
+class TestStencilDia:
+    def test_matches_csr_assembly(self):
+        from trilinos_tpu.galeri import stencils
+
+        a_csr = stencils.laplace2d(7, 9)
+        a_dia = stencils.laplace2d(7, 9, fmt="dia")
+        np.testing.assert_allclose(F.to_dense(a_dia), a_csr.to_dense())
+        assert a_dia.nnz == a_csr.nnz
+
+    def test_recirc2d_matches(self):
+        from trilinos_tpu.galeri import stencils
+
+        a_csr = stencils.recirc2d(6, 5)
+        a_dia = stencils.recirc2d(6, 5, fmt="dia")
+        np.testing.assert_allclose(F.to_dense(a_dia), a_csr.to_dense(),
+                                   rtol=1e-12)
+
+    def test_brick3d_27pt(self):
+        from trilinos_tpu.galeri import brick3d
+
+        a = brick3d(4, 4, 4)
+        # interior point has 27 entries
+        assert a.max_row_length() == 27
+
+
+class TestResidual:
+    def test_fused_residual(self, rng):
+        from trilinos_tpu.galeri import laplace2d
+
+        a = laplace2d(8, 8)
+        d = F.csr_to_dia(a)
+        x = np.zeros(d.n_rows_pad)
+        b = np.zeros(d.n_rows_pad)
+        x[:64] = rng.standard_normal(64)
+        b[:64] = rng.standard_normal(64)
+        r = S.residual(d, x, b, impl="xla")
+        np.testing.assert_allclose(np.asarray(r)[:64],
+                                   b[:64] - a.to_dense() @ x[:64], rtol=1e-12)

@@ -1,0 +1,25 @@
+from .stencils import (
+    big_star2d,
+    brick3d,
+    create_matrix,
+    laplace1d,
+    laplace2d,
+    laplace3d,
+    recirc2d,
+    star2d,
+    stencil_csr,
+    stencil_dia,
+)
+
+__all__ = [
+    "big_star2d",
+    "brick3d",
+    "create_matrix",
+    "laplace1d",
+    "laplace2d",
+    "laplace3d",
+    "recirc2d",
+    "star2d",
+    "stencil_csr",
+    "stencil_dia",
+]

@@ -1,0 +1,58 @@
+"""Shared solver infrastructure: result records, operator protocol.
+
+The solver layer is written against two tiny protocols, the analogue of
+Belos' MultiVecTraits / OperatorTraits firewall
+(packages/belos/src/BelosMultiVecTraits.hpp:138-332, BelosOperatorTraits.hpp):
+
+  * an *operator* is any callable ``y = op(x)`` on (n_pad,) or (n_pad, k)
+    arrays — solvers never see matrix internals;
+  * a *multivector* is a plain jnp array; its reductions go through a
+    ``Comm`` (one psum for the global part).
+
+This keeps every Krylov driver mesh-agnostic: the same code runs serial,
+under shard_map over a TPU mesh axis, or wrapped in pjit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Operator = Callable[[jax.Array], jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveResult:
+    """What a solve returns (jittable pytree)."""
+
+    x: jax.Array
+    iters: jax.Array  # iterations performed (scalar int)
+    resnorm: jax.Array  # final residual norm(s), per RHS column
+    converged: jax.Array  # bool per RHS column
+
+
+def identity_prec(x: jax.Array) -> jax.Array:
+    return x
+
+
+def bcast_cols(scalars: jax.Array, v: jax.Array) -> jax.Array:
+    """Broadcast per-column scalars onto a (n,) or (n, k) multivector."""
+    if v.ndim == 1:
+        return scalars * v
+    return scalars[None, :] * v
+
+
+def safe_divide(num: jax.Array, den: jax.Array) -> jax.Array:
+    """num/den with 0 where den==0 (guards frozen/converged columns)."""
+    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1), 0)
+
+
+def rhs_norm_scale(bnorm: jax.Array, rtol, atol) -> jax.Array:
+    """Convergence threshold ||r|| <= rtol*||b|| + atol, with the Belos
+    convention that a zero RHS scales by 1 (BelosStatusTestGenResNorm
+    scaling of the implicit residual)."""
+    scale = jnp.where(bnorm > 0, bnorm, 1)
+    return rtol * scale + atol

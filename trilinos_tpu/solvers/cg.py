@@ -1,0 +1,203 @@
+"""Conjugate-gradient family.
+
+TPU-native Krylov drivers with the capability surface of the reference's
+CG stack:
+  * ``cg``              — preconditioned (pseudo-block) CG, the analogue of
+    Belos::PseudoBlockCGIter (packages/belos/src/BelosPseudoBlockCGIter.hpp:411).
+    Per iteration: 1 operator apply + 2 global reductions (the r·z and r·r
+    dots share a single fused psum).
+  * ``cg_single_reduce``— Chronopoulos/Gear CG with ONE reduction per
+    iteration, the analogue of Belos::CGSingleRedIter's fused MvTransMv
+    (packages/belos/src/BelosCGSingleRedIter.hpp:79,477-483).
+  * ``cg_pipeline``     — pipelined CG: the reduction for iteration k is
+    issued before the operator apply whose result is needed at k+1, so
+    XLA's latency-hiding scheduler overlaps all-reduce with SpMV — the
+    compiled-collective form of Belos_Tpetra_CgPipeline
+    (packages/belos/tpetra/src/solvers/Belos_Tpetra_CgPipeline.hpp:99-109,
+    "matrix op moved up to overlap with all-reduce").
+
+Multivector RHS: all reductions are columnwise; converged columns are
+frozen by masking their step sizes to zero (pseudo-block deflation).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.blas import local_dot
+from ..parallel.comm import Comm, SerialComm
+from .base import Operator, SolveResult, bcast_cols, identity_prec, rhs_norm_scale, safe_divide
+
+
+def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+       prec: Operator | None = None, rtol: float = 1e-8, atol: float = 0.0,
+       maxiter: int = 1000, comm: Comm | None = None) -> SolveResult:
+    """Preconditioned CG (left-preconditioned in the M-inner-product form)."""
+    comm = comm or SerialComm()
+    M = prec or identity_prec
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - op(x)
+    z = M(r)
+    p = z
+    d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r),
+                              local_dot(b, b)]))
+    rz, rr, bb = d0[0], d0[1], d0[2]
+    tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
+    tol2 = tol * tol
+
+    def cond(s):
+        x, r, z, p, rz, rr, k = s
+        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+    def body(s):
+        x, r, z, p, rz, rr, k = s
+        active = rr > tol2
+        ap = op(p)
+        pap = comm.psum(local_dot(p, ap))
+        alpha = jnp.where(active, safe_divide(rz, pap), 0)
+        x = x + bcast_cols(alpha, p)
+        r = r - bcast_cols(alpha, ap)
+        z = M(r)
+        d = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
+        rz_new, rr_new = d[0], d[1]
+        beta = jnp.where(active, safe_divide(rz_new, rz), 0)
+        p = z + bcast_cols(beta, p)
+        return (x, r, z, p, jnp.where(active, rz_new, rz),
+                jnp.where(active, rr_new, rr), k + 1)
+
+    x, r, z, p, rz, rr, k = lax.while_loop(cond, body, (x, r, z, p, rz, rr, 0))
+    return SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr), converged=rr <= tol2)
+
+
+def cg_single_reduce(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+                     prec: Operator | None = None, rtol: float = 1e-8,
+                     atol: float = 0.0, maxiter: int = 1000,
+                     comm: Comm | None = None) -> SolveResult:
+    """Chronopoulos–Gear CG: one fused reduction per iteration.
+
+    Recurrences (z = M r, w = A z):
+        delta = <z, w>, rz = <r, z>, rr = <r, r>   — ONE psum
+        beta  = rz / rz_prev  (0 on first step)
+        alpha = rz / (delta - beta * rz / alpha_prev)
+    """
+    comm = comm or SerialComm()
+    M = prec or identity_prec
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - op(x)
+    z = M(r)
+    w = op(z)
+    d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(z, w),
+                              local_dot(r, r), local_dot(b, b)]))
+    rz, delta, rr, bb = d0[0], d0[1], d0[2], d0[3]
+    tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
+    tol2 = tol * tol
+    alpha = safe_divide(rz, delta)
+    beta = jnp.zeros_like(alpha)
+    p = z
+    q = w
+
+    def cond(s):
+        x, r, z, p, q, w, rz, rr, alpha, beta, k = s
+        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+    def body(s):
+        x, r, z, p, q, w, rz, rr, alpha, beta, k = s
+        active = rr > tol2
+        a = jnp.where(active, alpha, 0)
+        x = x + bcast_cols(a, p)
+        r = r - bcast_cols(a, q)
+        z = M(r)
+        w = op(z)
+        d = comm.psum(jnp.stack([local_dot(r, z), local_dot(z, w),
+                                 local_dot(r, r)]))
+        rz_new, delta, rr_new = d[0], d[1], d[2]
+        beta_new = jnp.where(active, safe_divide(rz_new, rz), 0)
+        alpha_new = safe_divide(
+            rz_new, delta - beta_new * safe_divide(rz_new, alpha))
+        alpha_new = jnp.where(active, alpha_new, alpha)
+        p = z + bcast_cols(beta_new, p)
+        q = w + bcast_cols(beta_new, q)
+        return (x, r, z, p, q, w, jnp.where(active, rz_new, rz),
+                jnp.where(active, rr_new, rr), alpha_new, beta_new, k + 1)
+
+    s = (x, r, z, p, q, w, rz, rr, alpha, beta, 0)
+    x, r, z, p, q, w, rz, rr, alpha, beta, k = lax.while_loop(cond, body, s)
+    return SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr), converged=rr <= tol2)
+
+
+def cg_pipeline(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+                prec: Operator | None = None, rtol: float = 1e-8,
+                atol: float = 0.0, maxiter: int = 1000,
+                comm: Comm | None = None) -> SolveResult:
+    """Pipelined CG (Ghysels–Vanroose): the psum for step k is issued, the
+    next operator apply runs, and only then is the reduction consumed.
+
+    Inside one jitted while-loop body the reduction result feeds nothing
+    until after ``op(...)`` has been emitted, so the XLA latency-hiding
+    scheduler can overlap the all-reduce with the SpMV (the compiled-
+    collective equivalent of Belos_Tpetra_CgPipeline's early idot).
+    """
+    comm = comm or SerialComm()
+    M = prec or identity_prec
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - op(x)
+    u = M(r)
+    w = op(u)
+    d0 = comm.psum(jnp.stack([local_dot(r, u), local_dot(w, u),
+                              local_dot(r, r), local_dot(b, b)]))
+    gamma, delta, rr, bb = d0[0], d0[1], d0[2], d0[3]
+    tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
+    tol2 = tol * tol
+    m_ = M(w)
+    n_ = op(m_)
+    zero = jnp.zeros_like(b)
+    alpha = safe_divide(gamma, delta)
+    beta = jnp.zeros_like(alpha)
+    # pipelined auxiliary vectors
+    z = n_
+    q = m_
+    p = u
+    s_v = w
+
+    def cond(st):
+        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, beta, k) = st
+        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+    def body(st):
+        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, beta, k) = st
+        active = rr > tol2
+        a = jnp.where(active, alpha, 0)
+        x = x + bcast_cols(a, p)
+        r = r - bcast_cols(a, s_v)
+        u = u - bcast_cols(a, q)
+        w = w - bcast_cols(a, z)
+        # issue the fused reduction for this step ...
+        d = comm.psum(jnp.stack([local_dot(r, u), local_dot(w, u),
+                                 local_dot(r, r)]))
+        # ... and immediately emit the next apply chain; XLA overlaps them
+        m_next = M(w)
+        n_next = op(m_next)
+        gamma_new, delta, rr_new = d[0], d[1], d[2]
+        beta_new = jnp.where(active, safe_divide(gamma_new, gamma), 0)
+        alpha_new = safe_divide(
+            gamma_new, delta - beta_new * safe_divide(gamma_new, alpha))
+        alpha_new = jnp.where(active, alpha_new, alpha)
+        p = u + bcast_cols(beta_new, p)
+        s_v = w + bcast_cols(beta_new, s_v)
+        q = m_next + bcast_cols(beta_new, q)
+        z = n_next + bcast_cols(beta_new, z)
+        return (x, r, u, w, m_next, n_next, z, q, p, s_v,
+                jnp.where(active, gamma_new, gamma),
+                jnp.where(active, rr_new, rr), alpha_new, beta_new, k + 1)
+
+    st = (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, beta, 0)
+    out = lax.while_loop(cond, body, st)
+    x, rr, k = out[0], out[11], out[14]
+    return SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr), converged=rr <= tol2)
