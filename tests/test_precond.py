@@ -1,0 +1,187 @@
+"""Preconditioner tests — lifecycle, factory, and convergence acceleration.
+
+Mirrors packages/ifpack2/test/unit_tests/ (each preconditioner checked
+against known convergence behavior) and ifpack2/test/belos/ (prec + Krylov
+end-to-end).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace2d, laplace3d, recirc2d
+from trilinos_tpu.ops import formats as F
+from trilinos_tpu.ops import matvec as S
+from trilinos_tpu import precond
+from trilinos_tpu.solvers import cg, gmres
+
+
+def make_problem(a_csr, seed=11):
+    dev = F.csr_to_dia(a_csr)
+    n, npad = a_csr.shape[0], dev.n_rows_pad
+    rng = np.random.default_rng(seed)
+    b = np.zeros(npad)
+    b[:n] = rng.standard_normal(n)
+    op = lambda x: S.spmv(dev, x, impl="xla")
+    return op, jnp.asarray(b), a_csr.to_dense(), n
+
+
+def rel_res(b, dense, x, n):
+    r = np.asarray(b)[:n] - dense @ np.asarray(x)[:n]
+    return np.linalg.norm(r) / np.linalg.norm(np.asarray(b)[:n])
+
+
+class TestLifecycle:
+    def test_apply_before_compute_raises(self):
+        a = laplace2d(5, 5)
+        m = precond.Relaxation(a)
+        with pytest.raises(RuntimeError):
+            m.apply(jnp.zeros(32))
+
+    def test_factory_names(self):
+        a = laplace2d(5, 5)
+        for name in ["JACOBI", "RELAXATION", "CHEBYSHEV", "RILUK", "ILU(0)",
+                     "GMRESPOLY", "BLOCK RELAXATION"]:
+            p = precond.create(name, a)
+            assert isinstance(p, precond.Preconditioner)
+        with pytest.raises(ValueError):
+            precond.create("NOPE", a)
+
+    def test_unknown_param_rejected(self):
+        a = laplace2d(5, 5)
+        with pytest.raises(ValueError):
+            precond.Relaxation(a, {"relaxation: typo": 1}).compute()
+
+
+class TestRelaxation:
+    def test_jacobi_is_dinv(self):
+        a = laplace2d(6, 6)
+        m = precond.Relaxation(a).compute()
+        x = jnp.ones(40)
+        np.testing.assert_allclose(np.asarray(m(x))[:36], 0.25 * np.ones(36))
+
+    def test_sweeps_improve(self):
+        a = laplace2d(12, 12)
+        op, b, dense, n = make_problem(a)
+        res1 = cg(op, b, prec=precond.Relaxation(a).compute(), rtol=1e-8)
+        m3 = precond.Relaxation(a, {"relaxation: sweeps": 3,
+                                    "relaxation: damping factor": 0.8}).compute()
+        res3 = cg(op, b, prec=m3, rtol=1e-8)
+        assert rel_res(b, dense, res3.x, n) <= 1.1e-8
+        assert int(res3.iters) < int(res1.iters)
+
+    def test_l1_jacobi(self):
+        a = laplace2d(8, 8)
+        m = precond.Relaxation(a, {"relaxation: type": "l1 Jacobi"}).compute()
+        # l1 diag ≥ plain diag → smaller inverse
+        assert float(m.dinv[:64].max()) < 0.25 + 1e-12
+
+
+class TestChebyshev:
+    def test_accelerates_cg(self):
+        a = laplace2d(24, 24)
+        op, b, dense, n = make_problem(a)
+        plain = cg(op, b, rtol=1e-8, maxiter=2000)
+        cheb = precond.Chebyshev(a, {"chebyshev: degree": 4}).compute()
+        accel = cg(op, b, prec=cheb, rtol=1e-8, maxiter=2000)
+        assert rel_res(b, dense, accel.x, n) <= 1.1e-8
+        assert int(accel.iters) < 0.5 * int(plain.iters)
+
+    def test_power_method_estimate(self):
+        a = laplace2d(16, 16)
+        cheb = precond.Chebyshev(a, {"chebyshev: eigenvalue max iterations": 30,
+                                     "chebyshev: boost factor": 1.0}).compute()
+        # exact λmax(D⁻¹A) for Laplace2D is < 2; power estimate within 15%
+        dense = a.to_dense()
+        exact = np.max(np.abs(np.linalg.eigvals(dense / 4.0)))
+        assert abs(cheb.lmax - exact) / exact < 0.15
+
+    def test_user_eigenvalue_skips_power(self):
+        a = laplace2d(8, 8)
+        cheb = precond.Chebyshev(a, {"chebyshev: max eigenvalue": 1.9}).compute()
+        assert cheb.lmax == 1.9
+
+
+class TestIlu0:
+    def test_factor_exact_for_triangular_product(self):
+        """For a matrix whose ILU(0) has no dropped fill (tridiagonal),
+        L@U must reproduce A exactly."""
+        from trilinos_tpu.galeri import laplace1d
+
+        a = laplace1d(20)
+        L, U = precond.ilu0_factor(a)
+        np.testing.assert_allclose(L.to_dense() @ U.to_dense(), a.to_dense(),
+                                   atol=1e-12)
+
+    def test_factor_pattern_restricted(self):
+        a = laplace2d(6, 6)
+        L, U = precond.ilu0_factor(a)
+        # L strict-lower+diag and U upper pattern subset of A's + diag
+        prod = L.to_dense() @ U.to_dense()
+        # residual (fill dropped) nonzero only OUTSIDE A's pattern
+        mask = a.to_dense() != 0
+        np.testing.assert_allclose(prod[mask], a.to_dense()[mask], atol=1e-10)
+
+    def test_accelerates_gmres(self):
+        a = recirc2d(16, 16, diff=1e-2)
+        op, b, dense, n = make_problem(a)
+        plain = gmres(op, b, restart=30, rtol=1e-8, maxiter=2000)
+        ilu = precond.Ilu0(a, {"fact: sweeps": 8}).compute()
+        accel = gmres(op, b, prec=ilu, restart=30, rtol=1e-8, maxiter=2000)
+        assert rel_res(b, dense, accel.x, n) <= 1e-6
+        assert int(accel.iters) < int(plain.iters)
+
+    def test_trisolve_sweeps_converge_to_exact(self):
+        """With many sweeps the Jacobi tri-solve approaches the exact
+        (scipy) ILU apply."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        a = laplace2d(8, 8)
+        ilu = precond.Ilu0(a, {"fact: sweeps": 40}).compute()
+        L, U = precond.ilu0_factor(a)
+        r = np.random.default_rng(1).standard_normal(64)
+        rp = np.zeros(64)
+        rp[:] = r
+        got = np.asarray(ilu(jnp.asarray(np.concatenate([r, np.zeros(0)]))))[:64]
+        y = spla.spsolve_triangular(sp.csr_matrix(L.to_dense()), r, lower=True)
+        want = spla.spsolve_triangular(sp.csr_matrix(U.to_dense()), y,
+                                       lower=False)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+class TestGmresPoly:
+    def test_reduces_outer_iterations(self):
+        a = laplace2d(20, 20)
+        op, b, dense, n = make_problem(a)
+        plain = gmres(op, b, restart=30, rtol=1e-8, maxiter=2000)
+        poly = precond.GmresPoly(a, {"poly: degree": 10}).compute()
+        accel = gmres(op, b, prec=poly, restart=30, rtol=1e-8, maxiter=2000)
+        assert rel_res(b, dense, accel.x, n) <= 1.1e-8
+        assert int(accel.iters) < 0.4 * int(plain.iters)
+
+
+class TestBlockJacobi:
+    def test_exact_for_block_diagonal(self, rng):
+        bs, nb = 4, 5
+        blocks = [rng.standard_normal((bs, bs)) + 4 * np.eye(bs)
+                  for _ in range(nb)]
+        dense = np.zeros((20, 20))
+        for i, blk in enumerate(blocks):
+            dense[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs] = blk
+        a = F.CsrHost.from_dense(dense)
+        m = precond.BlockJacobi(a, {"partitioner: block size": bs}).compute()
+        x = rng.standard_normal(24)
+        x[20:] = 0
+        got = np.asarray(m(jnp.asarray(x)))[:20]
+        np.testing.assert_allclose(got, np.linalg.solve(dense, x[:20]),
+                                   rtol=1e-10)
+
+    def test_accelerates_cg(self):
+        a = laplace3d(6, 6, 6)
+        op, b, dense, n = make_problem(a)
+        plain = cg(op, b, rtol=1e-8)
+        m = precond.BlockJacobi(a, {"partitioner: block size": 6}).compute()
+        accel = cg(op, b, prec=m, rtol=1e-8)
+        assert rel_res(b, dense, accel.x, n) <= 1.1e-8
+        assert int(accel.iters) <= int(plain.iters)

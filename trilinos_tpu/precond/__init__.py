@@ -1,0 +1,16 @@
+from .base import Preconditioner, create
+from .chebyshev import Chebyshev
+from .ilu import Ilu0, ilu0_factor
+from .jacobi import BlockJacobi, Relaxation
+from .poly import GmresPoly
+
+__all__ = [
+    "Preconditioner",
+    "create",
+    "Chebyshev",
+    "Ilu0",
+    "ilu0_factor",
+    "BlockJacobi",
+    "Relaxation",
+    "GmresPoly",
+]

@@ -1,0 +1,93 @@
+"""Preconditioner lifecycle and factory.
+
+TPU-native analogue of Ifpack2's preconditioner interface
+(packages/ifpack2/src/Ifpack2_Preconditioner.hpp:81-107):
+``initialize()`` does structure-only setup (graphs, colorings, level
+sets — host side), ``compute()`` does numeric setup (factors, inverses,
+eigenvalue estimates — producing device arrays), ``apply(x)`` is a pure
+jittable function usable directly as the ``prec=`` argument of any solver.
+
+The factory mirrors Ifpack2::Factory's string dispatch
+(packages/ifpack2/src/Ifpack2_Factory_decl.hpp:105,135).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+from ..utils.params import ParameterList, make_params
+
+
+class Preconditioner:
+    """Base lifecycle: initialize → compute → apply."""
+
+    def __init__(self, a, params: ParameterList | dict | None = None):
+        self.a = a
+        self.params = make_params(params)
+        self._initialized = False
+        self._computed = False
+
+    # -- lifecycle ---------------------------------------------------------
+    def initialize(self) -> "Preconditioner":
+        self._do_initialize()
+        self._initialized = True
+        return self
+
+    def compute(self) -> "Preconditioner":
+        if not self._initialized:
+            self.initialize()
+        self._do_compute()
+        self._computed = True
+        return self
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        if not self._computed:
+            raise RuntimeError(
+                f"{type(self).__name__}.apply() before compute()")
+        return self._apply(x)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.apply(x)
+
+    # -- subclass hooks ----------------------------------------------------
+    def _do_initialize(self) -> None:
+        pass
+
+    def _do_compute(self) -> None:
+        pass
+
+    def _apply(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+
+def create(name: str, a, params: ParameterList | dict | None = None
+           ) -> Preconditioner:
+    """String factory: name → computed preconditioner class instance.
+
+    Accepted names follow the reference factory strings
+    (Ifpack2_Factory: "RELAXATION", "CHEBYSHEV", "RILUK", "SCHWARZ", ...)
+    plus local spellings.
+    """
+    from .chebyshev import Chebyshev
+    from .ilu import Ilu0
+    from .jacobi import BlockJacobi, Relaxation
+    from .poly import GmresPoly
+
+    key = name.strip().upper()
+    table: dict[str, Any] = {
+        "JACOBI": Relaxation,
+        "RELAXATION": Relaxation,
+        "CHEBYSHEV": Chebyshev,
+        "RILUK": Ilu0,
+        "ILU": Ilu0,
+        "ILU(0)": Ilu0,
+        "GMRESPOLY": GmresPoly,
+        "POLY": GmresPoly,
+        "BLOCK RELAXATION": BlockJacobi,
+        "BLOCK_JACOBI": BlockJacobi,
+    }
+    if key not in table:
+        raise ValueError(f"unknown preconditioner {name!r}; "
+                         f"valid: {sorted(table)}")
+    return table[key](a, params)

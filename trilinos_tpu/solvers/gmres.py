@@ -1,0 +1,174 @@
+"""GMRES family: restarted GMRES(m), pseudo-block (per-RHS) GMRES, and
+flexible GMRES.
+
+TPU-native counterparts of Belos' GMRES stack:
+  * iteration core     — BelosBlockGmresIter.hpp:659-742 (op apply :694,
+    projectAndNormalize :717, Givens updateLSQR :742)
+  * restart management — BelosBlockGmresSolMgr.hpp:916 solve() loop
+  * pseudo-block       — BelosPseudoBlockGmresIter.hpp (independent
+    per-column spaces; here expressed with jax.vmap over RHS columns so the
+    operator still sees the full batched SpMM)
+  * flexible GMRES     — BelosBlockFGmresIter.hpp (changing right prec).
+
+Static-shape design: the Krylov basis V is a fixed (n, m+1) array whose
+not-yet-filled columns are zero; projections against zero columns are
+no-ops, so one CGS2/DGKS block projection per iteration costs a constant
+two GEMM+psum passes regardless of the current basis size. The Hessenberg
+matrix carries Givens rotations on the fly (small (m+1,) vector math that
+rides along in the compiled loop).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel.comm import Comm, SerialComm, norm2
+from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
+from .ortho import cgs2_project, dgks_project, resolve_method
+
+
+def _givens_apply(cs, sn, h, j):
+    """Apply stored rotations 0..j-1 to the new Hessenberg column h."""
+    m = cs.shape[0]
+
+    def body(i, h):
+        apply = i < j
+        hi, hi1 = h[i], h[i + 1]
+        t1 = cs[i] * hi + sn[i] * hi1
+        t2 = -sn[i] * hi + cs[i] * hi1
+        h = h.at[i].set(jnp.where(apply, t1, hi))
+        h = h.at[i + 1].set(jnp.where(apply, t2, hi1))
+        return h
+
+    return lax.fori_loop(0, m, body, h)
+
+
+def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
+                  prec: Operator, flexible: bool, restart: int,
+                  maxiter: int, rtol: float, atol: float, comm: Comm,
+                  ortho: str):
+    """Restarted right-preconditioned GMRES for ONE RHS column (n,)."""
+    m = restart
+    n = b.shape[0]
+    dtype = b.dtype
+    project = cgs2_project if ortho == "CGS2" else dgks_project
+
+    bnorm = norm2(comm, b)
+    tol = rhs_norm_scale(bnorm, rtol, atol)
+
+    def cycle(x, total_iters):
+        r0 = b - op(x)
+        beta = norm2(comm, r0)
+        v = jnp.zeros((n, m + 1), dtype)
+        v = v.at[:, 0].set(safe_divide(r0, beta))
+        z = jnp.zeros((n, m), dtype) if flexible else None
+        h_rot = jnp.zeros((m + 1, m), dtype)  # rotated Hessenberg (R factor)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def cond(s):
+            v, z, h_rot, cs, sn, g, j = s
+            return jnp.logical_and(j < m, jnp.abs(g[j]) > tol)
+
+        def body(s):
+            v, z, h_rot, cs, sn, g, j = s
+            vj = lax.dynamic_slice_in_dim(v, j, 1, axis=1)[:, 0]
+            zj = prec(vj)
+            if flexible:
+                z = lax.dynamic_update_slice(z, zj[:, None], (0, j))
+            w = op(zj)
+            # block projection against the whole (zero-padded) basis
+            w2, hcol = project(comm, v, w[:, None])
+            w2 = w2[:, 0]
+            hnorm = norm2(comm, w2)
+            h = hcol[:, 0].at[j + 1].set(hnorm)
+            v = lax.dynamic_update_slice(
+                v, safe_divide(w2, hnorm)[:, None], (0, j + 1))
+            # Givens: rotate new column, create rotation j, update g
+            h = _givens_apply(cs, sn, h, j)
+            hj, hj1 = h[j], h[j + 1]
+            denom = jnp.sqrt(hj * hj + hj1 * hj1)
+            c_new = jnp.where(denom > 0, hj / jnp.where(denom > 0, denom, 1), 1.0)
+            s_new = jnp.where(denom > 0, hj1 / jnp.where(denom > 0, denom, 1), 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            h = h.at[j].set(denom).at[j + 1].set(0)
+            g = g.at[j + 1].set(-s_new * g[j])
+            g = g.at[j].set(c_new * g[j])
+            h_rot = lax.dynamic_update_slice(h_rot, h[:, None], (0, j))
+            return (v, z, h_rot, cs, sn, g, j + 1)
+
+        state = (v, z, h_rot, cs, sn, g, 0)
+        v, z, h_rot, cs, sn, g, j = lax.while_loop(cond, body, state)
+
+        # masked back-substitution: y = R⁻¹ g on the leading j×j block
+        idx = jnp.arange(m)
+        r_small = h_rot[:m, :]
+        diag_fix = jnp.where(idx >= j, 1.0, 0.0)
+        r_masked = jnp.where(
+            jnp.logical_or(idx[None, :] >= j, idx[:, None] >= j),
+            jnp.diag(diag_fix), r_small)
+        g_masked = jnp.where(idx < j, g[:m], 0)
+        y = lax.linalg.triangular_solve(
+            r_masked, g_masked[:, None], left_side=True, lower=False)[:, 0]
+        correction = v[:, :m] @ y if not flexible else z @ y
+        if not flexible:
+            correction = prec(correction)
+        x = x + correction
+        return x, total_iters + j, jnp.abs(g[j])
+
+    def outer_cond(s):
+        x, total, res = s
+        return jnp.logical_and(total < maxiter, res > tol)
+
+    def outer_body(s):
+        x, total, _ = s
+        return cycle(x, total)
+
+    # one cycle always runs; then restart while needed
+    x, total, res = cycle(x0, 0)
+    x, total, res = lax.while_loop(outer_cond, outer_body, (x, total, res))
+    return x, total, res, res <= tol
+
+
+def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+          prec: Operator | None = None, flexible: bool = False,
+          restart: int = 30, maxiter: int = 1000, rtol: float = 1e-8,
+          atol: float = 0.0, comm: Comm | None = None,
+          ortho: str = "CGS2") -> SolveResult:
+    """Restarted GMRES(m) with right preconditioning.
+
+    Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
+    each column its own Krylov space and Hessenberg, while the operator
+    apply and the CGS2 reductions remain batched over all columns (the
+    compiled analogue of BelosPseudoBlockGmresIter's shared kernels).
+    """
+    comm = comm or SerialComm()
+    prec = prec or identity_prec
+    ortho_m = resolve_method(ortho)
+    if ortho_m not in ("CGS2", "DGKS"):
+        ortho_m = "CGS2"  # MGS path not wired into the Givens core
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    core = functools.partial(
+        _gmres_single, op, prec=prec, flexible=flexible, restart=restart,
+        maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m)
+
+    if b.ndim == 1:
+        x, iters, res, conv = core(b, x0)
+    else:
+        x, iters, res, conv = jax.vmap(core, in_axes=1, out_axes=(1, 0, 0, 0))(
+            b, x0)
+        iters = jnp.max(iters)
+    return SolveResult(x=x, iters=iters, resnorm=res, converged=conv)
+
+
+def fgmres(op: Operator, b: jax.Array, x0: jax.Array | None = None,
+           **kw) -> SolveResult:
+    """Flexible GMRES (variable right preconditioner per iteration)."""
+    return gmres(op, b, x0, flexible=True, **kw)

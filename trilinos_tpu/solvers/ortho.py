@@ -1,0 +1,154 @@
+"""Orthogonalization managers.
+
+TPU-native counterparts of Belos' ortho managers
+(packages/belos/src/BelosDGKSOrthoManager.hpp:99-107,644 — classical GS with
+conditional reorthogonalization; BelosICGSOrthoManager.hpp — iterated CGS
+(CGS2); BelosIMGSOrthoManager.hpp — iterated MGS; BelosTsqrOrthoManager.hpp).
+
+On TPU every projection is one MXU GEMM (the MvTransMv block inner product)
+plus ONE psum over the row-shard axis; normalization of a block uses
+Cholesky-QR (CholQR / CholQR2) — the communication-avoiding panel
+factorization playing the role the reference gives TSQR
+(packages/tpetra/tsqr/src/Tsqr.hpp): a single reduction per pass instead of
+one per column.
+
+Invariant used throughout: basis arrays carry *all* (static-shape) columns,
+with not-yet-filled columns identically zero — projections against them are
+then harmless no-ops, which is how dynamic basis growth is expressed in
+XLA's fixed-shape world.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel.comm import Comm, SerialComm
+
+# Reference default thresholds (BelosDGKSOrthoManager.hpp:99-107).
+DGKS_DEP_TOL = 1 / jnp.sqrt(2.0)
+SING_TOL = 10.0  # times eps, for rank detection in normalize
+
+
+def project_block(comm: Comm, v: jax.Array, w: jax.Array):
+    """One classical-GS pass: c = vᵀw (GEMM + psum), w ← w − v c.
+
+    v: (n, m) basis (unfilled columns zero); w: (n, k) block to project.
+    Returns (w_new, c)."""
+    c = comm.psum(jnp.einsum("nm,nk->mk", v, w, preferred_element_type=v.dtype))
+    return w - v @ c, c
+
+
+def cgs2_project(comm: Comm, v: jax.Array, w: jax.Array):
+    """Iterated CGS (CGS2): two unconditional passes — the ICGS manager's
+    default (BelosICGSOrthoManager.hpp, max_ortho_steps=2). Returns
+    (w, c_total)."""
+    w1, c1 = project_block(comm, v, w)
+    w2, c2 = project_block(comm, v, w1)
+    return w2, c1 + c2
+
+
+def dgks_project(comm: Comm, v: jax.Array, w: jax.Array,
+                 dep_tol: float = float(DGKS_DEP_TOL)):
+    """Classical GS with *conditional* reorthogonalization: second pass only
+    when the projected vector lost more than dep_tol of its mass
+    (BelosDGKSOrthoManager.hpp:644 projectAndNormalizeWithMxImpl logic).
+
+    The norm check adds one fused psum. All RHS columns reorthogonalize
+    together if any needs it (block-wise decision keeps control flow static).
+    """
+    from ..ops.blas import local_dot
+
+    norms_before = comm.psum(local_dot(w, w))
+    w1, c1 = project_block(comm, v, w)
+    norms_after = comm.psum(local_dot(w1, w1))
+    need = jnp.any(norms_after < (dep_tol ** 2) * norms_before)
+
+    def second(args):
+        w1, c1 = args
+        w2, c2 = project_block(comm, v, w1)
+        return w2, c1 + c2
+
+    return lax.cond(need, second, lambda a: a, (w1, c1))
+
+
+def mgs_project(comm: Comm, v: jax.Array, w: jax.Array, n_valid: int | jax.Array):
+    """Modified Gram-Schmidt: one reduction per basis column (m psums) —
+    more stable per-pass than CGS but communication-heavy; provided for
+    parity with IMGSOrthoManager. ``n_valid``: number of filled columns."""
+    m = v.shape[1]
+
+    def body(j, carry):
+        w, c = carry
+        vj = v[:, j]
+        cj = comm.psum(jnp.einsum("nk,n->k", w, vj))
+        cj = jnp.where(j < n_valid, cj, 0)
+        w = w - vj[:, None] * cj[None, :]
+        return w, c.at[j].set(cj)
+
+    c0 = jnp.zeros((m, w.shape[1]), dtype=w.dtype)
+    return lax.fori_loop(0, m, body, (w, c0))
+
+
+def cholqr(comm: Comm, w: jax.Array, eps: float | None = None):
+    """Cholesky-QR: G = wᵀw (one psum), R = chol(G)ᵀ, Q = w R⁻¹.
+
+    Returns (q, r, rank_ok) where rank_ok flags columns that were not
+    numerically dependent (diagonal of R above sing_tol)."""
+    g = comm.psum(jnp.einsum("nk,nm->km", w, w, preferred_element_type=w.dtype))
+    eps = eps or float(jnp.finfo(w.dtype).eps)
+    k = g.shape[0]
+    # regularize hard-singular blocks so chol stays finite; flagged below
+    scale = jnp.sqrt(jnp.maximum(jnp.diag(g), 1e-300))
+    floor_val = SING_TOL * eps * jnp.max(jnp.abs(g))
+    l = jnp.linalg.cholesky(g + floor_val * jnp.eye(k, dtype=g.dtype))
+    r = l.T
+    q = lax.linalg.triangular_solve(r, w, left_side=False, lower=False)
+    rank_ok = jnp.diag(r) > jnp.sqrt(floor_val) * 10
+    del scale
+    return q, r, rank_ok
+
+
+def cholqr2(comm: Comm, w: jax.Array):
+    """CholQR2: two Cholesky-QR passes — orthogonality to machine precision
+    for well-conditioned panels; the block-normalization workhorse."""
+    q1, r1, ok1 = cholqr(comm, w)
+    q2, r2, ok2 = cholqr(comm, q1)
+    return q2, r2 @ r1, jnp.logical_and(ok1, ok2)
+
+
+def project_and_normalize(comm: Comm, v: jax.Array, w: jax.Array,
+                          method: str = "CGS2"):
+    """Full Belos-style projectAndNormalize: orthogonalize block w against
+    basis v, then orthonormalize within the block.
+
+    Returns (q, c, r, rank_ok): w ≈ v c + q r with qᵀq = I.
+    ``method`` ∈ {"CGS2", "DGKS", "MGS1"} (MGS1 = single-pass MGS over all
+    columns of v, assumed all valid)."""
+    if method == "CGS2":
+        w2, c = cgs2_project(comm, v, w)
+    elif method == "DGKS":
+        w2, c = dgks_project(comm, v, w)
+    elif method == "MGS1":
+        w2, c = mgs_project(comm, v, w, v.shape[1])
+    else:
+        raise ValueError(f"unknown ortho method {method!r}")
+    q, r, rank_ok = cholqr2(comm, w2)
+    return q, c, r, rank_ok
+
+
+def valid_methods() -> tuple[str, ...]:
+    """Names mirroring the reference's "Orthogonalization" parameter choices
+    (BelosBlockGmresSolMgr.hpp:150-158: DGKS / ICGS / IMGS)."""
+    return ("CGS2", "DGKS", "MGS1", "ICGS", "IMGS")
+
+
+def resolve_method(name: str) -> str:
+    """Map reference spellings to local implementations."""
+    alias = {"ICGS": "CGS2", "IMGS": "MGS1", "DGKS": "DGKS", "CGS2": "CGS2",
+             "MGS1": "MGS1", "MGS": "MGS1"}
+    try:
+        return alias[name.upper()]
+    except KeyError:
+        raise ValueError(
+            f"unknown orthogonalization {name!r}; valid: {valid_methods()}")
