@@ -248,6 +248,15 @@ def _emit(dims, st, dtype, fmt):
         return stencil_csr(dims, st, dtype)
     if fmt == "dia":
         return stencil_dia(dims, st, dtype)
+    if fmt == "stencil":
+        # matrix-free constant-coefficient operator (TPU fast path); only
+        # valid when every coefficient is a constant scalar
+        from ..ops.pallas.stencil_op import StencilOp
+
+        if any(callable(c) for _, c in st):
+            raise ValueError("fmt='stencil' requires constant coefficients")
+        dt = np.dtype(dtype).name
+        return StencilOp.create(dims, st, dtype=dt)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -134,10 +134,29 @@ def spmv(a: SparseMatrix, x: jax.Array, transpose: bool = False,
     the Pallas kernels; 'auto' lets the format pick (Pallas where it wins).
     """
     x = jnp.asarray(x)
+    from .pallas.stencil_op import StencilOp, stencil_spmv_xla
+
+    if isinstance(a, StencilOp):
+        if transpose:
+            a = StencilOp(dims=a.dims,
+                          offsets=tuple(tuple(-d for d in o)
+                                        for o in a.offsets),
+                          coeffs=a.coeffs, n_rows_pad=a.n_rows_pad,
+                          dtype=a.dtype)
+        from . import pallas as pk
+
+        if impl != "xla" and pk._on_tpu():
+            from .pallas.stencil_op import (stencil_pallas_applicable,
+                                            stencil_spmv_pallas)
+
+            if stencil_pallas_applicable(a, x.ndim):
+                return stencil_spmv_pallas(a, x)
+        return stencil_spmv_xla(a, x)
     if impl in ("auto", "pallas"):
         from . import pallas as pk
 
-        fn = pk.maybe_pallas(a, transpose, force=(impl == "pallas"))
+        fn = pk.maybe_pallas(a, transpose, force=(impl == "pallas"),
+                             x_ndim=x.ndim)
         if fn is not None:
             return fn(a, x)
     table = _XLA_TRANS if transpose else _XLA_FWD

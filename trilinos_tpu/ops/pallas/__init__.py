@@ -10,14 +10,26 @@ from __future__ import annotations
 from ..formats import BsrMatrix, DiaMatrix, EllMatrix, SparseMatrix
 
 
-def maybe_pallas(a: SparseMatrix, transpose: bool, force: bool = False):
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def maybe_pallas(a: SparseMatrix, transpose: bool, force: bool = False,
+                 x_ndim: int = 1):
     if transpose:
+        return None
+    if not (force or _on_tpu()):
         return None
     try:
         if isinstance(a, DiaMatrix):
             from .dia_spmv import dia_spmv_pallas, dia_pallas_applicable
 
-            if force or dia_pallas_applicable(a):
+            if dia_pallas_applicable(a, x_ndim):
                 return dia_spmv_pallas
     except ImportError:  # pragma: no cover
         return None

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: stored-DIA (stencil) SpMV at memory-bandwidth speed.
+
+Why a kernel: the XLA formulations (jnp.roll / pad+slice) materialize one
+shifted copy of x per diagonal in HBM — 7 diagonals ≈ 14 extra passes over
+x. Here x is read essentially once: the kernel views x as (R, 128) lane
+rows and manually DMAs an overlapping window [block − halo, block + halo]
+into a double-buffered VMEM scratch (Pallas-guide double-buffering
+pattern); each diagonal offset o = ro·128 + lo becomes a static sublane
+slice (ro) plus a lane rotate (lo, pltpu.roll) + select. Diagonal data
+blocks stream through the standard pipelined BlockSpec path.
+
+Traffic per apply ≈ data (ndiags·n) + x (n + 2·halo·nb) + y (n) — the same
+roofline the reference's CSR SpMV targets
+(kokkos-kernels/src/sparse/impl/KokkosSparse_spmv_impl.hpp), with zero
+gathers, which is what the MXU-less TPU memory system wants.
+
+Constraints (``dia_pallas_applicable``): single RHS; f32/bf16;
+n_rows_pad % 128 == 0; a block size br | R with br + 2·halo ≤ R and ≥ 2
+blocks. Anything else falls back to the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import DiaMatrix
+
+LANES = 128
+MAX_BR = 2048
+
+
+def _plan(offsets, n_rows_pad, n_diags) -> tuple[int, int] | None:
+    if n_rows_pad % LANES != 0:
+        return None
+    r = n_rows_pad // LANES
+    min_br = max((abs(o) // LANES + 2 for o in offsets), default=1)
+    h = ((min_br + 7) // 8) * 8
+    row_bytes = LANES * 4
+    vmem_budget = 12 * 2 ** 20
+    top = (min(r // 2, MAX_BR) // 8) * 8
+    for cand in range(top, 7, -8):
+        if r % cand != 0 or cand + 2 * h > r:
+            continue
+        # double-buffered: data + y via the pipeline, window via scratch
+        need = 2 * row_bytes * (n_diags * cand + (cand + 2 * h) + cand)
+        if need <= vmem_budget:
+            return cand, h
+    return None
+
+
+def dia_pallas_applicable(a: DiaMatrix, x_ndim: int = 1) -> bool:
+    if x_ndim != 1:
+        return False
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return _plan(a.offsets, a.n_rows_pad, a.data.shape[0]) is not None
+
+
+def _kernel(offsets, br, h, r, data_ref, x_hbm, y_ref, win, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    wrows = br + 2 * h
+
+    def issue(blk, slot, wait):
+        is_first = blk == 0
+        is_last = blk == nb - 1
+
+        def run(d):
+            d.wait() if wait else d.start()
+
+        @pl.when(is_first)
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, br + h), :],
+                win.at[slot, pl.ds(h, br + h)], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_first),
+                                 jnp.logical_not(is_last)))
+        def _():
+            start = jnp.clip(blk * br - h, 0, r - wrows)
+            run(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, wrows), :],
+                win.at[slot], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(is_last, jnp.logical_not(is_first)))
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(r - (br + h), br + h), :],
+                win.at[slot, pl.ds(0, br + h)], sem.at[slot]))
+
+    @pl.when(b == 0)
+    def _():
+        issue(0, 0, wait=False)
+
+    slot = lax.rem(b, jnp.int32(2))
+
+    @pl.when(b + 1 < nb)
+    def _():
+        issue(b + 1, lax.rem(b + 1, jnp.int32(2)), wait=False)
+
+    issue(b, slot, wait=True)
+
+    # edge blocks: zero the unfilled halo rows (uninitialized VMEM may hold
+    # NaN/Inf; 0·NaN would poison the zero-coefficient boundary terms)
+    @pl.when(b == 0)
+    def _():
+        win[slot, pl.ds(0, h)] = jnp.zeros((h, LANES), dtype=win.dtype)
+
+    @pl.when(b == nb - 1)
+    def _():
+        win[slot, pl.ds(br + h, h)] = jnp.zeros((h, LANES), dtype=win.dtype)
+
+    window = win.at[slot]
+    lane = lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+    acc = jnp.zeros((br, LANES), dtype=jnp.float32)
+    for d, o in enumerate(offsets):
+        ro, lo = divmod(o, LANES)
+        a_blk = window[pl.ds(h + ro, br)]
+        if lo == 0:
+            shifted = a_blk
+        else:
+            b_blk = window[pl.ds(h + ro + 1, br)]
+            ra = pltpu.roll(a_blk, LANES - lo, 1)
+            rb = pltpu.roll(b_blk, LANES - lo, 1)
+            shifted = jnp.where(lane < LANES - lo, ra, rb)
+        acc = acc + data_ref[d].astype(jnp.float32) * shifted.astype(jnp.float32)
+    y_ref[:] = acc.astype(y_ref.dtype)
+
+
+def dia_spmv_pallas(a: DiaMatrix, x: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    n = a.n_rows_pad
+    r = n // LANES
+    plan = _plan(a.offsets, n, a.data.shape[0])
+    if plan is None:
+        raise ValueError("dia_spmv_pallas: not applicable (use XLA path)")
+    br, h = plan
+    nb = r // br
+    x2 = x.reshape(r, LANES)
+    nd = a.data.shape[0]
+    data3 = a.data.reshape(nd, r, LANES)
+    out = pl.pallas_call(
+        functools.partial(_kernel, a.offsets, br, h, r),
+        out_shape=jax.ShapeDtypeStruct((r, LANES), x2.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((nd, br, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((br, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, br + 2 * h, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n,
+            bytes_accessed=(nd + 2) * n * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(data3, x2)
+    return out.reshape(n)

@@ -1,0 +1,299 @@
+"""Distributed sparse matrices: row-sharded storage + compiled halo exchange.
+
+This module is the TPU-native fusion of the reference's
+Import/Export + Distributor + CrsMatrix::apply machinery:
+
+  * plan construction  ≈ ``Tpetra::Import`` setupSamePermuteRemote/
+    setupExport (src/Tpetra_Import_decl.hpp:468,499) and
+    ``Distributor::createFromRecvs`` (src/Tpetra_Distributor.hpp:349) —
+    done ONCE on host at ``distribute()`` (the fillComplete moment,
+    src/Tpetra_CrsMatrix_def.hpp:4437), then frozen into the jitted step;
+  * the ghost/column ordering rule follows the reference
+    (src/Tpetra_Details_makeColMap_def.hpp:136-198): owned columns first in
+    domain order, then remote GIDs grouped by owning shard, sorted within —
+    this is what makes recv buffers contiguous per neighbor;
+  * the exchange itself lowers to ``lax.all_to_all`` (general neighbor
+    sets) or a short sequence of ``lax.ppermute`` steps (banded neighbor
+    sets — the common stencil case), the compiled-collective form of the
+    Distributor's "fast path: contiguous per-neighbor slices"
+    (src/Tpetra_Distributor.hpp:2302-2380);
+  * apply splits the local matrix into an **interior** part (owned columns
+    only — the big bandwidth-bound SpMV) and a compact **boundary** part
+    (rows touching ghosts). The exchange and the interior SpMV are
+    data-independent, so XLA's latency-hiding scheduler overlaps them —
+    the overlap the reference structurally supports via split
+    doPosts/doWaits but does not exploit inside apply
+    (SURVEY.md §3.3; Tpetra_CrsMatrix_def.hpp:4887-4903).
+
+SPMD packaging: per-shard plan/matrix arrays are stacked with a leading
+shard axis; ``shard_map`` with in_spec P('rows') hands each shard its own
+slice, which ``unstack_local`` squeezes back into ordinary pytrees.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.formats import (CsrHost, DiaMatrix, EllMatrix, ROW_ALIGN,
+                           csr_to_dia, csr_to_ell, round_up)
+from ..ops.matvec import spmv
+from .map import Map
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Frozen exchange schedule (per-shard arrays; stacked across shards).
+
+    send_idx:  (P, seg) — local padded indices to ship to each peer
+               (destination-major, gid-sorted within a destination)
+    recv_sel:  (g_pad,) — for each ghost slot, its position in the flat
+               receive buffer (mode-dependent layout)
+    mode: 'a2a' (all_to_all over the full peer axis) or 'ppermute'
+          (one permute per static shard offset in ``offsets``)
+    """
+
+    send_idx: jax.Array
+    recv_sel: jax.Array
+    n_ghost_pad: int = dataclasses.field(metadata=dict(static=True))
+    seg: int = dataclasses.field(metadata=dict(static=True))
+    mode: str = dataclasses.field(metadata=dict(static=True))
+    offsets: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BoundaryPart:
+    """Compact ELL over only the rows that reference ghosts; ``cols``
+    index into the extended vector [x_local | ghosts]."""
+
+    rows_idx: jax.Array  # (nb_pad,) int32 (pad rows -> 0, vals are 0)
+    cols: jax.Array  # (nb_pad, kb) int32
+    vals: jax.Array  # (nb_pad, kb)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DistMatrix:
+    interior: DiaMatrix | EllMatrix
+    boundary: BoundaryPart
+    plan: HaloPlan
+    row_map: Map = dataclasses.field(metadata=dict(static=True))
+
+
+def stack_shards(trees):
+    """Stack a list of per-shard pytrees along a new leading shard axis."""
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *trees)
+
+
+def unstack_local(tree):
+    """Inside shard_map: squeeze the (length-1) leading shard axis."""
+    return jax.tree_util.tree_map(lambda l: l[0], tree)
+
+
+# ---------------------------------------------------------------------------
+# plan + matrix construction (host, fillComplete-time)
+# ---------------------------------------------------------------------------
+
+
+def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
+               dtype=None) -> DistMatrix:
+    """Partition a square host CSR by rows over ``n_shards`` and build the
+    frozen halo plan (the fillComplete + Import-construction step)."""
+    n = a.shape[0]
+    assert a.shape[0] == a.shape[1], "distribute() requires square A"
+    rmap = Map.uniform(n, n_shards)
+    dtype = dtype or a.vals.dtype
+    npl = rmap.n_local_pad
+
+    # -- per-shard analysis ------------------------------------------------
+    ghosts_of = []  # shard -> sorted ghost gid array (owner-major, gid-sorted)
+    interior_csr = []
+    boundary_coo = []  # (rows_local, ghost_slot_or_local, vals) in ext index
+    for s in range(n_shards):
+        lo, hi = rmap.shard_lo(s), rmap.shard_hi(s)
+        rs, cs, vs = [], [], []
+        browcols: dict[int, list] = {}
+        ghost_set = set()
+        for i in range(lo, hi):
+            c, v = a.row(i)
+            owned = (c >= lo) & (c < hi)
+            rs.append(np.full(owned.sum(), i - lo))
+            cs.append(c[owned] - lo)
+            vs.append(v[owned])
+            for cj, vj in zip(c[~owned], v[~owned]):
+                ghost_set.add(int(cj))
+                browcols.setdefault(i - lo, []).append((int(cj), vj))
+        # makeColMap ordering: remotes grouped by owner, sorted by gid
+        ghost_gids = np.array(sorted(ghost_set), dtype=np.int64)
+        owners = rmap.owner_of(ghost_gids) if len(ghost_gids) else ghost_gids
+        order = np.lexsort((ghost_gids, owners)) if len(ghost_gids) else []
+        ghost_gids = ghost_gids[order] if len(ghost_gids) else ghost_gids
+        ghosts_of.append(ghost_gids)
+        gslot = {int(g): j for j, g in enumerate(ghost_gids)}
+        interior_csr.append(CsrHost.from_coo(
+            np.concatenate(rs) if rs else np.zeros(0, np.int64),
+            np.concatenate(cs) if cs else np.zeros(0, np.int64),
+            np.concatenate(vs) if vs else np.zeros(0, a.vals.dtype),
+            (hi - lo, hi - lo), sum_duplicates=False))
+        boundary_coo.append(
+            {r: [(gslot[g], vv) for (g, vv) in ents]
+             for r, ents in browcols.items()})
+
+    # -- reciprocal send lists (createFromRecvs handshake, on host) --------
+    # sends[s][t] = lids of shard s that shard t needs, gid-sorted
+    sends = [[np.zeros(0, np.int64) for _ in range(n_shards)]
+             for _ in range(n_shards)]
+    for t in range(n_shards):
+        g = ghosts_of[t]
+        if len(g) == 0:
+            continue
+        owners = rmap.owner_of(g)
+        for o in np.unique(owners):
+            sends[int(o)][t] = rmap.gid_to_lid(g[owners == o], int(o))
+
+    seg = max((len(sends[s][t]) for s in range(n_shards)
+               for t in range(n_shards)), default=0)
+    seg = max(seg, 1)
+    g_pad = round_up(max((len(g) for g in ghosts_of), default=0) or 1,
+                     ROW_ALIGN)
+
+    # neighbor structure: use ppermute when few static shard offsets
+    all_offs = sorted({(t - s) % n_shards
+                       for s in range(n_shards) for t in range(n_shards)
+                       if len(sends[s][t])})
+    mode = "ppermute" if 0 < len(all_offs) <= 4 else "a2a"
+    if not all_offs:
+        mode = "a2a"  # no communication at all; trivial plan
+
+    # -- freeze per-shard plan arrays --------------------------------------
+    plans = []
+    boundaries = []
+    interiors = []
+    kb = max((max((len(v) for v in bc.values()), default=0)
+              for bc in boundary_coo), default=0)
+    kb = max(kb, 1)
+    nb_pad = round_up(max((len(bc) for bc in boundary_coo), default=0) or 1,
+                      ROW_ALIGN)
+    # uniform interior format across shards
+    if fmt == "auto":
+        probe = interior_csr[0]
+        rows_rep = np.repeat(np.arange(probe.shape[0]), probe.row_lengths())
+        ndiag = len(np.unique(probe.cols.astype(np.int64) - rows_rep))
+        fmt = "dia" if ndiag <= 32 else "ell"
+    if fmt == "dia":
+        off_union = sorted({o for ic in interior_csr
+                            for o in _diag_offsets(ic)})
+    else:
+        k_union = max(max(ic.max_row_length() for ic in interior_csr), 1)
+
+    for s in range(n_shards):
+        send_idx = np.zeros((n_shards, seg), dtype=np.int32)
+        for t in range(n_shards):
+            send_idx[t, : len(sends[s][t])] = sends[s][t]
+        g = ghosts_of[s]
+        recv_sel = np.zeros(g_pad, dtype=np.int32)
+        owners = rmap.owner_of(g) if len(g) else np.zeros(0, np.int64)
+        for j, (gid, o) in enumerate(zip(g, owners)):
+            pos = int(np.searchsorted(
+                rmap.shard_lo(int(o)) + sends[int(o)][s], gid))
+            if mode == "a2a":
+                recv_sel[j] = int(o) * seg + pos
+            else:
+                off_idx = all_offs.index((s - int(o)) % n_shards)
+                recv_sel[j] = off_idx * seg + pos
+        plans.append(HaloPlan(
+            send_idx=jnp.asarray(send_idx), recv_sel=jnp.asarray(recv_sel),
+            n_ghost_pad=g_pad, seg=seg, mode=mode, offsets=tuple(all_offs)))
+
+        # NOTE: static fields (n_rows/n_cols/nnz) must be IDENTICAL across
+        # shards so the pytrees stack; use map-level uniform values.
+        if fmt == "dia":
+            interiors.append(_csr_to_dia_fixed(interior_csr[s], off_union,
+                                               npl, dtype))
+        else:
+            e = csr_to_ell(interior_csr[s], dtype=dtype, k=k_union,
+                           n_rows_pad=npl)
+            interiors.append(EllMatrix(cols=e.cols, vals=e.vals, n_rows=npl,
+                                       n_cols=npl, nnz=0))
+        rows_idx = np.zeros(nb_pad, dtype=np.int32)
+        bcols = np.zeros((nb_pad, kb), dtype=np.int32)
+        bvals = np.zeros((nb_pad, kb), dtype=dtype)
+        for j, (r, ents) in enumerate(sorted(boundary_coo[s].items())):
+            rows_idx[j] = r
+            for q, (slot, vv) in enumerate(ents):
+                bcols[j, q] = npl + slot
+                bvals[j, q] = vv
+        boundaries.append(BoundaryPart(
+            rows_idx=jnp.asarray(rows_idx), cols=jnp.asarray(bcols),
+            vals=jnp.asarray(bvals)))
+
+    return DistMatrix(
+        interior=stack_shards(interiors), boundary=stack_shards(boundaries),
+        plan=stack_shards(plans), row_map=rmap)
+
+
+def _diag_offsets(c: CsrHost):
+    rows_rep = np.repeat(np.arange(c.shape[0]), c.row_lengths())
+    return {int(o) for o in np.unique(c.cols.astype(np.int64) - rows_rep)}
+
+
+def _csr_to_dia_fixed(c: CsrHost, offsets, n_rows_pad, dtype):
+    """DIA with a prescribed offset set (union across shards)."""
+    d = csr_to_dia(c, dtype=dtype, n_rows_pad=n_rows_pad)
+    data = np.zeros((len(offsets), n_rows_pad), dtype=dtype)
+    src = np.asarray(d.data)
+    for i, o in enumerate(offsets):
+        if o in d.offsets:
+            data[i] = src[d.offsets.index(o)]
+    return DiaMatrix(data=jnp.asarray(data), offsets=tuple(offsets),
+                     n_rows=n_rows_pad, n_cols=n_rows_pad, nnz=0)
+
+
+# ---------------------------------------------------------------------------
+# runtime (inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def exchange(x: jax.Array, plan: HaloPlan, axis_name: str,
+             n_shards: int) -> jax.Array:
+    """Ghost gather: returns (g_pad,) or (g_pad, k) ghost values."""
+    was_1d = x.ndim == 1
+    x2 = x[:, None] if was_1d else x
+    if plan.mode == "a2a":
+        sbuf = x2[plan.send_idx]  # (P, seg, k)
+        rbuf = lax.all_to_all(sbuf, axis_name, 0, 0)
+        flat = rbuf.reshape(-1, x2.shape[1])
+    else:
+        me = lax.axis_index(axis_name)
+        parts = []
+        for off in plan.offsets:
+            dest = (me + off) % n_shards
+            sb = jnp.take(x2[plan.send_idx], dest, axis=0)  # (seg, k)
+            perm = [(s, (s + off) % n_shards) for s in range(n_shards)]
+            parts.append(lax.ppermute(sb, axis_name, perm))
+        flat = jnp.concatenate(parts, axis=0)
+    ghosts = flat[plan.recv_sel]
+    return ghosts[:, 0] if was_1d else ghosts
+
+
+def apply_local(mat_interior, mat_boundary: BoundaryPart, plan: HaloPlan,
+                x: jax.Array, axis_name: str, n_shards: int) -> jax.Array:
+    """Distributed SpMV, per-shard view: overlap-friendly split apply."""
+    ghosts = exchange(x, plan, axis_name, n_shards)  # collective
+    y = spmv(mat_interior, x)  # independent of the collective -> overlaps
+    was_1d = x.ndim == 1
+    x2 = x[:, None] if was_1d else x
+    g2 = ghosts[:, None] if was_1d else ghosts
+    ext = jnp.concatenate([x2, g2.astype(x2.dtype)], axis=0)
+    gathered = ext.at[mat_boundary.cols].get(mode="promise_in_bounds")
+    contrib = jnp.einsum("rk,rkn->rn", mat_boundary.vals,
+                         gathered.astype(mat_boundary.vals.dtype))
+    y2 = y[:, None] if was_1d else y
+    y2 = y2.at[mat_boundary.rows_idx].add(contrib, mode="promise_in_bounds")
+    return y2[:, 0] if was_1d else y2
