@@ -111,39 +111,41 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
     dtype = dtype or a.vals.dtype
     npl = rmap.n_local_pad
 
-    # -- per-shard analysis ------------------------------------------------
-    ghosts_of = []  # shard -> sorted ghost gid array (owner-major, gid-sorted)
+    # -- per-shard analysis (vectorized; must scale to 10M+ rows) ----------
+    ghosts_of = []  # shard -> ghost gid array (owner-major, gid-sorted)
     interior_csr = []
-    boundary_coo = []  # (rows_local, ghost_slot_or_local, vals) in ext index
+    boundary_coo = []  # shard -> dict local row -> [(ghost_slot, val), ...]
+    all_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                         a.row_lengths())
+    all_cols = a.cols.astype(np.int64)
+    all_vals = a.vals
     for s in range(n_shards):
         lo, hi = rmap.shard_lo(s), rmap.shard_hi(s)
-        rs, cs, vs = [], [], []
-        browcols: dict[int, list] = {}
-        ghost_set = set()
-        for i in range(lo, hi):
-            c, v = a.row(i)
-            owned = (c >= lo) & (c < hi)
-            rs.append(np.full(owned.sum(), i - lo))
-            cs.append(c[owned] - lo)
-            vs.append(v[owned])
-            for cj, vj in zip(c[~owned], v[~owned]):
-                ghost_set.add(int(cj))
-                browcols.setdefault(i - lo, []).append((int(cj), vj))
-        # makeColMap ordering: remotes grouped by owner, sorted by gid
-        ghost_gids = np.array(sorted(ghost_set), dtype=np.int64)
-        owners = rmap.owner_of(ghost_gids) if len(ghost_gids) else ghost_gids
-        order = np.lexsort((ghost_gids, owners)) if len(ghost_gids) else []
-        ghost_gids = ghost_gids[order] if len(ghost_gids) else ghost_gids
-        ghosts_of.append(ghost_gids)
-        gslot = {int(g): j for j, g in enumerate(ghost_gids)}
+        sl = slice(a.row_ptr[lo], a.row_ptr[hi])
+        rs_g, cs_g, vs_g = all_rows[sl], all_cols[sl], all_vals[sl]
+        owned = (cs_g >= lo) & (cs_g < hi)
         interior_csr.append(CsrHost.from_coo(
-            np.concatenate(rs) if rs else np.zeros(0, np.int64),
-            np.concatenate(cs) if cs else np.zeros(0, np.int64),
-            np.concatenate(vs) if vs else np.zeros(0, a.vals.dtype),
+            rs_g[owned] - lo, cs_g[owned] - lo, vs_g[owned],
             (hi - lo, hi - lo), sum_duplicates=False))
-        boundary_coo.append(
-            {r: [(gslot[g], vv) for (g, vv) in ents]
-             for r, ents in browcols.items()})
+        bc_rows = rs_g[~owned] - lo
+        bc_cols = cs_g[~owned]
+        bc_vals = vs_g[~owned]
+        # makeColMap ordering: remotes grouped by owner, sorted by gid
+        ghost_gids = np.unique(bc_cols)
+        owners = rmap.owner_of(ghost_gids)
+        order = np.lexsort((ghost_gids, owners))
+        ghost_gids = ghost_gids[order]
+        ghosts_of.append(ghost_gids)
+        # map each boundary col gid -> its slot in the owner-major order:
+        # sorted-position via searchsorted, then sorted-pos -> slot
+        sort_perm = np.argsort(ghost_gids, kind="stable")
+        lookup = np.searchsorted(ghost_gids[sort_perm], bc_cols)
+        bc_slots = sort_perm[lookup]
+        bdict: dict[int, list] = {}
+        for r_l, sl_g, v_g in zip(bc_rows.tolist(), bc_slots.tolist(),
+                                  bc_vals.tolist()):
+            bdict.setdefault(r_l, []).append((sl_g, v_g))
+        boundary_coo.append(bdict)
 
     # -- reciprocal send lists (createFromRecvs handshake, on host) --------
     # sends[s][t] = lids of shard s that shard t needs, gid-sorted
