@@ -1,0 +1,139 @@
+"""SolverManager / factory / LinearProblem / block GMRES / LSQR tests.
+
+Mirrors the reference's parameter-driven solve pattern
+(BelosBlockGmresSolMgr parameter surface; Stratimikos builder).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace2d, recirc2d
+from trilinos_tpu.ops import formats as F
+import trilinos_tpu.ops.matvec as S
+from trilinos_tpu.solvers import (LinearProblem, block_gmres, build,
+                                  create_solver, fixed_point, lsqr,
+                                  solver_names)
+
+
+def make_problem(a_csr, nrhs=0, seed=7):
+    dev = F.csr_to_dia(a_csr)
+    n, npad = a_csr.shape[0], dev.n_rows_pad
+    rng = np.random.default_rng(seed)
+    shape = (npad,) if nrhs == 0 else (npad, nrhs)
+    b = np.zeros(shape)
+    b[:n] = rng.standard_normal((n,) if nrhs == 0 else (n, nrhs))
+    op = lambda x: S.spmv(dev, x, impl="xla")
+    op_t = lambda x: S.spmv(dev, x, transpose=True, impl="xla")
+    return op, op_t, jnp.asarray(b), a_csr.to_dense(), n
+
+
+def rel_res(b, dense, x, n):
+    bb, xx = np.asarray(b)[:n], np.asarray(x)[:n]
+    return np.linalg.norm(bb - dense @ xx, axis=0) / np.linalg.norm(bb, axis=0)
+
+
+class TestSolverManager:
+    @pytest.mark.parametrize("name", ["CG", "GMRES", "BiCGStab", "TFQMR",
+                                      "MINRES",
+                                      "Pipelined CG", "Single reduce CG"])
+    def test_named_solvers_converge(self, name):
+        a = laplace2d(14, 14)
+        op, op_t, b, dense, n = make_problem(a)
+        mgr = create_solver(name, {"Convergence Tolerance": 1e-9,
+                                   "Maximum Iterations": 20000})
+        res = mgr.solve(LinearProblem(op, b))
+        assert rel_res(b, dense, res.x, n) <= 1e-6
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError, match="unknown solver"):
+            create_solver("Super Solver")
+
+    def test_solver_names_listed(self):
+        names = solver_names()
+        assert "BLOCK GMRES" in names and "LSQR" in names
+
+    def test_invalid_ortho_choice(self):
+        with pytest.raises(ValueError):
+            create_solver("GMRES", {"Orthogonalization": "QR-ish"})
+
+    def test_lsqr_via_manager(self):
+        a = laplace2d(10, 10)
+        op, op_t, b, dense, n = make_problem(a)
+        prob = LinearProblem(op, b)
+        prob.op_t = op_t
+        mgr = create_solver("LSQR", {"Convergence Tolerance": 1e-10,
+                                     "Maximum Iterations": 5000})
+        res = mgr.solve(prob)
+        assert rel_res(b, dense, res.x, n) <= 1e-6
+
+
+class TestBlockGmres:
+    @pytest.mark.parametrize("ortho", ["CGS2", "DGKS"])
+    def test_multirhs_shared_space(self, ortho):
+        a = laplace2d(16, 16)
+        op, _, b, dense, n = make_problem(a, nrhs=4)
+        res = block_gmres(op, b, num_blocks=40, max_restarts=10, rtol=1e-8,
+                          ortho=ortho)
+        assert (rel_res(b, dense, res.x, n) <= 1e-7).all()
+        assert bool(res.converged.all())
+
+    def test_nonsymmetric(self):
+        a = recirc2d(12, 12, diff=1e-1)
+        op, _, b, dense, n = make_problem(a, nrhs=3)
+        res = block_gmres(op, b, num_blocks=30, max_restarts=15, rtol=1e-8)
+        assert (rel_res(b, dense, res.x, n) <= 1e-6).all()
+
+    def test_with_jacobi_prec(self):
+        a = laplace2d(12, 12)
+        op, _, b, dense, n = make_problem(a, nrhs=2)
+        dinv = np.ones(b.shape[0])
+        dinv[:n] = 0.25
+        prec = lambda v: jnp.asarray(dinv)[:, None] * v
+        res = block_gmres(op, b, prec=prec, num_blocks=30, rtol=1e-8)
+        assert (rel_res(b, dense, res.x, n) <= 1e-7).all()
+
+    def test_via_manager_single_rhs(self):
+        a = laplace2d(10, 10)
+        op, _, b, dense, n = make_problem(a)
+        mgr = create_solver("Block GMRES", {"Num Blocks": 25,
+                                            "Convergence Tolerance": 1e-9})
+        res = mgr.solve(LinearProblem(op, b))
+        assert res.x.ndim == 1
+        assert rel_res(b, dense, res.x, n) <= 1e-7
+
+
+class TestLsqrDirect:
+    def test_lsqr_square(self):
+        a = recirc2d(10, 10, diff=1e-1)
+        op, op_t, b, dense, n = make_problem(a)
+        res = lsqr(op, op_t, b, rtol=1e-12, maxiter=20000)
+        assert rel_res(b, dense, res.x, n) <= 1e-6
+
+    def test_fixed_point_jacobi(self):
+        a = laplace2d(8, 8)
+        op, _, b, dense, n = make_problem(a)
+        dinv = np.ones(b.shape[0]) * 0.25
+        res = fixed_point(op, b, prec=lambda v: jnp.asarray(dinv) * v,
+                          rtol=1e-8, maxiter=20000)
+        assert rel_res(b, dense, res.x, n) <= 1e-6
+
+
+class TestStratimikosBuilder:
+    def test_build_solver_and_prec(self):
+        a = laplace2d(16, 16)
+        op, _, b, dense, n = make_problem(a)
+        mgr, prec = build({
+            "Linear Solver Type": "GMRES",
+            "Solver Types": {"GMRES": {"Num Blocks": 30,
+                                       "Convergence Tolerance": 1e-9}},
+            "Preconditioner Type": "CHEBYSHEV",
+            "Preconditioner Types": {"CHEBYSHEV": {"chebyshev: degree": 3}},
+        }, a_csr=a)
+        res = mgr.solve(LinearProblem(op, b, right_prec=prec))
+        assert rel_res(b, dense, res.x, n) <= 1e-7
+
+    def test_build_no_prec(self):
+        mgr, prec = build({"Linear Solver Type": "CG"})
+        assert prec is None
+        assert mgr.kind == "cg"

@@ -11,6 +11,7 @@ from .formats import (
     to_dense,
 )
 from .matvec import residual, spmm, spmv
+from .matrix_ops import diag_matrix, ptap, rap, spadd, spgemm
 from . import blas
 
 __all__ = [
@@ -28,4 +29,9 @@ __all__ = [
     "spmm",
     "spmv",
     "blas",
+    "spgemm",
+    "spadd",
+    "ptap",
+    "rap",
+    "diag_matrix",
 ]

@@ -1,3 +1,4 @@
+from .amg import SaAmg
 from .base import Preconditioner, create
 from .chebyshev import Chebyshev
 from .ilu import Ilu0, ilu0_factor
@@ -13,4 +14,5 @@ __all__ = [
     "BlockJacobi",
     "Relaxation",
     "GmresPoly",
+    "SaAmg",
 ]

@@ -69,6 +69,7 @@ def create(name: str, a, params: ParameterList | dict | None = None
     (Ifpack2_Factory: "RELAXATION", "CHEBYSHEV", "RILUK", "SCHWARZ", ...)
     plus local spellings.
     """
+    from .amg import SaAmg
     from .chebyshev import Chebyshev
     from .ilu import Ilu0
     from .jacobi import BlockJacobi, Relaxation
@@ -86,6 +87,9 @@ def create(name: str, a, params: ParameterList | dict | None = None
         "POLY": GmresPoly,
         "BLOCK RELAXATION": BlockJacobi,
         "BLOCK_JACOBI": BlockJacobi,
+        "SA-AMG": SaAmg,
+        "MUELU": SaAmg,
+        "AMG": SaAmg,
     }
     if key not in table:
         raise ValueError(f"unknown preconditioner {name!r}; "

@@ -1,9 +1,13 @@
 from .base import Operator, SolveResult, identity_prec
 from .cg import cg, cg_pipeline, cg_single_reduce
 from .gmres import fgmres, gmres
+from .block_gmres import block_gmres
 from .bicgstab import bicgstab
 from .minres import minres
 from .tfqmr import tfqmr
+from .lsqr import fixed_point, lsqr
+from .linear_problem import LinearProblem
+from .factory import SolverManager, build, create_solver, solver_names
 from . import ortho, status
 
 __all__ = [
@@ -15,9 +19,17 @@ __all__ = [
     "cg_single_reduce",
     "gmres",
     "fgmres",
+    "block_gmres",
     "bicgstab",
     "minres",
     "tfqmr",
+    "lsqr",
+    "fixed_point",
+    "LinearProblem",
+    "SolverManager",
+    "build",
+    "create_solver",
+    "solver_names",
     "ortho",
     "status",
 ]

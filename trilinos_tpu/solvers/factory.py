@@ -1,0 +1,190 @@
+"""Solver factory and SolverManager: string + ParameterList driven solves.
+
+TPU-native analogue of ``Belos::SolverFactory``
+(packages/belos/src/BelosSolverFactory.hpp) with the alias table of
+``Belos::Details::EBelosSolverType`` (src/Belos_Details_EBelosSolverType.cpp:
+61-122), and of the SolverManager parameter surface
+(packages/belos/src/BelosBlockGmresSolMgr.hpp:150-158,323-337; defaults
+src/BelosTypes.hpp:291-313 — "Convergence Tolerance" 1e-8, "Maximum
+Iterations", "Num Blocks", "Maximum Restarts", "Orthogonalization").
+
+Verbosity note: solves compile to single jitted programs, so per-iteration
+printing (StatusTestOutput) is not available inside the loop; the manager
+prints the final summary (FINAL_SUMMARY verbosity) after the solve.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..parallel.comm import Comm, SerialComm
+from ..utils.output import MsgType, OutputManager
+from ..utils.params import Param, ParameterList, make_params
+from .base import SolveResult
+from .bicgstab import bicgstab
+from .block_gmres import block_gmres
+from .cg import cg, cg_pipeline, cg_single_reduce
+from .gmres import fgmres, gmres
+from .linear_problem import LinearProblem
+from .lsqr import fixed_point, lsqr
+from .minres import minres
+from .tfqmr import tfqmr
+
+# canonical name -> implementation key (mirrors the reference alias table)
+ALIASES = {
+    "CG": "cg",
+    "PSEUDOBLOCK CG": "cg",
+    "PSEUDO BLOCK CG": "cg",
+    "BLOCK CG": "cg",  # multivector RHS handled natively
+    "SINGLE REDUCE CG": "cg_single_reduce",
+    "PSEUDOBLOCK STOCHASTIC CG": "cg",
+    "PIPELINED CG": "cg_pipeline",
+    "GMRES": "gmres",
+    "PSEUDOBLOCK GMRES": "gmres",
+    "PSEUDO BLOCK GMRES": "gmres",
+    "BLOCK GMRES": "block_gmres",
+    "FLEXIBLE GMRES": "fgmres",
+    "BICGSTAB": "bicgstab",
+    "MINRES": "minres",
+    "TFQMR": "tfqmr",
+    "PSEUDOBLOCK TFQMR": "tfqmr",
+    "LSQR": "lsqr",
+    "FIXED POINT": "fixed_point",
+}
+
+_SPECS = {
+    "Convergence Tolerance": Param("Convergence Tolerance", 1e-8),
+    "Maximum Iterations": Param("Maximum Iterations", 1000),
+    "Num Blocks": Param("Num Blocks", 30),
+    "Maximum Restarts": Param("Maximum Restarts", 20),
+    "Block Size": Param("Block Size", 1),
+    "Orthogonalization": Param("Orthogonalization", "ICGS",
+                               choices=("DGKS", "ICGS", "IMGS", "CGS2",
+                                        "MGS1")),
+    "Verbosity": Param("Verbosity", int(MsgType.ERRORS)),
+    "Damping": Param("Damping", 0.0),
+    "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
+}
+
+
+def solver_names() -> tuple[str, ...]:
+    return tuple(sorted(ALIASES))
+
+
+class SolverManager:
+    """Parameter-driven wrapper around one Krylov driver."""
+
+    def __init__(self, name: str, params: ParameterList | dict | None = None,
+                 comm: Comm | None = None):
+        key = name.strip().upper()
+        if key not in ALIASES:
+            raise ValueError(
+                f"unknown solver {name!r}; valid: {solver_names()}")
+        self.name = name
+        self.kind = ALIASES[key]
+        self.params = make_params(params)
+        self.params.validate(_SPECS, strict=False)
+        self.comm = comm or SerialComm()
+        self.output = OutputManager(self.params["Verbosity"])
+
+    def solve(self, problem: LinearProblem) -> SolveResult:
+        problem.set_problem()
+        p = self.params
+        rtol = float(p["Convergence Tolerance"])
+        maxiter = int(p["Maximum Iterations"])
+        common = dict(rtol=rtol, comm=self.comm)
+        op = problem.op
+        b = problem.b
+        x0 = problem.x0
+        ortho = str(p["Orthogonalization"])
+        if self.kind == "cg":
+            res = cg(op, b, x0, prec=problem.left_prec
+                     or problem.right_prec, maxiter=maxiter, **common)
+        elif self.kind == "cg_single_reduce":
+            res = cg_single_reduce(op, b, x0, prec=problem.left_prec
+                                   or problem.right_prec, maxiter=maxiter,
+                                   **common)
+        elif self.kind == "cg_pipeline":
+            res = cg_pipeline(op, b, x0, prec=problem.left_prec
+                              or problem.right_prec, maxiter=maxiter,
+                              **common)
+        elif self.kind in ("gmres", "fgmres"):
+            fn = fgmres if self.kind == "fgmres" else gmres
+            res = fn(op, b, x0, prec=problem.right_prec or problem.left_prec,
+                     restart=int(p["Num Blocks"]), maxiter=maxiter,
+                     ortho=ortho, **common)
+        elif self.kind == "block_gmres":
+            bb = b[:, None] if b.ndim == 1 else b
+            xx = x0[:, None] if (x0 is not None and x0.ndim == 1) else x0
+            res = block_gmres(op, bb, xx,
+                              prec=problem.right_prec or problem.left_prec,
+                              num_blocks=int(p["Num Blocks"]),
+                              max_restarts=int(p["Maximum Restarts"]),
+                              ortho=ortho, **common)
+            if b.ndim == 1:
+                res = SolveResult(x=res.x[:, 0], iters=res.iters,
+                                  resnorm=res.resnorm[0],
+                                  converged=res.converged[0])
+        elif self.kind == "bicgstab":
+            res = bicgstab(op, b, x0, prec=problem.right_prec
+                           or problem.left_prec, maxiter=maxiter, **common)
+        elif self.kind == "minres":
+            res = minres(op, b, x0, prec=problem.left_prec
+                         or problem.right_prec, maxiter=maxiter, **common)
+        elif self.kind == "tfqmr":
+            res = tfqmr(op, b, x0, prec=problem.right_prec
+                        or problem.left_prec, maxiter=maxiter, **common)
+        elif self.kind == "lsqr":
+            op_t = getattr(problem, "op_t", None)
+            if op_t is None:
+                raise ValueError("LSQR needs problem.op_t (transpose apply)")
+            res = lsqr(op, op_t, b, x0, maxiter=maxiter,
+                       damp=float(p["Damping"]), **common)
+        elif self.kind == "fixed_point":
+            res = fixed_point(op, b, x0, prec=problem.left_prec
+                              or problem.right_prec, maxiter=maxiter,
+                              omega=float(p["Fixed Point Omega"]), **common)
+        else:  # pragma: no cover
+            raise AssertionError(self.kind)
+        self.output.print(
+            MsgType.FINAL_SUMMARY,
+            f"[{self.name}] iters={int(res.iters)} "
+            f"resnorm={float(jnp.max(res.resnorm)):.3e} "
+            f"converged={bool(jnp.all(res.converged))}")
+        return res
+
+
+def create_solver(name: str, params=None, comm: Comm | None = None
+                  ) -> SolverManager:
+    return SolverManager(name, params, comm)
+
+
+def build(params: ParameterList | dict, a_csr=None, comm: Comm | None = None):
+    """Stratimikos-style one-stop builder
+    (packages/stratimikos/src/Stratimikos_DefaultLinearSolverBuilder.hpp):
+    one ParameterList selects solver AND preconditioner.
+
+    Layout:
+        {"Linear Solver Type": "GMRES",
+         "Solver Types": {"GMRES": {...solver params...}},
+         "Preconditioner Type": "CHEBYSHEV",
+         "Preconditioner Types": {"CHEBYSHEV": {...prec params...}}}
+
+    Returns (solver_manager, preconditioner_or_None). ``a_csr`` is needed
+    when a preconditioner is requested.
+    """
+    p = make_params(params)
+    sname = p.get("Linear Solver Type", "CG")
+    sparams = p.sublist("Solver Types").sublist(sname)
+    mgr = SolverManager(sname, sparams, comm)
+    pname = p.get("Preconditioner Type", "None")
+    prec = None
+    if pname and pname != "None":
+        from .. import precond as _precond
+
+        if a_csr is None:
+            raise ValueError("preconditioner requested but no matrix given")
+        pparams = p.sublist("Preconditioner Types").sublist(pname)
+        prec = _precond.create(pname, a_csr, pparams).compute()
+    return mgr, prec
