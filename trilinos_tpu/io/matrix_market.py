@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import os
 
 import numpy as np
 
@@ -31,7 +32,26 @@ def _open(path_or_file, mode="rt"):
 
 
 def read_sparse(path_or_file) -> CsrHost:
-    """Read a MatrixMarket file into a host CSR matrix."""
+    """Read a MatrixMarket file into a host CSR matrix.
+
+    Fast path: the native C++ parser (trilinos_tpu.native) for coordinate
+    files given by path; falls back to the pure-Python parser for file
+    objects, array format, or when the native lib is unavailable."""
+    if isinstance(path_or_file, (str, bytes, os.PathLike)):
+        from ..native import read_mm_native
+
+        got = read_mm_native(str(path_or_file))
+        if got is not None:
+            rows, cols, vals, shape, symm = got
+            if symm in (1, 2):
+                off = rows != cols
+                sgn = -1.0 if symm == 2 else 1.0
+                rows2 = np.concatenate([rows, cols[off]])
+                cols2 = np.concatenate([cols, rows[off]])
+                vals2 = np.concatenate([vals, sgn * vals[off]])
+                rows, cols, vals = rows2, cols2, vals2
+            return CsrHost.from_coo(rows, cols, vals, shape,
+                                    sum_duplicates=True)
     f, should_close = _open(path_or_file)
     try:
         header = f.readline()

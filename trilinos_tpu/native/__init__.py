@@ -1,0 +1,158 @@
+"""Native (C++) host kernels, loaded via ctypes.
+
+Built on demand with g++ (no pybind11 dependency); every consumer has a
+pure-Python fallback, so the framework works without a toolchain — the
+native path just makes setup (I/O parsing, ILU factorization, SpGEMM)
+C++-fast, matching the reference's all-C++ host runtime.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "tt_native.cpp")
+_SO = os.path.join(_HERE, "build", "libtt_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            if not _build():
+                return None
+        try:
+            l = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        l.tt_read_mm_header.restype = ctypes.c_int
+        l.tt_read_mm_header.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
+            ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(i64)]
+        l.tt_read_mm.restype = i64
+        l.tt_read_mm.argtypes = [
+            ctypes.c_char_p, i64, i64, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.float64)]
+        l.tt_ilu0.restype = i64
+        l.tt_ilu0.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64)]
+        l.tt_spgemm_count.restype = None
+        l.tt_spgemm_count.argtypes = [
+            i64, i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int64)]
+        l.tt_spgemm_fill.restype = None
+        l.tt_spgemm_fill.argtypes = [
+            i64, i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64)]
+        _lib = l
+        return _lib
+
+
+# ---------------------------------------------------------------------------
+# python-facing wrappers (None / raise → caller falls back to pure Python)
+# ---------------------------------------------------------------------------
+
+
+def read_mm_native(path: str):
+    """Parse a MatrixMarket coordinate file. Returns (rows, cols, vals,
+    shape, symm) or None when the native lib is unavailable / format
+    unsupported (array format, gz)."""
+    l = lib()
+    if l is None or str(path).endswith(".gz"):
+        return None
+    i64 = ctypes.c_int64
+    m = i64()
+    n = i64()
+    nnz = i64()
+    symm = ctypes.c_int()
+    pattern = ctypes.c_int()
+    pos = i64()
+    rc = l.tt_read_mm_header(str(path).encode(), m, n, nnz, symm, pattern,
+                             pos)
+    if rc != 0:
+        return None
+    rows = np.empty(nnz.value, np.int64)
+    cols = np.empty(nnz.value, np.int64)
+    vals = np.empty(nnz.value, np.float64)
+    got = l.tt_read_mm(str(path).encode(), pos.value, nnz.value,
+                       pattern.value, rows, cols, vals)
+    if got != nnz.value:
+        return None
+    return rows, cols, vals, (m.value, n.value), symm.value
+
+
+def ilu0_native(n: int, row_ptr: np.ndarray, cols: np.ndarray,
+                vals: np.ndarray):
+    """In-place ILU(0) on sorted CSR arrays; returns factored vals or None."""
+    l = lib()
+    if l is None:
+        return None
+    v = np.ascontiguousarray(vals, dtype=np.float64).copy()
+    l.tt_ilu0(n, np.ascontiguousarray(row_ptr, np.int64),
+              np.ascontiguousarray(cols, np.int32), v)
+    return v
+
+
+def spgemm_native(a, b):
+    """C = A @ B on CsrHost operands via the native kernel, or None."""
+    l = lib()
+    if l is None:
+        return None
+    from ..ops.formats import CsrHost
+
+    m, k = a.shape
+    k2, n = b.shape
+    a_ptr = np.ascontiguousarray(a.row_ptr, np.int64)
+    a_cols = np.ascontiguousarray(a.cols, np.int32)
+    a_vals = np.ascontiguousarray(a.vals, np.float64)
+    b_ptr = np.ascontiguousarray(b.row_ptr, np.int64)
+    b_cols = np.ascontiguousarray(b.cols, np.int32)
+    b_vals = np.ascontiguousarray(b.vals, np.float64)
+    counts = np.zeros(m, np.int64)
+    l.tt_spgemm_count(m, n, a_ptr, a_cols, b_ptr, b_cols, counts)
+    c_ptr = np.zeros(m + 1, np.int64)
+    np.cumsum(counts, out=c_ptr[1:])
+    c_cols = np.empty(int(c_ptr[-1]), np.int32)
+    c_vals = np.empty(int(c_ptr[-1]), np.float64)
+    l.tt_spgemm_fill(m, n, a_ptr, a_cols, a_vals, b_ptr, b_cols, b_vals,
+                     c_ptr, c_cols, c_vals)
+    return CsrHost(c_ptr, c_cols, c_vals, (m, n))

@@ -22,6 +22,11 @@ def spgemm(a: CsrHost, b: CsrHost) -> CsrHost:
     """C = A @ B (duplicate products summed)."""
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+    from ..native import spgemm_native
+
+    c = spgemm_native(a, b)
+    if c is not None:
+        return c
     a_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
                        a.row_lengths())
     b_row_len = np.diff(b.row_ptr)

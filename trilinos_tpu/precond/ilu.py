@@ -39,8 +39,33 @@ _SPECS = {
 
 
 def ilu0_factor(a: CsrHost) -> tuple[CsrHost, CsrHost]:
-    """Classic IKJ ILU(0): returns (L unit-lower incl. diag=1, U upper)."""
+    """Classic IKJ ILU(0): returns (L unit-lower incl. diag=1, U upper).
+
+    Fast path: the native C++ kernel (trilinos_tpu.native.ilu0_native);
+    pure-Python fallback below."""
+    from ..native import ilu0_native
+
     n = a.shape[0]
+    # the native kernel requires column-sorted rows (CsrHost.from_coo
+    # guarantees this; verify cheaply before trusting it)
+    rows_rep_chk = np.repeat(np.arange(n), a.row_lengths())
+    keys = rows_rep_chk.astype(np.int64) * (a.shape[1] + 1) + a.cols
+    sorted_ok = bool(np.all(np.diff(keys) > 0)) if len(keys) else True
+    fv = ilu0_native(n, a.row_ptr, a.cols, a.vals) if sorted_ok else None
+    if fv is not None:
+        rows_rep = np.repeat(np.arange(n), a.row_lengths())
+        lower = a.cols < rows_rep
+        upper = ~lower
+        diag_rows = np.arange(n)
+        l_m = CsrHost.from_coo(
+            np.concatenate([rows_rep[lower], diag_rows]),
+            np.concatenate([a.cols[lower].astype(np.int64), diag_rows]),
+            np.concatenate([fv[lower], np.ones(n)]), a.shape,
+            sum_duplicates=False)
+        u_m = CsrHost.from_coo(rows_rep[upper],
+                               a.cols[upper].astype(np.int64), fv[upper],
+                               a.shape, sum_duplicates=False)
+        return l_m, u_m
     # copy values into a row-indexed dict-of-rows for the sequential sweep
     row_cols = []
     row_vals = []
