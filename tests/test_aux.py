@@ -1,0 +1,162 @@
+"""Schwarz, Komplex, partitioning, FE-assembly tests."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace2d, recirc2d
+from trilinos_tpu.ops import fe, formats as F, komplex
+import trilinos_tpu.ops.matvec as S
+from trilinos_tpu.parallel import partition as P
+from trilinos_tpu import precond
+from trilinos_tpu.solvers import cg, gmres
+
+
+class TestAdditiveSchwarz:
+    def test_accelerates_gmres(self):
+        a = laplace2d(16, 16)
+        dev = F.csr_to_dia(a)
+        n, npad = 256, dev.n_rows_pad
+        b = np.zeros(npad)
+        b[:n] = np.random.default_rng(0).standard_normal(n)
+        op = lambda x: S.spmv(dev, x, impl="xla")
+        plain = gmres(op, jnp.asarray(b), restart=30, rtol=1e-9, maxiter=2000)
+        m = precond.AdditiveSchwarz(
+            a, {"schwarz: num subdomains": 4,
+                "schwarz: overlap level": 1}).compute()
+        accel = gmres(op, jnp.asarray(b), prec=m, restart=30, rtol=1e-9,
+                      maxiter=2000)
+        x = np.asarray(accel.x)[:n]
+        rel = np.linalg.norm(b[:n] - a.to_dense() @ x) / np.linalg.norm(b[:n])
+        assert rel <= 1.1e-9
+        assert int(accel.iters) < int(plain.iters)
+
+    def test_single_subdomain_is_direct(self):
+        a = laplace2d(6, 6)
+        m = precond.AdditiveSchwarz(a, {"schwarz: num subdomains": 1,
+                                        "schwarz: overlap level": 0}).compute()
+        r = np.zeros(40)
+        r[:36] = np.random.default_rng(1).standard_normal(36)
+        x = np.asarray(m(jnp.asarray(r)))[:36]
+        np.testing.assert_allclose(x, np.linalg.solve(a.to_dense(), r[:36]),
+                                   rtol=1e-10)
+
+    @pytest.mark.parametrize("mode", ["add", "restricted"])
+    def test_combine_modes(self, mode):
+        a = laplace2d(8, 8)
+        m = precond.AdditiveSchwarz(
+            a, {"schwarz: num subdomains": 2, "schwarz: overlap level": 1,
+                "schwarz: combine mode": mode}).compute()
+        r = np.zeros(64)
+        r[:64] = np.random.default_rng(2).standard_normal(64)
+        y = np.asarray(m(jnp.asarray(r)))
+        assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+    def test_factory(self):
+        a = laplace2d(4, 4)
+        assert isinstance(precond.create("SCHWARZ", a),
+                          precond.AdditiveSchwarz)
+
+
+class TestKomplex:
+    def test_real_form_matches_complex_solve(self):
+        rng = np.random.default_rng(0)
+        n = 24
+        az = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+              + 8 * np.eye(n))
+        bz = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        a_real = komplex.complex_matrix_to_real(az)
+        assert a_real.shape == (2 * n, 2 * n)
+        dev = F.csr_to_ell(a_real)
+        npad = dev.n_rows_pad
+        b_real = np.zeros(npad)
+        br = np.asarray(komplex.complex_vec_to_real(bz))
+        b_real[: 2 * n] = br
+        res = gmres(lambda x: S.spmv(dev, x, impl="xla"),
+                    jnp.asarray(b_real), restart=50, rtol=1e-11,
+                    maxiter=4000)
+        z = komplex.real_vec_to_complex(np.asarray(res.x), n)
+        want = np.linalg.solve(az, bz)
+        np.testing.assert_allclose(z, want, rtol=1e-6, atol=1e-8)
+
+
+class TestPartition:
+    def test_rcb_balanced(self, rng):
+        coords = rng.standard_normal((1000, 2))
+        part = P.partition_rcb(coords, 8)
+        q = np.bincount(part)
+        assert len(q) == 8
+        assert q.max() - q.min() <= 2
+
+    def test_rcb_uneven_parts(self, rng):
+        coords = rng.standard_normal((100, 3))
+        part = P.partition_rcb(coords, 3)
+        assert set(np.unique(part)) == {0, 1, 2}
+
+    def test_greedy_graph_covers(self):
+        a = laplace2d(12, 12)
+        part = P.partition_greedy_graph(a, 4)
+        assert (part >= 0).all()
+        q = P.partition_quality(a, part)
+        assert q["imbalance"] < 1.5
+
+    def test_permute_round_trip(self, rng):
+        a = laplace2d(6, 7)
+        perm = rng.permutation(42)
+        b = P.permute_csr(a, perm)
+        # B[inv[i], inv[j]] = A[i, j]
+        inv = np.empty(42, dtype=np.int64)
+        inv[perm] = np.arange(42)
+        np.testing.assert_allclose(b.to_dense()[np.ix_(inv, inv)],
+                                   a.to_dense())
+
+    def test_partition_then_distribute(self, rng):
+        """Full Zoltan-style pipeline: partition by RCB on grid coords,
+        permute, distribute contiguously, check SpMV."""
+        import jax.numpy as jnp
+
+        from trilinos_tpu.parallel import distmatrix as D, driver as drv
+
+        nx, ny = 8, 8
+        a = laplace2d(nx, ny)
+        coords = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                      indexing="xy"), axis=-1).reshape(-1, 2)
+        part = P.partition_rcb(coords, 4)
+        perm = P.partition_to_permutation(part)
+        b = P.permute_csr(a, perm)
+        dm = D.distribute(b, 4)
+        mesh = drv.make_mesh(4)
+        x = rng.standard_normal(64)
+        xp = jnp.asarray(dm.row_map.to_padded(x))
+        y = drv.dist_spmv(dm, xp, mesh)
+        np.testing.assert_allclose(dm.row_map.from_padded(np.asarray(y)),
+                                   b.to_dense() @ x, rtol=1e-12)
+
+
+class TestFeAssembly:
+    def test_1d_bar_assembly(self):
+        # 1-D bar elements: K_e = [[1,-1],[-1,1]] chain -> Laplace1D Neumann
+        ne = 10
+        connect = np.stack([np.arange(ne), np.arange(1, ne + 1)], axis=1)
+        ke = np.array([[1.0, -1.0], [-1.0, 1.0]])
+        mats = np.tile(ke, (ne, 1, 1))
+        a = fe.fe_assemble(connect, mats, ne + 1)
+        d = a.to_dense()
+        assert d[0, 0] == 1 and d[5, 5] == 2 and d[5, 6] == -1
+
+    def test_matrix_free_apply_matches_assembled(self, rng):
+        ne, k, n = 30, 4, 25
+        connect = rng.integers(0, n, (ne, k))
+        mats = rng.standard_normal((ne, k, k))
+        a = fe.fe_assemble(connect, mats, n)
+        x = rng.standard_normal(n)
+        y = fe.fe_apply_local(jnp.asarray(connect), jnp.asarray(mats),
+                              jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), a.to_dense() @ x,
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_vector_assembly(self):
+        connect = np.array([[0, 1], [1, 2]])
+        vecs = np.array([[1.0, 2.0], [3.0, 4.0]])
+        out = fe.fe_assemble_vector(connect, vecs, 3)
+        np.testing.assert_allclose(out, [1.0, 5.0, 4.0])

@@ -4,6 +4,7 @@ from .chebyshev import Chebyshev
 from .ilu import Ilu0, ilu0_factor
 from .jacobi import BlockJacobi, Relaxation
 from .poly import GmresPoly
+from .schwarz import AdditiveSchwarz
 
 __all__ = [
     "Preconditioner",
@@ -15,4 +16,5 @@ __all__ = [
     "Relaxation",
     "GmresPoly",
     "SaAmg",
+    "AdditiveSchwarz",
 ]

@@ -74,6 +74,7 @@ def create(name: str, a, params: ParameterList | dict | None = None
     from .ilu import Ilu0
     from .jacobi import BlockJacobi, Relaxation
     from .poly import GmresPoly
+    from .schwarz import AdditiveSchwarz
 
     key = name.strip().upper()
     table: dict[str, Any] = {
@@ -87,6 +88,8 @@ def create(name: str, a, params: ParameterList | dict | None = None
         "POLY": GmresPoly,
         "BLOCK RELAXATION": BlockJacobi,
         "BLOCK_JACOBI": BlockJacobi,
+        "SCHWARZ": AdditiveSchwarz,
+        "ADDITIVE SCHWARZ": AdditiveSchwarz,
         "SA-AMG": SaAmg,
         "MUELU": SaAmg,
         "AMG": SaAmg,
