@@ -1,0 +1,58 @@
+"""GCRO-DR recycling tests: deflated restarts + cross-solve recycling.
+
+Mirrors the reference's GCRODR use case — a SEQUENCE of related systems
+where the recycle space cuts iterations on later solves
+(packages/belos/epetra/example/GCRODR/)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace2d, recirc2d
+from trilinos_tpu.ops import formats as F
+import trilinos_tpu.ops.matvec as S
+from trilinos_tpu.solvers.gcrodr import RecycleSpace, gcrodr
+
+
+def make_problem(a_csr, seed=0):
+    dev = F.csr_to_dia(a_csr)
+    n, npad = a_csr.shape[0], dev.n_rows_pad
+    b = np.zeros(npad)
+    b[:n] = np.random.default_rng(seed).standard_normal(n)
+    return (lambda x: S.spmv(dev, x, impl="xla")), jnp.asarray(b), \
+        a_csr.to_dense(), n
+
+
+def test_converges_and_builds_recycle():
+    a = recirc2d(16, 16, diff=1e-2)
+    op, b, dense, n = make_problem(a)
+    res, rec = gcrodr(op, b, num_blocks=25, recycle_dim=6, rtol=1e-8)
+    x = np.asarray(res.x)[:n]
+    rel = np.linalg.norm(b[:n] - dense @ np.asarray(x)) / np.linalg.norm(
+        np.asarray(b)[:n])
+    assert rel <= 1e-7
+    assert rec.size == 6
+
+
+def test_recycling_reduces_cycles_on_second_solve():
+    a = laplace2d(20, 20)
+    op, b, dense, n = make_problem(a, seed=1)
+    res1, rec = gcrodr(op, b, num_blocks=15, recycle_dim=8, rtol=1e-8)
+    # second solve: same operator, new RHS, recycled space
+    _, b2, _, _ = make_problem(a, seed=2)
+    res2_cold, _ = gcrodr(op, b2, num_blocks=15, recycle_dim=8, rtol=1e-8)
+    res2_warm, _ = gcrodr(op, b2, num_blocks=15, recycle_dim=8, rtol=1e-8,
+                          recycle=rec)
+    assert bool(res2_warm.converged)
+    assert int(res2_warm.iters) <= int(res2_cold.iters)
+
+
+def test_recycle_space_invariant():
+    """A U = C and CᵀC = I must hold for the returned space."""
+    a = laplace2d(12, 12)
+    op, b, dense, n = make_problem(a)
+    _, rec = gcrodr(op, b, num_blocks=12, recycle_dim=4, rtol=1e-8)
+    au = np.asarray(op(rec.u))
+    c = np.asarray(rec.c)
+    np.testing.assert_allclose(c.T @ c, np.eye(4), atol=1e-10)
+    np.testing.assert_allclose(au, c @ (c.T @ au), atol=1e-8)

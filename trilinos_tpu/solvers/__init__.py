@@ -6,6 +6,7 @@ from .bicgstab import bicgstab
 from .minres import minres
 from .tfqmr import tfqmr
 from .lsqr import fixed_point, lsqr
+from .gcrodr import RecycleSpace, gcrodr
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
 from . import ortho, status
@@ -25,6 +26,8 @@ __all__ = [
     "tfqmr",
     "lsqr",
     "fixed_point",
+    "gcrodr",
+    "RecycleSpace",
     "LinearProblem",
     "SolverManager",
     "build",

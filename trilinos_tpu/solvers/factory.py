@@ -51,6 +51,8 @@ ALIASES = {
     "PSEUDOBLOCK TFQMR": "tfqmr",
     "LSQR": "lsqr",
     "FIXED POINT": "fixed_point",
+    "GCRODR": "gcrodr",
+    "BLOCK GCRODR": "gcrodr",
 }
 
 _SPECS = {
@@ -64,6 +66,7 @@ _SPECS = {
                                         "MGS1")),
     "Verbosity": Param("Verbosity", int(MsgType.ERRORS)),
     "Damping": Param("Damping", 0.0),
+    "Num Recycled Blocks": Param("Num Recycled Blocks", 8),
     "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
 }
 
@@ -141,6 +144,14 @@ class SolverManager:
                 raise ValueError("LSQR needs problem.op_t (transpose apply)")
             res = lsqr(op, op_t, b, x0, maxiter=maxiter,
                        damp=float(p["Damping"]), **common)
+        elif self.kind == "gcrodr":
+            from .gcrodr import gcrodr
+
+            res, self.recycle_space = gcrodr(
+                op, b, x0, num_blocks=int(p["Num Blocks"]),
+                recycle_dim=int(p["Num Recycled Blocks"]),
+                max_cycles=int(p["Maximum Restarts"]) + 1,
+                recycle=getattr(self, "recycle_space", None), **common)
         elif self.kind == "fixed_point":
             res = fixed_point(op, b, x0, prec=problem.left_prec
                               or problem.right_prec, maxiter=maxiter,
