@@ -137,3 +137,31 @@ class TestStratimikosBuilder:
         mgr, prec = build({"Linear Solver Type": "CG"})
         assert prec is None
         assert mgr.kind == "cg"
+
+
+class TestMvopTester:
+    def test_valid_operator_passes(self):
+        from trilinos_tpu.testing import validate_operator
+
+        a = laplace2d(8, 8)
+        dev = F.csr_to_dia(a)
+        op = lambda x: S.spmv(dev, x, impl="xla")
+        assert validate_operator(op, dev.n_rows_pad, symmetric=True) == []
+
+    def test_nonlinear_operator_caught(self):
+        from trilinos_tpu.testing import validate_operator
+
+        bad = lambda x: x * x
+        assert any("linear" in p for p in validate_operator(bad, 16))
+
+    def test_shape_change_caught(self):
+        from trilinos_tpu.testing import validate_operator
+
+        bad = lambda x: jnp.concatenate([x, x[:1]]) if x.ndim == 1 else x
+        assert any("shape" in p for p in validate_operator(bad, 8))
+
+    def test_comm_contract(self):
+        from trilinos_tpu.parallel import SerialComm
+        from trilinos_tpu.testing import validate_comm
+
+        assert validate_comm(SerialComm()) == []

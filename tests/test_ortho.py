@@ -77,3 +77,22 @@ def test_resolve_method_aliases():
     assert ortho.resolve_method("DGKS") == "DGKS"
     with pytest.raises(ValueError):
         ortho.resolve_method("nope")
+
+
+def test_svqb_orthonormalizes_ill_conditioned(comm, rng):
+    from trilinos_tpu.solvers.ortho import svqb
+
+    w = np.linalg.qr(rng.standard_normal((200, 5)))[0]
+    w = w * (10.0 ** -np.arange(5))  # condition number 1e4
+    q, ok = svqb(comm, jnp.asarray(w))
+    assert float(jnp.abs(q.T @ q - jnp.eye(5)).max()) < 1e-10
+    assert bool(ok.all())
+
+
+def test_svqb_flags_rank_deficiency(comm, rng):
+    from trilinos_tpu.solvers.ortho import svqb
+
+    w = jnp.asarray(rng.standard_normal((100, 3)))
+    w = w.at[:, 2].set(w[:, 0])  # exact dependency
+    q, ok = svqb(comm, w)
+    assert not bool(ok.all())

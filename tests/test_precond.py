@@ -185,3 +185,44 @@ class TestBlockJacobi:
         accel = cg(op, b, prec=m, rtol=1e-8)
         assert rel_res(b, dense, accel.x, n) <= 1.1e-8
         assert int(accel.iters) <= int(plain.iters)
+
+
+class TestMulticolorGS:
+    def test_stencil_is_two_colorable(self):
+        from trilinos_tpu.precond import MulticolorGaussSeidel
+
+        a = laplace2d(10, 10)
+        m = MulticolorGaussSeidel(a)
+        m.initialize()
+        assert m.n_colors == 2  # red-black
+
+    def test_color_classes_independent(self):
+        from trilinos_tpu.precond.multicolor_gs import greedy_color
+
+        a = laplace2d(8, 8)
+        color = greedy_color(a)
+        rows = np.repeat(np.arange(64), a.row_lengths())
+        off = rows != a.cols
+        assert (color[rows[off]] != color[a.cols[off]]).all()
+
+    def test_gs_beats_jacobi_as_smoother(self):
+        from trilinos_tpu import precond
+
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        jac = precond.Relaxation(a, {"relaxation: sweeps": 2,
+                                     "relaxation: damping factor": 0.8}).compute()
+        gs = precond.MulticolorGaussSeidel(
+            a, {"relaxation: sweeps": 1,
+                "relaxation: symmetric": True}).compute()
+        r_j = cg(op, b, prec=jac, rtol=1e-9, maxiter=2000)
+        r_g = cg(op, b, prec=gs, rtol=1e-9, maxiter=2000)
+        assert rel_res(b, dense, r_g.x, n) <= 1.1e-9
+        assert int(r_g.iters) <= int(r_j.iters)
+
+    def test_factory(self):
+        from trilinos_tpu import precond
+
+        a = laplace2d(4, 4)
+        assert isinstance(precond.create("MT GAUSS-SEIDEL", a),
+                          precond.MulticolorGaussSeidel)

@@ -35,6 +35,11 @@ AXIS = "rows"
 def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested {n} mesh devices but only {len(devs)} available "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            f"before importing jax for a virtual CPU mesh)")
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -2,8 +2,10 @@ from .amg import SaAmg
 from .base import Preconditioner, create
 from .chebyshev import Chebyshev
 from .ilu import Ilu0, ilu0_factor
+from .ilut import Ilut, ilut_factor
 from .jacobi import BlockJacobi, Relaxation
 from .poly import GmresPoly
+from .multicolor_gs import MulticolorGaussSeidel
 from .schwarz import AdditiveSchwarz
 
 __all__ = [
@@ -12,9 +14,12 @@ __all__ = [
     "Chebyshev",
     "Ilu0",
     "ilu0_factor",
+    "Ilut",
+    "ilut_factor",
     "BlockJacobi",
     "Relaxation",
     "GmresPoly",
     "SaAmg",
     "AdditiveSchwarz",
+    "MulticolorGaussSeidel",
 ]

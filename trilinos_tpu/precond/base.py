@@ -72,7 +72,9 @@ def create(name: str, a, params: ParameterList | dict | None = None
     from .amg import SaAmg
     from .chebyshev import Chebyshev
     from .ilu import Ilu0
+    from .ilut import Ilut
     from .jacobi import BlockJacobi, Relaxation
+    from .multicolor_gs import MulticolorGaussSeidel
     from .poly import GmresPoly
     from .schwarz import AdditiveSchwarz
 
@@ -84,10 +86,13 @@ def create(name: str, a, params: ParameterList | dict | None = None
         "RILUK": Ilu0,
         "ILU": Ilu0,
         "ILU(0)": Ilu0,
+        "ILUT": Ilut,
         "GMRESPOLY": GmresPoly,
         "POLY": GmresPoly,
         "BLOCK RELAXATION": BlockJacobi,
         "BLOCK_JACOBI": BlockJacobi,
+        "MT GAUSS-SEIDEL": MulticolorGaussSeidel,
+        "GAUSS-SEIDEL": MulticolorGaussSeidel,
         "SCHWARZ": AdditiveSchwarz,
         "ADDITIVE SCHWARZ": AdditiveSchwarz,
         "SA-AMG": SaAmg,

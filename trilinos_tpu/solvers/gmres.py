@@ -133,7 +133,10 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     # one cycle always runs; then restart while needed
     x, total, res = cycle(x0, 0)
     x, total, res = lax.while_loop(outer_cond, outer_body, (x, total, res))
-    return x, total, res, res <= tol
+    # explicit-residual cross-check (the ImpResNorm "loss of accuracy"
+    # guard, BelosStatusTestImpResNorm.hpp:47-88): report the TRUE residual
+    res_true = norm2(comm, b - op(x))
+    return x, total, res_true, res_true <= tol
 
 
 def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,

@@ -117,6 +117,24 @@ def cholqr2(comm: Comm, w: jax.Array):
     return q2, r2 @ r1, jnp.logical_and(ok1, ok2)
 
 
+def svqb(comm: Comm, w: jax.Array):
+    """SVQB orthonormalization (Stathopoulos/Wu): G = wᵀw, G = U Λ Uᵀ,
+    Q = w U Λ^(−1/2) — the Anasazi SVQB manager
+    (packages/anasazi/src/AnasaziSVQBOrthoManager.hpp). More robust than
+    CholQR for nearly-dependent blocks; one psum + one small eigh."""
+    g = comm.psum(jnp.einsum("nk,nm->km", w, w, preferred_element_type=w.dtype))
+    eps = jnp.finfo(w.dtype).eps
+    # scale to unit diagonal first (the SVQB trick)
+    d = jnp.sqrt(jnp.maximum(jnp.diag(g), eps))
+    dinv = 1.0 / d
+    g_s = g * dinv[:, None] * dinv[None, :]
+    lam, u = jnp.linalg.eigh((g_s + g_s.T) / 2)
+    lam_floor = jnp.maximum(lam, 10 * eps * jnp.max(lam))
+    rank_ok = lam > 10 * eps * jnp.max(lam)
+    q = (w * dinv[None, :]) @ (u * (1.0 / jnp.sqrt(lam_floor))[None, :])
+    return q, rank_ok
+
+
 def project_and_normalize(comm: Comm, v: jax.Array, w: jax.Array,
                           method: str = "CGS2"):
     """Full Belos-style projectAndNormalize: orthogonalize block w against

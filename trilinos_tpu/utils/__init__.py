@@ -1,7 +1,9 @@
 from .params import Param, ParameterList, make_params
 from .timers import GLOBAL_TIMERS, TimerRegistry, profiling_region
 from .output import MsgType, OutputManager
-from . import behavior
+from . import behavior, checkpoint, perf_archive, xml_params
+from .perf_archive import PerfArchive
+from .xml_params import read_xml, write_xml
 
 __all__ = [
     "Param",
@@ -13,4 +15,10 @@ __all__ = [
     "MsgType",
     "OutputManager",
     "behavior",
+    "checkpoint",
+    "perf_archive",
+    "xml_params",
+    "PerfArchive",
+    "read_xml",
+    "write_xml",
 ]
