@@ -166,3 +166,24 @@ class TestPlanInternals:
         y = drv.dist_spmv(dm, xp, mesh)
         np.testing.assert_allclose(dm.row_map.from_padded(np.asarray(y)),
                                    a.to_dense() @ x, rtol=1e-12)
+
+
+class TestDistIlu:
+    def test_gmres_with_dist_ilu0(self, rng):
+        from trilinos_tpu.galeri import recirc2d
+
+        a = recirc2d(16, 16, diff=1e-2)
+        n = a.shape[0]
+        b = rng.standard_normal(n)
+        dm = D.distribute(a, 4)
+        mesh = drv.make_mesh(4)
+        bg = jnp.asarray(dm.row_map.to_padded(b))
+        plain = drv.dist_solve(gmres, dm, bg, mesh=mesh, restart=40,
+                               rtol=1e-8, maxiter=3000)
+        prec = drv.dist_ilu0(a, dm.row_map, sweeps=10)
+        res = drv.dist_solve(gmres, dm, bg, mesh=mesh, prec=prec,
+                             restart=40, rtol=1e-8, maxiter=3000)
+        x = dm.row_map.from_padded(np.asarray(res.x))
+        rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
+        assert rel <= 1e-6
+        assert int(res.iters) < int(plain.iters)

@@ -160,3 +160,35 @@ class TestTfqmr:
         op, b, dense, n = make_problem(a)
         res = tfqmr(op, b, rtol=1e-9, maxiter=3000)
         assert true_rel_res(b, dense, res.x, n) <= 1e-6
+
+
+class TestSstepGmres:
+    @pytest.mark.parametrize("s", [2, 4])
+    def test_matches_gmres_quality(self, s):
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        res = sstep_gmres(op, b, s=s, t_blocks=30 // s, max_restarts=30,
+                          rtol=1e-8)
+        assert true_rel_res(b, dense, res.x, n) <= 1e-7
+        assert bool(res.converged)
+
+    def test_nonsymmetric(self):
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        a = recirc2d(14, 14, diff=1e-2)
+        op, b, dense, n = make_problem(a)
+        res = sstep_gmres(op, b, s=4, t_blocks=10, max_restarts=40,
+                          rtol=1e-8)
+        assert true_rel_res(b, dense, res.x, n) <= 1e-6
+
+    def test_with_prec(self):
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        a = laplace2d(14, 14)
+        op, b, dense, n = make_problem(a)
+        dinv = np.ones(b.shape[0]) * 0.25
+        res = sstep_gmres(op, b, s=3, t_blocks=8, max_restarts=20,
+                          prec=lambda v: jnp.asarray(dinv) * v, rtol=1e-8)
+        assert true_rel_res(b, dense, res.x, n) <= 1e-7

@@ -7,6 +7,7 @@ from .minres import minres
 from .tfqmr import tfqmr
 from .lsqr import fixed_point, lsqr
 from .gcrodr import RecycleSpace, gcrodr
+from .sstep_gmres import sstep_gmres
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
 from . import ortho, status
@@ -28,6 +29,7 @@ __all__ = [
     "fixed_point",
     "gcrodr",
     "RecycleSpace",
+    "sstep_gmres",
     "LinearProblem",
     "SolverManager",
     "build",

@@ -52,6 +52,8 @@ ALIASES = {
     "LSQR": "lsqr",
     "FIXED POINT": "fixed_point",
     "GCRODR": "gcrodr",
+    "S-STEP GMRES": "sstep",
+    "CA-GMRES": "sstep",
     "BLOCK GCRODR": "gcrodr",
 }
 
@@ -67,6 +69,7 @@ _SPECS = {
     "Verbosity": Param("Verbosity", int(MsgType.ERRORS)),
     "Damping": Param("Damping", 0.0),
     "Num Recycled Blocks": Param("Num Recycled Blocks", 8),
+    "Step Size": Param("Step Size", 4),
     "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
 }
 
@@ -144,6 +147,15 @@ class SolverManager:
                 raise ValueError("LSQR needs problem.op_t (transpose apply)")
             res = lsqr(op, op_t, b, x0, maxiter=maxiter,
                        damp=float(p["Damping"]), **common)
+        elif self.kind == "sstep":
+            from .sstep_gmres import sstep_gmres
+
+            sstep = int(p["Step Size"])
+            res = sstep_gmres(
+                op, b, x0, s=sstep,
+                t_blocks=max(int(p["Num Blocks"]) // sstep, 1),
+                max_restarts=int(p["Maximum Restarts"]),
+                prec=problem.right_prec or problem.left_prec, **common)
         elif self.kind == "gcrodr":
             from .gcrodr import gcrodr
 

@@ -1,0 +1,124 @@
+"""s-step (communication-avoiding) GMRES.
+
+TPU-native analogue of the reference's native Tpetra s-step GMRES
+(packages/belos/tpetra/src/solvers/Belos_Tpetra_GmresSstep.hpp:305 —
+matrix-powers blocks orthogonalized en bloc, cutting the number of global
+reductions per basis vector).
+
+Per block of s basis vectors: s operator applies, ONE CGS2 block
+projection (2 psums) and ONE CholQR2 (2 psums) — 4 reductions per s
+vectors versus ~3 per vector for standard Arnoldi/GMRES. On a pod slice
+where the all-reduce latency rivals the SpMV time, this is the lever the
+reference builds GmresSstep for.
+
+Bookkeeping (monomial basis, σ-scaled for conditioning): each block
+produces W = [w₁..w_s], w_k = (A w_{k-1})/σ with w₀ = q (the last basis
+vector). The relation A·[q w₁..w_{s-1}] = σ·[w₁..w_s] lets both sides be
+expressed in the final orthonormal basis, so GMRES reduces to a small
+least-squares with the assembled coefficient matrices — no per-vector
+Hessenberg updates, no extra reductions.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel.comm import Comm, SerialComm, norm2
+from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
+from .ortho import cgs2_project, cholqr2
+
+
+def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+                s: int = 4, t_blocks: int = 8, max_restarts: int = 20,
+                rtol: float = 1e-8, atol: float = 0.0, sigma: float | None = None,
+                prec: Operator | None = None,
+                comm: Comm | None = None) -> SolveResult:
+    """Restarted s-step GMRES: m = s·t_blocks basis vectors per cycle."""
+    comm = comm or SerialComm()
+    M = prec or identity_prec
+    x = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    m = s * t_blocks
+    dtype = b.dtype
+
+    def opM(v):
+        return op(M(v))
+
+    if sigma is None:
+        # crude ‖A‖ estimate for basis scaling (host-side, few applies)
+        import numpy as np
+
+        v = jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                        dtype=dtype)
+        v = v / norm2(comm, v)
+        for _ in range(3):
+            w = opM(v)
+            sig = norm2(comm, w)
+            v = safe_divide(w, sig)
+        sigma = float(sig)
+        sigma = max(sigma, 1e-30)
+
+    bnorm = norm2(comm, b)
+    tol = rhs_norm_scale(bnorm, rtol, atol)
+
+    def cycle(x):
+        r = b - op(x)
+        beta = norm2(comm, r)
+        v = jnp.zeros((n, m + 1), dtype).at[:, 0].set(safe_divide(r, beta))
+        ex = jnp.zeros((m + 1, m), dtype)  # X (search dirs) in V coords
+        fy = jnp.zeros((m + 1, m), dtype)  # A·X/1 in V coords
+
+        def blk_body(blk, carry):
+            v, ex, fy = carry
+            j0 = blk * s
+            q = lax.dynamic_slice(v, (0, j0), (n, 1))[:, 0]
+
+            # matrix powers W (n, s), scaled by sigma each step
+            def pw(i, carry):
+                w_prev, wmat = carry
+                w = opM(w_prev) * (1.0 / sigma)
+                wmat = lax.dynamic_update_slice(wmat, w[:, None], (0, i))
+                return w, wmat
+
+            _, wmat = lax.fori_loop(0, s, pw, (q, jnp.zeros((n, s), dtype)))
+            # block orthogonalization: W = V C + Q R  (4 reductions total)
+            w2, c_full = cgs2_project(comm, v, wmat)
+            q_new, r_small, _ = cholqr2(comm, w2)
+            v = lax.dynamic_update_slice(v, q_new, (0, j0 + 1))
+            # global coords of w^{(k)}: C[:,k] + R[:,k] at slots j0+1..j0+s
+            g = c_full  # (m+1, s)
+            blkpart = lax.dynamic_slice(g, (j0 + 1, 0), (s, s))
+            g = lax.dynamic_update_slice(g, blkpart + r_small, (j0 + 1, 0))
+            # X columns j0..j0+s-1: [e_{j0}, g_1..g_{s-1}]
+            e_col = jnp.zeros((m + 1, 1), dtype).at[j0, 0].set(1.0)
+            x_blk = jnp.concatenate([e_col, g[:, : s - 1]], axis=1)
+            ex = lax.dynamic_update_slice(ex, x_blk, (0, j0))
+            # Y columns: A X = sigma * [g_1 .. g_s]
+            fy = lax.dynamic_update_slice(fy, sigma * g, (0, j0))
+            return v, ex, fy
+
+        v, ex, fy = lax.fori_loop(0, t_blocks, blk_body, (v, ex, fy))
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        q_h, r_h = jnp.linalg.qr(fy)
+        y = jax.scipy.linalg.solve_triangular(r_h, q_h.T @ e1, lower=False)
+        x = x + M(v @ (ex @ y))
+        return x
+
+    def res_norm(x):
+        return norm2(comm, b - op(x))
+
+    def cond(st):
+        x, k, rn = st
+        return jnp.logical_and(k < max_restarts + 1, rn > tol)
+
+    def body(st):
+        x, k, _ = st
+        x = cycle(x)
+        return x, k + 1, res_norm(x)
+
+    x, cycles, rn = lax.while_loop(cond, body, (x, 0, res_norm(x)))
+    return SolveResult(x=x, iters=cycles * m, resnorm=rn,
+                       converged=rn <= tol)
