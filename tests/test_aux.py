@@ -160,3 +160,66 @@ class TestFeAssembly:
         vecs = np.array([[1.0, 2.0], [3.0, 4.0]])
         out = fe.fe_assemble_vector(connect, vecs, 3)
         np.testing.assert_allclose(out, [1.0, 5.0, 4.0])
+
+
+class TestBlock2x2:
+    """Teko-style 2x2 block preconditioning on a saddle-ish system."""
+
+    def _blocked_problem(self, rng):
+        from trilinos_tpu.precond.block_2x2 import BlockedOperator2x2
+
+        n0, n1 = 48, 32
+        a00d = rng.standard_normal((n0, n0)) * 0.1 + 4 * np.eye(n0)
+        a11d = rng.standard_normal((n1, n1)) * 0.1 + 3 * np.eye(n1)
+        a01d = rng.standard_normal((n0, n1)) * 0.2
+        a10d = rng.standard_normal((n1, n0)) * 0.2
+        A00, A01 = jnp.asarray(a00d), jnp.asarray(a01d)
+        A10, A11 = jnp.asarray(a10d), jnp.asarray(a11d)
+        blk = BlockedOperator2x2(
+            lambda v: A00 @ v, lambda v: A01 @ v,
+            lambda v: A10 @ v, lambda v: A11 @ v, split=n0)
+        dense = np.block([[a00d, a01d], [a10d, a11d]])
+        return blk, dense, n0, n1
+
+    def test_blocked_apply_matches_dense(self, rng):
+        blk, dense, n0, n1 = self._blocked_problem(rng)
+        x = rng.standard_normal(n0 + n1)
+        np.testing.assert_allclose(np.asarray(blk(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10)
+
+    def test_block_gs_beats_block_jacobi(self, rng):
+        from trilinos_tpu.precond import (block_diagonal_prec,
+                                          block_lower_triangular_prec)
+        from trilinos_tpu.solvers import gmres
+
+        blk, dense, n0, n1 = self._blocked_problem(rng)
+        inv00 = jnp.asarray(np.linalg.inv(dense[:n0, :n0]))
+        inv11 = jnp.asarray(np.linalg.inv(dense[n0:, n0:]))
+        bj = block_diagonal_prec(lambda v: inv00 @ v, lambda v: inv11 @ v,
+                                 n0)
+        bgs = block_lower_triangular_prec(
+            lambda v: inv00 @ v, blk.a10, lambda v: inv11 @ v, n0)
+        b = jnp.asarray(rng.standard_normal(n0 + n1))
+        r_j = gmres(blk, b, prec=bj, restart=40, rtol=1e-10, maxiter=400)
+        r_g = gmres(blk, b, prec=bgs, restart=40, rtol=1e-10, maxiter=400)
+        for r in (r_j, r_g):
+            x = np.asarray(r.x)
+            assert (np.linalg.norm(np.asarray(b) - dense @ x)
+                    <= 1e-8 * np.linalg.norm(np.asarray(b)))
+        assert int(r_g.iters) <= int(r_j.iters)
+
+    def test_simple_schur(self, rng):
+        from trilinos_tpu.precond import simple_schur_2x2
+        from trilinos_tpu.solvers import gmres
+
+        blk, dense, n0, n1 = self._blocked_problem(rng)
+        inv00 = jnp.asarray(np.linalg.inv(dense[:n0, :n0]))
+        schur = dense[n0:, n0:] - dense[n0:, :n0] @ np.linalg.inv(
+            dense[:n0, :n0]) @ dense[:n0, n0:]
+        inv_s = jnp.asarray(np.linalg.inv(schur))
+        prec = simple_schur_2x2(lambda v: inv00 @ v, blk.a01, blk.a10,
+                                lambda v: inv_s @ v, n0)
+        b = jnp.asarray(rng.standard_normal(n0 + n1))
+        res = gmres(blk, b, prec=prec, restart=40, rtol=1e-10, maxiter=200)
+        # exact block-LU preconditioner: converges in O(1) iterations
+        assert int(res.iters) <= 5

@@ -1,5 +1,7 @@
 from .amg import SaAmg
 from .base import Preconditioner, create
+from .block_2x2 import (BlockedOperator2x2, block_diagonal_prec,
+                        block_lower_triangular_prec, simple_schur_2x2)
 from .chebyshev import Chebyshev
 from .ilu import Ilu0, ilu0_factor
 from .ilut import Ilut, ilut_factor
@@ -22,4 +24,8 @@ __all__ = [
     "SaAmg",
     "AdditiveSchwarz",
     "MulticolorGaussSeidel",
+    "BlockedOperator2x2",
+    "block_diagonal_prec",
+    "block_lower_triangular_prec",
+    "simple_schur_2x2",
 ]
