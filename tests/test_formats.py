@@ -183,3 +183,53 @@ class TestResidual:
         r = S.residual(d, x, b, impl="xla")
         np.testing.assert_allclose(np.asarray(r)[:64],
                                    b[:64] - a.to_dense() @ x[:64], rtol=1e-12)
+
+
+class TestFemProblems:
+    def test_elasticity2d_spd(self):
+        from trilinos_tpu.galeri import elasticity2d
+
+        a = elasticity2d(5, 4, e_mod=1.0, nu=0.25)
+        assert a.shape == (40, 40)
+        d = a.to_dense()
+        np.testing.assert_allclose(d, d.T, atol=1e-12)
+        w = np.linalg.eigvalsh(d)
+        assert w.min() > 0  # SPD after boundary shift
+
+    def test_elasticity2d_solvable(self):
+        import jax.numpy as jnp
+
+        from trilinos_tpu.galeri import elasticity2d
+        from trilinos_tpu.solvers import cg
+
+        a = elasticity2d(8, 8, e_mod=1.0, nu=0.3)
+        dev = F.csr_to_ell(a)
+        n = a.shape[0]
+        b = np.zeros(dev.n_rows_pad)
+        b[:n] = np.random.default_rng(0).standard_normal(n)
+        res = cg(lambda x: S.spmv(dev, x, impl="xla"), jnp.asarray(b),
+                 rtol=1e-8, maxiter=5000)
+        x = np.asarray(res.x)[:n]
+        rel = (np.linalg.norm(b[:n] - a.to_dense() @ x)
+               / np.linalg.norm(b[:n]))
+        assert rel <= 1.1e-8
+
+    def test_helmholtz_shift(self):
+        from trilinos_tpu.galeri import helmholtz2d
+        from trilinos_tpu.galeri import laplace2d
+
+        h = helmholtz2d(10, 10, k=2.0, h=0.1)
+        l = laplace2d(10, 10)
+        diff = l.to_dense() - h.to_dense()
+        np.testing.assert_allclose(np.diag(diff), 0.04 * np.ones(100),
+                                   rtol=1e-12)
+
+    def test_uniflow_directions(self):
+        from trilinos_tpu.galeri import uniflow2d
+
+        a_e = uniflow2d(8, 8, alpha=0.0, conv=1.0, diff=1e-3)  # flow +x
+        a_n = uniflow2d(8, 8, alpha=np.pi / 2, conv=1.0, diff=1e-3)
+        # different wind -> different matrices, both nonsymmetric
+        assert not np.allclose(a_e.to_dense(), a_n.to_dense())
+        d = a_e.to_dense()
+        assert not np.allclose(d, d.T)

@@ -1,3 +1,4 @@
+from .fem import elasticity2d, helmholtz2d, uniflow2d
 from .stencils import (
     big_star2d,
     brick3d,
@@ -12,6 +13,9 @@ from .stencils import (
 )
 
 __all__ = [
+    "elasticity2d",
+    "helmholtz2d",
+    "uniflow2d",
     "big_star2d",
     "brick3d",
     "create_matrix",

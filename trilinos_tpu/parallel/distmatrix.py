@@ -249,11 +249,13 @@ def _csr_to_dia_fixed(c: CsrHost, offsets, n_rows_pad, dtype):
     """DIA with a prescribed offset set (union across shards)."""
     d = csr_to_dia(c, dtype=dtype, n_rows_pad=n_rows_pad)
     data = np.zeros((len(offsets), n_rows_pad), dtype=dtype)
-    src = np.asarray(d.data)
+    src = np.asarray(d.data_flat)
     for i, o in enumerate(offsets):
         if o in d.offsets:
             data[i] = src[d.offsets.index(o)]
-    return DiaMatrix(data=jnp.asarray(data), offsets=tuple(offsets),
+    from ..ops.formats import _pack_dia_data
+
+    return DiaMatrix(data=_pack_dia_data(data), offsets=tuple(offsets),
                      n_rows=n_rows_pad, n_cols=n_rows_pad, nnz=0)
 
 
