@@ -233,3 +233,23 @@ class TestFemProblems:
         assert not np.allclose(a_e.to_dense(), a_n.to_dense())
         d = a_e.to_dense()
         assert not np.allclose(d, d.T)
+
+
+class TestBf16Storage:
+    def test_bf16_dia_matches_f32(self, rng):
+        """bf16 matrix storage (halves the dominant SpMV stream) with f32
+        compute — the mixed-precision option from the roadmap."""
+        import ml_dtypes
+        import jax.numpy as jnp
+        from trilinos_tpu.galeri import laplace3d
+
+        a = laplace3d(8, 8, 8)
+        d16 = F.csr_to_dia(a, dtype=ml_dtypes.bfloat16)
+        d32 = F.csr_to_dia(a, dtype=np.float32)
+        assert str(d16.dtype) == "bfloat16"
+        x = rng.standard_normal(d32.n_rows_pad).astype(np.float32)
+        y16 = np.asarray(S.spmv(d16, jnp.asarray(x), impl="xla"),
+                         dtype=np.float32)
+        y32 = np.asarray(S.spmv(d32, jnp.asarray(x), impl="xla"))
+        rel = np.abs(y16 - y32).max() / np.abs(y32).max()
+        assert rel < 2e-2

@@ -12,7 +12,7 @@ from .formats import (
 )
 from .matvec import residual, spmm, spmv
 from .matrix_ops import diag_matrix, ptap, rap, spadd, spgemm
-from . import fe, komplex
+from . import fe, filters, komplex
 from . import blas
 
 __all__ = [

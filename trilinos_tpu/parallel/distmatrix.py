@@ -235,9 +235,44 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
             rows_idx=jnp.asarray(rows_idx), cols=jnp.asarray(bcols),
             vals=jnp.asarray(bvals)))
 
-    return DistMatrix(
+    dm = DistMatrix(
         interior=stack_shards(interiors), boundary=stack_shards(boundaries),
         plan=stack_shards(plans), row_map=rmap)
+    from ..utils import behavior
+
+    if behavior.debug():
+        _debug_validate(dm, a, ghosts_of, sends)
+    return dm
+
+
+def _debug_validate(dm: DistMatrix, a: CsrHost, ghosts_of, sends) -> None:
+    """TT_DEBUG invariant checks (the analogue of the reference's
+    debug-mode cross-process consistency checks,
+    Tpetra_Details_Behavior debug() gating e.g.
+    Tpetra_CrsMatrix_def.hpp:5117-5167): validates plan reciprocity,
+    recv-buffer indexing, and boundary column ranges at fillComplete."""
+    rmap = dm.row_map
+    p = rmap.n_shards
+    plan0 = jax.tree_util.tree_map(np.asarray, dm.plan)
+    seg = dm.plan.seg
+    g_pad = dm.plan.n_ghost_pad
+    for s in range(p):
+        g = ghosts_of[s]
+        # reciprocity: every ghost of s is sent by its owner
+        owners = rmap.owner_of(g)
+        for gid, o in zip(g, owners):
+            lid = gid - rmap.shard_lo(int(o))
+            assert lid in set(sends[int(o)][s].tolist()), \
+                f"ghost gid {gid} of shard {s} missing from owner {o}'s send"
+        # recv_sel in range
+        flat_len = (p if dm.plan.mode == "a2a"
+                    else len(dm.plan.offsets)) * seg
+        sel = plan0.recv_sel[s]
+        assert (sel[: len(g)] < flat_len).all(), "recv_sel out of range"
+        # boundary columns within [0, npl + g_pad)
+        bc = np.asarray(dm.boundary.cols)[s]
+        assert (bc < rmap.n_local_pad + g_pad).all(), \
+            "boundary column index beyond ghost space"
 
 
 def _diag_offsets(c: CsrHost):

@@ -7,6 +7,7 @@ from .minres import minres
 from .tfqmr import tfqmr
 from .lsqr import fixed_point, lsqr
 from .gcrodr import RecycleSpace, gcrodr
+from .rcg import CgRecycleSpace, rcg
 from .sstep_gmres import sstep_gmres
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
@@ -30,6 +31,8 @@ __all__ = [
     "gcrodr",
     "RecycleSpace",
     "sstep_gmres",
+    "rcg",
+    "CgRecycleSpace",
     "LinearProblem",
     "SolverManager",
     "build",

@@ -53,6 +53,7 @@ ALIASES = {
     "FIXED POINT": "fixed_point",
     "GCRODR": "gcrodr",
     "S-STEP GMRES": "sstep",
+    "RCG": "rcg",
     "CA-GMRES": "sstep",
     "BLOCK GCRODR": "gcrodr",
 }
@@ -147,6 +148,14 @@ class SolverManager:
                 raise ValueError("LSQR needs problem.op_t (transpose apply)")
             res = lsqr(op, op_t, b, x0, maxiter=maxiter,
                        damp=float(p["Damping"]), **common)
+        elif self.kind == "rcg":
+            from .rcg import rcg
+
+            res, self.cg_recycle_space = rcg(
+                op, b, x0,
+                recycle_dim=int(p["Num Recycled Blocks"]),
+                maxiter=maxiter,
+                recycle=getattr(self, "cg_recycle_space", None), **common)
         elif self.kind == "sstep":
             from .sstep_gmres import sstep_gmres
 

@@ -1,0 +1,103 @@
+"""RCG — recycling conjugate gradients (deflated CG for SPD sequences).
+
+TPU-native analogue of Belos::RCGSolMgr/RCGIter
+(packages/belos/src/BelosRCGSolMgr.hpp, BelosRCGIter.hpp): for a sequence
+of SPD systems with the same (or slowly varying) operator, maintain a
+recycle subspace U spanning the lowest modes; each solve starts with the
+exact solution in span(U) and iterates deflated CG in the A-orthogonal
+complement — the low eigenvalues that throttle CG never re-enter.
+
+Implementation: the recycle space is built from the smallest Ritz vectors
+of a Lanczos run on the first solve (eigen.lanczos_eigs); the deflation
+projector uses the small factor (UᵀAU)⁻¹ (recomputed per recycle set).
+The deflated iteration is standard projected CG — every apply is followed
+by removal of the AU components.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.blas import local_dot
+from ..parallel.comm import Comm, SerialComm
+from .base import Operator, SolveResult, bcast_cols, identity_prec, rhs_norm_scale, safe_divide
+
+
+class CgRecycleSpace:
+    def __init__(self, u=None, au=None, utau_inv=None):
+        self.u = u
+        self.au = au
+        self.utau_inv = utau_inv
+
+    @property
+    def size(self) -> int:
+        return 0 if self.u is None else self.u.shape[1]
+
+
+def _build_recycle(op, comm, v0, k: int):
+    from ..eigen.lanczos import lanczos_eigs
+
+    theta, u = lanczos_eigs(op, v0, nev=k, m=min(4 * k + 20,
+                                                 v0.shape[0] - 1),
+                            which="SA", comm=comm)
+    au = op(u)
+    utau = comm.psum(u.T @ au)
+    utau_inv = jnp.linalg.inv((utau + utau.T) / 2)
+    return CgRecycleSpace(u, au, utau_inv)
+
+
+def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+        recycle_dim: int = 8, rtol: float = 1e-8, atol: float = 0.0,
+        maxiter: int = 1000, comm: Comm | None = None,
+        recycle: CgRecycleSpace | None = None
+        ) -> tuple[SolveResult, CgRecycleSpace]:
+    """Deflated/recycling CG for SPD systems (single RHS). Returns
+    (result, recycle_space); pass the space into the next related solve."""
+    comm = comm or SerialComm()
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    if recycle is None or recycle.u is None:
+        r0 = b - op(x)
+        recycle = _build_recycle(op, comm, r0, recycle_dim)
+    u, au, utau_inv = recycle.u, recycle.au, recycle.utau_inv
+
+    def deflate(v):
+        """A-orthogonal projection against U (Def-CG projector):
+        v ← v − U (UᵀAU)⁻¹ (AU)ᵀ v  — keeps search directions p ⊥_A U."""
+        return v - u @ (utau_inv @ comm.psum(au.T @ v))
+
+    # exact solve in span(U): x += U (UᵀAU)⁻¹ Uᵀ r
+    r = b - op(x)
+    x = x + u @ (utau_inv @ comm.psum(u.T @ r))
+    r = b - op(x)
+    bnorm = jnp.sqrt(comm.psum(local_dot(b, b)))
+    tol = rhs_norm_scale(bnorm, rtol, atol)
+    tol2 = tol * tol
+
+    rr = comm.psum(local_dot(r, r))
+    p = deflate(r)
+
+    def cond(s):
+        x, r, p, rr, k = s
+        return jnp.logical_and(k < maxiter, rr > tol2)
+
+    def body(s):
+        x, r, p, rr, k = s
+        ap = op(p)
+        pap = comm.psum(local_dot(p, ap))
+        alpha = safe_divide(rr, pap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr_new = comm.psum(local_dot(r, r))
+        beta = safe_divide(rr_new, rr)
+        p = deflate(r) + beta * p
+        return x, r, p, rr_new, k + 1
+
+    x, r, p, rr, k = lax.while_loop(cond, body, (x, r, p, rr, 0))
+    return (SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr),
+                        converged=rr <= tol2), recycle)
