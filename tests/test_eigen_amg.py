@@ -147,3 +147,19 @@ class TestAmg:
         a = laplace2d(6, 6)
         p = precond.create("SA-AMG", a)
         assert isinstance(p, precond.SaAmg)
+
+
+class TestAmgWcycle:
+    def test_w_cycle_at_least_as_good(self):
+        a = laplace2d(24, 24)
+        v = precond.SaAmg(a, {"coarse: max size": 30}).compute()
+        w = precond.SaAmg(a, {"coarse: max size": 30,
+                              "cycle type": "W"}).compute()
+        dev = F.csr_to_dia(a)
+        rng = np.random.default_rng(9)
+        b = np.zeros(dev.n_rows_pad)
+        n = 576
+        b[:n] = rng.standard_normal(n)
+        rv = b[:n] - a.to_dense() @ np.asarray(v(jnp.asarray(b)))[:n]
+        rw = b[:n] - a.to_dense() @ np.asarray(w(jnp.asarray(b)))[:n]
+        assert np.linalg.norm(rw) <= np.linalg.norm(rv) * 1.05

@@ -40,7 +40,7 @@ _SPECS = {
     "sa: damping factor": Param("sa: damping factor", 4.0 / 3.0),
     "smoother: sweeps": Param("smoother: sweeps", 2),
     "smoother: damping factor": Param("smoother: damping factor", 0.8),
-    "cycle type": Param("cycle type", "V", choices=("V",)),
+    "cycle type": Param("cycle type", "V", choices=("V", "W")),
     "dtype": Param("dtype", None),
 }
 
@@ -151,6 +151,7 @@ class SaAmg(Preconditioner):
         self.coarse_inv = jnp.asarray(np.linalg.inv(dense), dtype=dtype)
         self.sweeps = int(p["smoother: sweeps"])
         self.omega = float(p["smoother: damping factor"])
+        self.gamma = 2 if p["cycle type"] == "W" else 1
 
     def n_levels(self) -> int:
         return len(self.levels) + 1
@@ -166,10 +167,13 @@ class SaAmg(Preconditioner):
             return self.coarse_inv @ b
         lvl = self.levels[k]
         x = self._smooth(lvl, jnp.zeros_like(b), b)
-        r = b - spmv(lvl["a"], x)
-        r_c = spmv(lvl["pt"], r)
-        e_c = self._vcycle(k + 1, r_c)
-        x = x + spmv(lvl["p"], e_c)
+        # gamma=1: V-cycle; gamma=2: W-cycle (MueLu Hierarchy::Iterate
+        # cycle-type option, MueLu_Hierarchy_def.hpp:1081)
+        for cyc in range(self.gamma):
+            r = b - spmv(lvl["a"], x)
+            r_c = spmv(lvl["pt"], r)
+            e_c = self._vcycle(k + 1, r_c)
+            x = x + spmv(lvl["p"], e_c)
         return self._smooth(lvl, x, b)
 
     def _apply(self, r: jax.Array) -> jax.Array:
