@@ -105,3 +105,34 @@ class TestRcg:
 
         plain = cg(op, b2, rtol=1e-8, maxiter=3000)
         assert int(res2.iters) < int(plain.iters)
+
+
+class TestPcpg:
+    def test_constrained_solve(self):
+        from trilinos_tpu.solvers import cg, pcpg
+        from trilinos_tpu.eigen import lanczos_eigs
+
+        a = laplace2d(16, 16)
+        dev = F.csr_to_dia(a)
+        n = 256
+        b = np.zeros(dev.n_rows_pad)
+        b[:n] = np.random.default_rng(3).standard_normal(n)
+        op = lambda x: S.spmv(dev, x, impl="xla")
+        # constraint basis: lowest modes (the FETI coarse-space use case)
+        _, u = lanczos_eigs(op, jnp.asarray(b), nev=4, m=40, which="SA")
+        res = pcpg(op, jnp.asarray(b), u, rtol=1e-8, maxiter=2000)
+        plain = cg(op, jnp.asarray(b), rtol=1e-8, maxiter=3000)
+        x = np.asarray(res.x)[:n]
+        rel = np.linalg.norm(b[:n] - a.to_dense() @ x) / np.linalg.norm(
+            b[:n])
+        assert rel <= 1.1e-8
+        assert int(res.iters) < int(plain.iters)
+
+    def test_factory_requires_basis(self):
+        from trilinos_tpu.solvers import LinearProblem, create_solver
+
+        mgr = create_solver("PCPG")
+        import jax.numpy as jnp
+
+        with pytest.raises(ValueError, match="constraint_basis"):
+            mgr.solve(LinearProblem(lambda x: x, jnp.ones(8)))

@@ -134,9 +134,21 @@ def _compute_block(op: StencilOp, br, window, base0, b, y_ref):
     row = lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
     gid = (b * br + row) * LANES + lane
     nx, ny, nz = op.dims
-    ix = gid % nx
-    iy = (gid // nx) % ny
-    iz = gid // (nx * ny)
+
+    def _pow2(v):
+        return v & (v - 1) == 0
+
+    # grid-coordinate recovery; pow2 dims use shifts/masks (VPU-cheap)
+    if _pow2(nx) and _pow2(ny):
+        lx = nx.bit_length() - 1
+        ly = ny.bit_length() - 1
+        ix = jnp.bitwise_and(gid, nx - 1)
+        iy = jnp.bitwise_and(jnp.right_shift(gid, lx), ny - 1)
+        iz = jnp.right_shift(gid, lx + ly)
+    else:
+        ix = gid % nx
+        iy = (gid // nx) % ny
+        iz = gid // (nx * ny)
     n = op.n_rows
     acc = jnp.zeros((br, LANES), dtype=jnp.float32)
     for off3, c in zip(op.offsets, op.coeffs):

@@ -7,7 +7,7 @@ from .minres import minres
 from .tfqmr import tfqmr
 from .lsqr import fixed_point, lsqr
 from .gcrodr import RecycleSpace, gcrodr
-from .rcg import CgRecycleSpace, rcg
+from .rcg import CgRecycleSpace, pcpg, rcg
 from .sstep_gmres import sstep_gmres
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
@@ -33,6 +33,7 @@ __all__ = [
     "sstep_gmres",
     "rcg",
     "CgRecycleSpace",
+    "pcpg",
     "LinearProblem",
     "SolverManager",
     "build",

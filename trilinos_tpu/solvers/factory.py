@@ -54,6 +54,7 @@ ALIASES = {
     "GCRODR": "gcrodr",
     "S-STEP GMRES": "sstep",
     "RCG": "rcg",
+    "PCPG": "pcpg",
     "CA-GMRES": "sstep",
     "BLOCK GCRODR": "gcrodr",
 }
@@ -148,6 +149,14 @@ class SolverManager:
                 raise ValueError("LSQR needs problem.op_t (transpose apply)")
             res = lsqr(op, op_t, b, x0, maxiter=maxiter,
                        damp=float(p["Damping"]), **common)
+        elif self.kind == "pcpg":
+            from .rcg import pcpg
+
+            basis = getattr(problem, "constraint_basis", None)
+            if basis is None:
+                raise ValueError(
+                    "PCPG needs problem.constraint_basis (n, k) array")
+            res = pcpg(op, b, basis, x0, maxiter=maxiter, **common)
         elif self.kind == "rcg":
             from .rcg import rcg
 

@@ -101,3 +101,23 @@ def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     x, r, p, rr, k = lax.while_loop(cond, body, (x, r, p, rr, 0))
     return (SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr),
                         converged=rr <= tol2), recycle)
+
+
+def pcpg(op: Operator, b: jax.Array, constraint_basis: jax.Array,
+         x0: jax.Array | None = None, *, rtol: float = 1e-8,
+         atol: float = 0.0, maxiter: int = 1000,
+         comm: Comm | None = None) -> SolveResult:
+    """PCPG — projected/constrained preconditioned CG
+    (Belos::PCPGSolMgr, packages/belos/src/BelosPCPGSolMgr.hpp): CG
+    constrained to the A-orthogonal complement of a user-supplied subspace
+    (e.g. coarse rigid-body modes in FETI-style solvers). Implemented on
+    the same deflation machinery as RCG, with the user's basis as U."""
+    comm = comm or SerialComm()
+    u = constraint_basis
+    au = op(u)
+    utau = comm.psum(u.T @ au)
+    utau_inv = jnp.linalg.inv((utau + utau.T) / 2)
+    res, _ = rcg(op, b, x0, recycle_dim=u.shape[1], rtol=rtol, atol=atol,
+                 maxiter=maxiter, comm=comm,
+                 recycle=CgRecycleSpace(u, au, utau_inv))
+    return res
