@@ -94,3 +94,38 @@ def test_cg_maxiter_stops():
     res = cg(op, b, rtol=1e-12, maxiter=5)
     assert int(res.iters) == 5
     assert not bool(res.converged.all())
+
+
+def test_pipelined_cg_f32_residual_replacement():
+    """f32 pipelined CG must reach 1e-5 on Laplace3D 64^3 — the classic
+    pipelined-CG drift stalls ~1e-2 without the residual-replacement
+    safeguard (VERDICT round 1; BelosStatusTestImpResNorm.hpp:47-88)."""
+    from trilinos_tpu.galeri import laplace3d as l3d
+
+    op_st = l3d(64, 64, 64, dtype=np.float32, fmt="stencil")
+    n, npad = op_st.n_rows, op_st.n_rows_pad
+    rng = np.random.default_rng(5)
+    b = np.zeros(npad, np.float32)
+    b[:n] = rng.standard_normal(n)
+    op = lambda v: S.spmv(op_st, v, impl="xla")
+    res = cg_pipeline(op, jnp.asarray(b), rtol=1e-5, maxiter=500)
+    assert bool(res.converged.all()), float(res.resnorm)
+    # certified resnorm is the TRUE residual (explicit recompute)
+    r_true = np.asarray(b) - np.asarray(op(res.x))
+    assert abs(np.linalg.norm(r_true) - float(res.resnorm)) <= \
+        1e-3 * float(res.resnorm) + 1e-8
+    k_plain = int(cg(op, jnp.asarray(b), rtol=1e-5, maxiter=500).iters)
+    assert abs(int(res.iters) - k_plain) <= max(5, k_plain // 10)
+
+
+def test_certified_resnorm_is_true_residual():
+    """converged/resnorm come from an explicit residual for every CG
+    variant (not the recurrence value)."""
+    a = laplace2d(30, 30)
+    op, b, dense, n = make_problem(a)
+    for solver in (cg, cg_single_reduce, cg_pipeline):
+        res = solver(op, b, rtol=1e-8)
+        x = np.asarray(res.x)[:n]
+        true_norm = np.linalg.norm(np.asarray(b)[:n] - dense @ x)
+        np.testing.assert_allclose(float(res.resnorm), true_norm,
+                                   rtol=1e-6, atol=1e-13)

@@ -1,0 +1,86 @@
+"""Round-2 solver additions: stochastic CG, block-GMRES early exit.
+
+References: packages/belos/src/BelosPseudoBlockStochasticCGIter.hpp
+(stochastic sampler); packages/belos/src/BelosBlockGmresIter.hpp:676
+(per-step status testing inside the cycle)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace1d, laplace2d
+from trilinos_tpu.ops import matvec as S
+from trilinos_tpu.ops import formats as F
+from trilinos_tpu.solvers import block_gmres, stochastic_cg
+
+
+def make_problem(a_csr, nrhs=0, seed=3):
+    dev = F.csr_to_dia(a_csr)
+    n = a_csr.shape[0]
+    npad = dev.n_rows_pad
+    rng = np.random.default_rng(seed)
+    shape = (npad,) if nrhs == 0 else (npad, nrhs)
+    b = np.zeros(shape)
+    b[:n] = rng.standard_normal((n,) if nrhs == 0 else (n, nrhs))
+    op = lambda x: S.spmv(dev, x, impl="xla")
+    return op, jnp.asarray(b), a_csr.to_dense(), n
+
+
+class TestStochasticCG:
+    def test_solves_system(self):
+        a = laplace2d(20, 20)
+        op, b, dense, n = make_problem(a)
+        res, y = stochastic_cg(op, b, rtol=1e-8, maxiter=2000)
+        assert bool(res.converged.all())
+        x = np.asarray(res.x)[:n]
+        assert np.linalg.norm(np.asarray(b)[:n] - dense @ x) <= \
+            1.1e-8 * np.linalg.norm(np.asarray(b)[:n])
+        assert y.shape == b.shape and float(jnp.sum(y * y)) > 0
+
+    def test_sample_covariance_is_ainv(self):
+        """E[y y'] = A^{-1} for the Parker-Fox sampler (CG run to full
+        accuracy => exact in exact arithmetic); statistical check."""
+        a = laplace1d(16)
+        op, b, dense, n = make_problem(a)
+        keys = jax.random.split(jax.random.PRNGKey(7), 400)
+
+        def draw(key):
+            _, y = stochastic_cg(op, b, rtol=1e-12, maxiter=100, key=key)
+            return y[:n]
+
+        ys = jax.vmap(draw)(keys)  # (K, n)
+        cov = np.cov(np.asarray(ys).T, bias=True)
+        ainv = np.linalg.inv(dense)
+        # sampling error ~ 1/sqrt(K); compare in Frobenius norm
+        rel = np.linalg.norm(cov - ainv) / np.linalg.norm(ainv)
+        assert rel < 0.35, rel
+        tr_rel = abs(np.trace(cov) - np.trace(ainv)) / np.trace(ainv)
+        assert tr_rel < 0.15, tr_rel
+
+
+class TestBlockGmresEarlyExit:
+    def test_iters_counts_block_steps(self):
+        """Cycle must exit at convergence, not run all num_blocks steps
+        (honest iteration count, Belos per-step status tests)."""
+        a = laplace2d(8, 8)  # n=64; converges well inside one m=40 cycle
+        op, b, dense, n = make_problem(a, nrhs=2)
+        res = block_gmres(op, b, num_blocks=40, rtol=1e-8)
+        assert bool(res.converged.all())
+        assert int(res.iters) < 40, "no early exit inside the cycle"
+        x = np.asarray(res.x)[:n]
+        r = np.asarray(b)[:n] - dense @ x
+        rel = np.linalg.norm(r, axis=0) / np.linalg.norm(
+            np.asarray(b)[:n], axis=0)
+        assert (rel <= 2e-8).all()
+
+    def test_matches_restarted_solution(self):
+        a = laplace2d(12, 12)
+        op, b, dense, n = make_problem(a, nrhs=3)
+        res = block_gmres(op, b, num_blocks=25, max_restarts=30, rtol=1e-9)
+        assert bool(res.converged.all())
+        x = np.asarray(res.x)[:n]
+        r = np.asarray(b)[:n] - dense @ x
+        rel = np.linalg.norm(r, axis=0) / np.linalg.norm(
+            np.asarray(b)[:n], axis=0)
+        assert (rel <= 2e-9).all()

@@ -155,7 +155,7 @@ def dia_spmv_pallas(a: DiaMatrix, x: jax.Array,
         in_specs=[
             pl.BlockSpec((nd, br, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((br, LANES), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),

@@ -122,7 +122,7 @@ def stencil_pallas_applicable(op: StencilOp, x_ndim: int = 1) -> bool:
         return False
     if op.dtype not in ("float32", "bfloat16"):
         return False
-    return _plan(op) is not None
+    return _plane_plan(op) is not None or _plan(op) is not None
 
 
 def _compute_block(op: StencilOp, br, window, base0, b, y_ref):
@@ -237,8 +237,262 @@ def _dma_kernel(op: StencilOp, br, h, r, x_hbm, y_ref, win, sem):
     _compute_block(op, br, win.at[slot], h, b, y_ref)
 
 
+# ---------------------------------------------------------------------------
+# Plane-masked chunked kernel (the fast path)
+# ---------------------------------------------------------------------------
+#
+# Boundary-validity masks are PERIODIC in the row index with period
+# nx*ny (one z-plane): for an offset (dx, dy, dz), the x/y validity depends
+# only on gid mod nx*ny, and the z validity is UNIFORM over a whole z-plane.
+# So instead of recomputing per-offset integer masks in-kernel (VPU-bound —
+# measured 4x off roofline in round 1), we precompute one (P, 128) f32
+# "plane" per offset with dx|dy != 0, already multiplied by the coefficient
+# (P = nx*ny/128 lane-rows), keep the planes VMEM-resident (constant
+# BlockSpec index map -> fetched once), and process each block as m chunks
+# of exactly one z-plane each:
+#   per offset:  acc += plane ⊙ shifted        (one FMA)
+#   dz != 0:     scalar select on the chunk's iz (uniform per chunk)
+#   pure-z/center offsets: scalar-coefficient FMA, no plane at all.
+# Padding is required to be whole z-planes so pad chunks reduce to a scalar
+# select (y = x identity rows).
+
+
+def _plane_geometry(op: StencilOp):
+    nx, ny, nz = op.dims
+    if (nx * ny) % LANES != 0:
+        return None
+    p_rows = (nx * ny) // LANES
+    if p_rows % 8 != 0:
+        return None
+    if op.n_rows_pad % (nx * ny) != 0:
+        return None
+    return p_rows
+
+
+def _plane_halo(op: StencilOp) -> int:
+    lo_reach, hi_reach = 0, 0
+    for off3 in op.offsets:
+        o = op.lin_offset(off3)
+        ro, lo = divmod(o, LANES)
+        lo_reach = min(lo_reach, ro)
+        hi_reach = max(hi_reach, ro + (1 if lo else 0))
+    return ((max(-lo_reach, hi_reach) + 7) // 8) * 8
+
+
+def _plane_plan(op: StencilOp, nrhs: int = 1):
+    """(br, q, h, P) for the plane path, or None -> legacy/masked path.
+
+    br = block rows, q = chunk rows (q | P so a chunk never straddles a
+    z-plane; q == P is the static-plane-offset fast path, q < P covers 2-D
+    grids where R == P and large-P 3-D grids)."""
+    p_rows = _plane_geometry(op)
+    if p_rows is None:
+        return None
+    r = op.n_rows_pad // LANES
+    h = max(_plane_halo(op), 8)
+    n_planes = sum(1 for (dx, dy, dz) in op.offsets if dx or dy)
+    row_b = LANES * 4 * nrhs
+    budget = 13 * 2 ** 20 - n_planes * p_rows * LANES * 4
+    for q in [p_rows] + [q for q in range(p_rows - 8, 7, -8)
+                         if p_rows % q == 0]:
+        max_m = r // q // 2  # nb >= 2
+        for m in range(max_m, 0, -1):
+            br = m * q
+            if r % br != 0 or br + 2 * h > r:
+                continue
+            if 2 * row_b * ((br + 2 * h) + br) <= budget:
+                return br, q, h, p_rows
+    return None
+
+
+@functools.lru_cache(maxsize=64)
+def _build_planes(op: StencilOp):
+    """Host-side per-offset coefficient*mask planes.
+
+    Returns (planes, plane_idx): planes is an (n_planes, P, 128) f32 array
+    (None when no offset needs one); plane_idx[t] is the plane row for
+    offset t or None for scalar-coefficient offsets."""
+    p_rows = _plane_geometry(op)
+    assert p_rows is not None
+    nx, ny, _ = op.dims
+    gid = np.arange(p_rows * LANES, dtype=np.int64)
+    ix = gid % nx
+    iy = gid // nx  # < ny inside one z-plane by construction
+    planes, plane_idx = [], []
+    for off3, c in zip(op.offsets, op.coeffs):
+        dx, dy, _dz = off3
+        if dx == 0 and dy == 0:
+            plane_idx.append(None)
+            continue
+        valid = np.ones(p_rows * LANES, dtype=bool)
+        if dx:
+            valid &= (ix + dx >= 0) & (ix + dx < nx)
+        if dy:
+            valid &= (iy + dy >= 0) & (iy + dy < ny)
+        planes.append((c * valid).astype(np.float32).reshape(p_rows, LANES))
+        plane_idx.append(len(planes) - 1)
+    arr = np.stack(planes) if planes else np.zeros((1, p_rows, LANES),
+                                                  np.float32)
+    return jnp.asarray(arr), tuple(plane_idx)
+
+
+def _shifted_chunk(window, base, p_rows, o, lane):
+    """Chunk of the window shifted by linear offset o (rows via slice,
+    lanes via roll+select)."""
+    ro, lo = divmod(o, LANES)
+    a_blk = window[pl.ds(base + ro, p_rows)]
+    if lo == 0:
+        return a_blk
+    b_blk = window[pl.ds(base + ro + 1, p_rows)]
+    ra = pltpu.roll(a_blk, LANES - lo, 1)
+    rb = pltpu.roll(b_blk, LANES - lo, 1)
+    return jnp.where(lane < LANES - lo, ra, rb)
+
+
+def _plane_compute(op: StencilOp, m, q, p_rows, h, plane_idx, b, window,
+                   planes_ref, y_ref):
+    nx, ny, nz = op.dims
+    nz_total = op.n_rows // (nx * ny)  # valid z-planes
+    has_pad = op.n_rows_pad > op.n_rows
+    lane = lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+    br = m * q
+    for rep in range(m):
+        base = h + rep * q
+        start = b * br + rep * q  # global chunk row (traced scalar)
+        if q == p_rows:
+            iz = b * m + rep
+            poff = 0  # static plane offset (fast path)
+        else:
+            iz = lax.div(start, jnp.int32(p_rows))
+            poff = start - iz * p_rows
+        acc = jnp.zeros((q, LANES), dtype=jnp.float32)
+        for t, (off3, c) in enumerate(zip(op.offsets, op.coeffs)):
+            o = op.lin_offset(off3)
+            shifted = _shifted_chunk(window, base, q, o, lane)
+            sf = shifted.astype(jnp.float32)
+            dz = off3[2]
+            if plane_idx[t] is not None:
+                pslab = planes_ref[plane_idx[t], pl.ds(poff, q)]
+                term = pslab * sf
+                if dz:
+                    zvalid = jnp.logical_and(iz + dz >= 0, iz + dz < nz)
+                    term = jnp.where(zvalid, term, 0.0)
+            elif dz:
+                zvalid = jnp.logical_and(iz + dz >= 0, iz + dz < nz)
+                cz = jnp.where(zvalid, jnp.float32(c), jnp.float32(0.0))
+                term = cz * sf
+            else:
+                term = jnp.float32(c) * sf
+            acc = acc + term
+        if has_pad:
+            x_chunk = window[pl.ds(base, q)].astype(jnp.float32)
+            acc = jnp.where(iz < nz_total, acc, x_chunk)
+        y_ref[pl.ds(rep * q, q)] = acc.astype(y_ref.dtype)
+
+
+def _plane_kernel(op: StencilOp, br, q, h, p_rows, r, plane_idx,
+                  planes_ref, x_hbm, y_ref, win, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    wrows = br + 2 * h
+    m = br // q
+
+    def issue(blk, slot, wait):
+        is_first = blk == 0
+        is_last = blk == nb - 1
+
+        def run(d):
+            d.wait() if wait else d.start()
+
+        @pl.when(is_first)
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, br + h), :],
+                win.at[slot, pl.ds(h, br + h)], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_first),
+                                 jnp.logical_not(is_last)))
+        def _():
+            start = jnp.clip(blk * br - h, 0, r - wrows)
+            run(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, wrows), :],
+                win.at[slot], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(is_last, jnp.logical_not(is_first)))
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(r - (br + h), br + h), :],
+                win.at[slot, pl.ds(0, br + h)], sem.at[slot]))
+
+    # Halo strips are consumed by plane MULTIPLIES (0*NaN = NaN), so they
+    # must hold finite values before the first compute; after this, stale
+    # strips are finite x rows from two blocks back (see dia_spmv note).
+    @pl.when(b == 0)
+    def _():
+        zero = jnp.zeros((h, LANES), dtype=win.dtype)
+        win[0, pl.ds(0, h)] = zero
+        win[0, pl.ds(br + h, h)] = zero
+        win[1, pl.ds(0, h)] = zero
+        win[1, pl.ds(br + h, h)] = zero
+        issue(0, 0, wait=False)
+
+    slot = lax.rem(b, jnp.int32(2))
+
+    @pl.when(b + 1 < nb)
+    def _():
+        issue(b + 1, lax.rem(b + 1, jnp.int32(2)), wait=False)
+
+    issue(b, slot, wait=True)
+    _plane_compute(op, m, q, p_rows, h, plane_idx, b, win.at[slot],
+                   planes_ref, y_ref)
+
+
+def stencil_spmv_planes(op: StencilOp, x: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    n = op.n_rows_pad
+    r = n // LANES
+    plan = _plane_plan(op)
+    if plan is None:
+        raise ValueError("stencil_spmv_planes: not applicable")
+    br, q, h, p_rows = plan
+    nb = r // br
+    planes, plane_idx = _build_planes(op)
+    x2 = x.reshape(r, LANES)
+    out = pl.pallas_call(
+        functools.partial(_plane_kernel, op, br, q, h, p_rows, r, plane_idx),
+        out_shape=jax.ShapeDtypeStruct((r, LANES), x2.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(planes.shape, lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((br, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, br + 2 * h, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(op.offsets) * n,
+            bytes_accessed=2 * n * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(planes, x2)
+    return out.reshape(n)
+
+
 def stencil_spmv_pallas(op: StencilOp, x: jax.Array,
                         interpret: bool = False) -> jax.Array:
+    if _plane_plan(op) is not None:
+        return stencil_spmv_planes(op, x, interpret=interpret)
+    return stencil_spmv_masked(op, x, interpret=interpret)
+
+
+def stencil_spmv_masked(op: StencilOp, x: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Legacy path: in-kernel integer validity masks (any geometry)."""
     n = op.n_rows_pad
     r = n // LANES
     plan = _plan(op)
@@ -251,7 +505,7 @@ def stencil_spmv_pallas(op: StencilOp, x: jax.Array,
         functools.partial(_dma_kernel, op, br, h, r),
         out_shape=jax.ShapeDtypeStruct((r, LANES), x2.dtype),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((br, LANES), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -52,14 +52,18 @@ class HaloPlan:
 
     send_idx:  (P, seg) — local padded indices to ship to each peer
                (destination-major, gid-sorted within a destination)
+    send_valid:(P, seg) bool — False on pad slots of send_idx
     recv_sel:  (g_pad,) — for each ghost slot, its position in the flat
                receive buffer (mode-dependent layout)
+    ghost_valid:(g_pad,) bool — False on pad ghost slots
     mode: 'a2a' (all_to_all over the full peer axis) or 'ppermute'
           (one permute per static shard offset in ``offsets``)
     """
 
     send_idx: jax.Array
+    send_valid: jax.Array
     recv_sel: jax.Array
+    ghost_valid: jax.Array
     n_ghost_pad: int = dataclasses.field(metadata=dict(static=True))
     seg: int = dataclasses.field(metadata=dict(static=True))
     mode: str = dataclasses.field(metadata=dict(static=True))
@@ -196,10 +200,14 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
 
     for s in range(n_shards):
         send_idx = np.zeros((n_shards, seg), dtype=np.int32)
+        send_valid = np.zeros((n_shards, seg), dtype=bool)
         for t in range(n_shards):
             send_idx[t, : len(sends[s][t])] = sends[s][t]
+            send_valid[t, : len(sends[s][t])] = True
         g = ghosts_of[s]
         recv_sel = np.zeros(g_pad, dtype=np.int32)
+        ghost_valid = np.zeros(g_pad, dtype=bool)
+        ghost_valid[: len(g)] = True
         owners = rmap.owner_of(g) if len(g) else np.zeros(0, np.int64)
         for j, (gid, o) in enumerate(zip(g, owners)):
             pos = int(np.searchsorted(
@@ -210,7 +218,10 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
                 off_idx = all_offs.index((s - int(o)) % n_shards)
                 recv_sel[j] = off_idx * seg + pos
         plans.append(HaloPlan(
-            send_idx=jnp.asarray(send_idx), recv_sel=jnp.asarray(recv_sel),
+            send_idx=jnp.asarray(send_idx),
+            send_valid=jnp.asarray(send_valid),
+            recv_sel=jnp.asarray(recv_sel),
+            ghost_valid=jnp.asarray(ghost_valid),
             n_ghost_pad=g_pad, seg=seg, mode=mode, offsets=tuple(all_offs)))
 
         # NOTE: static fields (n_rows/n_cols/nnz) must be IDENTICAL across
@@ -319,6 +330,85 @@ def exchange(x: jax.Array, plan: HaloPlan, axis_name: str,
         flat = jnp.concatenate(parts, axis=0)
     ghosts = flat[plan.recv_sel]
     return ghosts[:, 0] if was_1d else ghosts
+
+
+def exchange_reverse(ghosts: jax.Array, plan: HaloPlan, axis_name: str,
+                     n_shards: int):
+    """Reverse (Export-direction) transfer: each shard's per-ghost
+    contributions travel back to the ghost's OWNER.
+
+    Returns (contrib, idx, valid): flat received contributions, the local
+    row index each lands on (plan.send_idx order), and a validity mask.
+    The reference analogue is Export/doExport's reversal of an Import plan
+    (src/Tpetra_Export_decl.hpp; Distributor::createReverseDistributor).
+    """
+    was_1d = ghosts.ndim == 1
+    g2 = ghosts[:, None] if was_1d else ghosts
+    k = g2.shape[1]
+    g2 = jnp.where(plan.ghost_valid[:, None], g2, 0)
+    n_lanes = (n_shards if plan.mode == "a2a" else len(plan.offsets))
+    flat = jnp.zeros((n_lanes * plan.seg, k), g2.dtype)
+    # pad ghost slots point at position 0 but carry zeros -> add is safe
+    flat = flat.at[plan.recv_sel].add(g2, mode="promise_in_bounds")
+    me = lax.axis_index(axis_name)
+    if plan.mode == "a2a":
+        rbuf = lax.all_to_all(flat.reshape(n_shards, plan.seg, k),
+                              axis_name, 0, 0)
+        contrib = rbuf.reshape(-1, k)
+        idx = plan.send_idx.reshape(-1)
+        valid = plan.send_valid.reshape(-1)
+    else:
+        parts, idxs, valids = [], [], []
+        for i, off in enumerate(plan.offsets):
+            part = flat[i * plan.seg:(i + 1) * plan.seg]
+            perm = [(s, (s - off) % n_shards) for s in range(n_shards)]
+            parts.append(lax.ppermute(part, axis_name, perm))
+            t = (me + off) % n_shards
+            idxs.append(jnp.take(plan.send_idx, t, axis=0))
+            valids.append(jnp.take(plan.send_valid, t, axis=0))
+        contrib = jnp.concatenate(parts, axis=0)
+        idx = jnp.concatenate(idxs, axis=0)
+        valid = jnp.concatenate(valids, axis=0)
+    if was_1d:
+        contrib = contrib[:, 0]
+    return contrib, idx, valid
+
+
+def export_combine(x: jax.Array, ghosts: jax.Array, plan: HaloPlan,
+                   axis_name: str, n_shards: int,
+                   mode: str = "ADD") -> jax.Array:
+    """doExport: combine each shard's ghost contributions into the owned
+    vector under a CombineMode (src/Tpetra_CombineMode.hpp:59-88).
+
+    ADD     sum contributions into existing values
+    INSERT / REPLACE   overwrite with the incoming value (with multiple
+            contributors the scatter order is unspecified, as in the
+            reference's unpack)
+    ABSMAX  replace with max(|old|, |incoming|)
+    ZERO    bypass communication entirely — x is returned unchanged (the
+            restricted-Schwarz combine; see Ifpack2::AdditiveSchwarz)
+    """
+    mode = mode.upper()
+    if mode == "ZERO":
+        return x
+    contrib, idx, valid = exchange_reverse(ghosts, plan, axis_name, n_shards)
+    was_1d = x.ndim == 1
+    x2 = x[:, None] if was_1d else x
+    c2 = contrib[:, None] if was_1d else contrib
+    v2 = valid[:, None]
+    c2 = c2.astype(x2.dtype)
+    sel = jnp.where(valid, idx, x2.shape[0])  # invalid -> dropped
+    if mode == "ADD":
+        y = x2.at[idx].add(jnp.where(v2, c2, 0), mode="promise_in_bounds")
+    elif mode in ("INSERT", "REPLACE"):
+        y = x2.at[sel].set(c2, mode="drop")
+    elif mode == "ABSMAX":
+        m = jnp.zeros_like(x2).at[sel].max(jnp.abs(c2), mode="drop")
+        touched = jnp.zeros(x2.shape, bool).at[sel].set(True, mode="drop")
+        y = jnp.where(touched, jnp.maximum(jnp.abs(x2), m), x2)
+    else:
+        raise ValueError(f"unknown CombineMode {mode!r}")
+    return y[:, 0] if was_1d else y
 
 
 def apply_local(mat_interior, mat_boundary: BoundaryPart, plan: HaloPlan,

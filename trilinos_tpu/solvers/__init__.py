@@ -1,5 +1,5 @@
 from .base import Operator, SolveResult, identity_prec
-from .cg import cg, cg_pipeline, cg_single_reduce
+from .cg import cg, cg_pipeline, cg_single_reduce, stochastic_cg
 from .gmres import fgmres, gmres
 from .block_gmres import block_gmres
 from .bicgstab import bicgstab
@@ -20,6 +20,7 @@ __all__ = [
     "cg",
     "cg_pipeline",
     "cg_single_reduce",
+    "stochastic_cg",
     "gmres",
     "fgmres",
     "block_gmres",

@@ -56,3 +56,22 @@ def rhs_norm_scale(bnorm: jax.Array, rtol, atol) -> jax.Array:
     scaling of the implicit residual)."""
     scale = jnp.where(bnorm > 0, bnorm, 1)
     return rtol * scale + atol
+
+
+def certify_residual(op: Operator, b: jax.Array, x: jax.Array, tol, comm):
+    """Explicit-residual certification at convergence.
+
+    Recurrence residuals drift from the true residual in finite precision;
+    Belos cross-checks the implicit residual with an explicitly computed
+    one before declaring convergence (BelosStatusTestImpResNorm.hpp:47-88,
+    the "loss of accuracy" test). Every Krylov driver here calls this once
+    after its iteration loop: one extra operator apply + one reduction.
+
+    Returns (resnorm_true, converged) with per-column semantics.
+    """
+    from ..ops.blas import local_dot
+
+    r = b - op(x)
+    rr = comm.psum(local_dot(r, r))
+    resnorm = jnp.sqrt(rr)
+    return resnorm, resnorm <= tol

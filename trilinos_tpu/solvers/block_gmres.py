@@ -2,19 +2,21 @@
 
 TPU-native analogue of Belos::BlockGmresIter + BlockGmresSolMgr
 (packages/belos/src/BelosBlockGmresIter.hpp:83,659 — block Arnoldi with
-projectAndNormalize; packages/belos/src/BelosBlockGmresSolMgr.hpp:916 —
+projectAndNormalize; per-step status testing at :676; least-squares update
+``updateLSQR`` :742; packages/belos/src/BelosBlockGmresSolMgr.hpp:916 —
 restart management; parameter surface :150-158/323-337).
 
-Design differences for TPU:
+Design for TPU:
   * block projection = CGS2/DGKS (two GEMM+psum passes) against the whole
     zero-padded basis; block normalization = CholQR2 — the TSQR-class
     single-reduction panel factorization (SURVEY.md §2.1 TSQR row);
-  * each restart cycle runs a FIXED number of block Arnoldi steps
-    (static-shape inner loop, no per-step Givens machinery); the block
-    least-squares problem is solved once per cycle with one small QR and
-    the outer loop restarts until the true residual converges. For block
-    sizes ≥ 4 the extra steps past convergence cost less than the dynamic
-    control flow they replace.
+  * the cycle is a static-shape ``while_loop`` over block Arnoldi steps
+    with a PROGRESSIVE block QR of the Hessenberg matrix (the block
+    analogue of Belos' Givens ``updateLSQR``): each step annihilates the
+    new subdiagonal block with one small 2nb×2nb Householder QR, updates
+    the transformed rhs g, and reads the per-column implicit residual from
+    the next g block — so the cycle exits as soon as every column's
+    estimate passes, and ``iters`` counts the block steps actually taken.
 """
 from __future__ import annotations
 
@@ -50,49 +52,76 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
     bnorm = jnp.sqrt(comm.psum(local_dot(b, b)))
     tol = rhs_norm_scale(bnorm, rtol, atol)
+    mp1 = (m + 1) * nb
 
     def cycle(x):
         r = b - op(x)
         v0, r0_small, _ = cholqr2(comm, r)
-        v = jnp.zeros((n, (m + 1) * nb), dtype)
+        v = jnp.zeros((n, mp1), dtype)
         v = lax.dynamic_update_slice(v, v0, (0, 0))
-        h = jnp.zeros(((m + 1) * nb, m * nb), dtype)
+        # progressive QR state: qt = accumulated Qᵀ, rfac = R (unused
+        # columns keep an identity diagonal so the final static-shape
+        # triangular solve yields zeros for unused y rows), g = Qᵀ e1 R0
+        qt = jnp.eye(mp1, dtype=dtype)
+        rfac = jnp.eye(m * nb, dtype=dtype)
+        g = jnp.zeros((mp1, nb), dtype)
+        g = lax.dynamic_update_slice(g, r0_small, (0, 0))
+        est0 = jnp.sqrt(jnp.sum(r0_small * r0_small, axis=0))
 
-        def body(j, carry):
-            v, h = carry
+        def icond(s):
+            v, qt, rfac, g, est, j = s
+            return jnp.logical_and(j < m, jnp.any(est > tol))
+
+        def istep(s):
+            v, qt, rfac, g, _, j = s
             vj = lax.dynamic_slice(v, (0, j * nb), (n, nb))
             w = op(M(vj))
             w2, c = project(comm, v, w)
             q, r_small, _ = cholqr2(comm, w2)
             v = lax.dynamic_update_slice(v, q, (0, (j + 1) * nb))
-            hcol = lax.dynamic_update_slice(
-                c, r_small, ((j + 1) * nb, 0))
-            h = lax.dynamic_update_slice(h, hcol, (0, j * nb))
-            return v, h
+            hcol = lax.dynamic_update_slice(c, r_small, ((j + 1) * nb, 0))
+            # apply accumulated transforms, then annihilate the new
+            # subdiagonal block with one small complete QR
+            cp = qt @ hcol
+            top = lax.dynamic_slice(cp, (j * nb, 0), (nb, nb))
+            bot = lax.dynamic_slice(cp, ((j + 1) * nb, 0), (nb, nb))
+            qs, rs = jnp.linalg.qr(jnp.concatenate([top, bot], axis=0),
+                                   mode="complete")
+            rows = lax.dynamic_slice(qt, (j * nb, 0), (2 * nb, mp1))
+            qt = lax.dynamic_update_slice(qt, qs.T @ rows, (j * nb, 0))
+            g_rows = lax.dynamic_slice(g, (j * nb, 0), (2 * nb, nb))
+            g = lax.dynamic_update_slice(g, qs.T @ g_rows, (j * nb, 0))
+            col = lax.dynamic_update_slice(cp, rs[:nb], (j * nb, 0))
+            col = lax.dynamic_update_slice(
+                col, jnp.zeros((nb, nb), dtype), ((j + 1) * nb, 0))
+            rfac = lax.dynamic_update_slice(rfac, col[: m * nb], (0, j * nb))
+            # implicit residual per column: next g block row norms
+            gres = lax.dynamic_slice(g, ((j + 1) * nb, 0), (nb, nb))
+            est = jnp.sqrt(jnp.sum(gres * gres, axis=0))
+            return v, qt, rfac, g, est, j + 1
 
-        v, h = lax.fori_loop(0, m, body, (v, h))
-        # least squares: min || E1 R0 − H y ||  (H: ((m+1)nb, m·nb))
-        e1r0 = jnp.zeros(((m + 1) * nb, nb), dtype)
-        e1r0 = lax.dynamic_update_slice(e1r0, r0_small, (0, 0))
-        q_h, r_h = jnp.linalg.qr(h)
-        y = jax.scipy.linalg.solve_triangular(
-            r_h, q_h.T @ e1r0, lower=False)
+        v, qt, rfac, g, est, j = lax.while_loop(
+            icond, istep, (v, qt, rfac, g, est0, 0))
+        # zero unused g rows so identity-diagonal columns give y = 0
+        row = lax.broadcasted_iota(jnp.int32, (m * nb, 1), 0)
+        g_used = jnp.where(row < j * nb, g[: m * nb], 0)
+        y = jax.scipy.linalg.solve_triangular(rfac, g_used, lower=False)
         x = x + M(v[:, : m * nb] @ y)
-        return x
+        return x, j
 
     def res_norms(x):
         r = b - op(x)
         return jnp.sqrt(comm.psum(local_dot(r, r)))
 
     def cond(s):
-        x, k, rn = s
+        x, k, rn, steps = s
         return jnp.logical_and(k < max_restarts + 1, jnp.any(rn > tol))
 
     def body(s):
-        x, k, _ = s
-        x = cycle(x)
-        return x, k + 1, res_norms(x)
+        x, k, _, steps = s
+        x, j = cycle(x)
+        return x, k + 1, res_norms(x), steps + j
 
-    x, cycles, rn = lax.while_loop(cond, body, (x, 0, res_norms(x)))
-    return SolveResult(x=x, iters=cycles * m, resnorm=rn,
-                       converged=rn <= tol)
+    x, cycles, rn, steps = lax.while_loop(
+        cond, body, (x, 0, res_norms(x), 0))
+    return SolveResult(x=x, iters=steps, resnorm=rn, converged=rn <= tol)

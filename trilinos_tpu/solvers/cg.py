@@ -30,7 +30,8 @@ from jax import lax
 
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm
-from .base import Operator, SolveResult, bcast_cols, identity_prec, rhs_norm_scale, safe_divide
+from .base import (Operator, SolveResult, bcast_cols, certify_residual,
+                   identity_prec, rhs_norm_scale, safe_divide)
 
 
 def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
@@ -71,7 +72,71 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 jnp.where(active, rr_new, rr), k + 1)
 
     x, r, z, p, rz, rr, k = lax.while_loop(cond, body, (x, r, z, p, rz, rr, 0))
-    return SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr), converged=rr <= tol2)
+    resnorm, conv = certify_residual(op, b, x, tol, comm)
+    return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)
+
+
+def stochastic_cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
+                  prec: Operator | None = None, rtol: float = 1e-8,
+                  atol: float = 0.0, maxiter: int = 1000,
+                  comm: Comm | None = None,
+                  key: jax.Array | None = None
+                  ) -> tuple[SolveResult, jax.Array]:
+    """Stochastic CG (Parker–Fox): solves A x = b and simultaneously draws
+    y ~ N(0, A^-1) by accumulating y += (xi_k / sqrt(p'Ap)) p with scalar
+    iid xi_k ~ N(0,1) per iteration — the algorithm of
+    Belos::PseudoBlockStochasticCGSolMgr / StochasticCGIter
+    (packages/belos/src/BelosPseudoBlockStochasticCGIter.hpp).
+
+    Returns (SolveResult, y). The sample distribution is exact when CG runs
+    to full accuracy in exact arithmetic; like the reference, partial
+    convergence yields an approximate sample from the dominant subspace.
+    """
+    comm = comm or SerialComm()
+    M = prec or identity_prec
+    x = jnp.zeros_like(b) if x0 is None else x0
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    r = b - op(x)
+    z = M(r)
+    p = z
+    y = jnp.zeros_like(b)
+    d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r),
+                              local_dot(b, b)]))
+    rz, rr, bb = d0[0], d0[1], d0[2]
+    tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
+    tol2 = tol * tol
+    ncols = () if b.ndim == 1 else (b.shape[1],)
+
+    def cond(s):
+        x, y, r, z, p, rz, rr, k, key = s
+        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+    def body(s):
+        x, y, r, z, p, rz, rr, k, key = s
+        active = rr > tol2
+        ap = op(p)
+        pap = comm.psum(local_dot(p, ap))
+        alpha = jnp.where(active, safe_divide(rz, pap), 0)
+        key, sub = jax.random.split(key)
+        xi = jax.random.normal(sub, ncols, dtype=b.dtype)
+        s_coef = jnp.where(active, xi * jax.lax.rsqrt(
+            jnp.where(pap > 0, pap, 1)), 0)
+        x = x + bcast_cols(alpha, p)
+        y = y + bcast_cols(s_coef, p)
+        r = r - bcast_cols(alpha, ap)
+        z = M(r)
+        d = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
+        rz_new, rr_new = d[0], d[1]
+        beta = jnp.where(active, safe_divide(rz_new, rz), 0)
+        p = z + bcast_cols(beta, p)
+        return (x, y, r, z, p, jnp.where(active, rz_new, rz),
+                jnp.where(active, rr_new, rr), k + 1, key)
+
+    s = (x, y, r, z, p, rz, rr, 0, key)
+    x, y, r, z, p, rz, rr, k, key = lax.while_loop(cond, body, s)
+    resnorm, conv = certify_residual(op, b, x, tol, comm)
+    return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv), y
 
 
 def cg_single_reduce(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
@@ -128,50 +193,63 @@ def cg_single_reduce(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
     s = (x, r, z, p, q, w, rz, rr, alpha, beta, 0)
     x, r, z, p, q, w, rz, rr, alpha, beta, k = lax.while_loop(cond, body, s)
-    return SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr), converged=rr <= tol2)
+    resnorm, conv = certify_residual(op, b, x, tol, comm)
+    return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)
 
 
 def cg_pipeline(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 prec: Operator | None = None, rtol: float = 1e-8,
                 atol: float = 0.0, maxiter: int = 1000,
-                comm: Comm | None = None) -> SolveResult:
-    """Pipelined CG (Ghysels–Vanroose): the psum for step k is issued, the
-    next operator apply runs, and only then is the reduction consumed.
+                comm: Comm | None = None,
+                replace_every: int = 50) -> SolveResult:
+    """Pipelined CG (Ghysels–Vanroose) with periodic residual replacement.
 
-    Inside one jitted while-loop body the reduction result feeds nothing
-    until after ``op(...)`` has been emitted, so the XLA latency-hiding
-    scheduler can overlap the all-reduce with the SpMV (the compiled-
-    collective equivalent of Belos_Tpetra_CgPipeline's early idot).
+    Inside one jitted while-loop body the fused reduction's result feeds
+    nothing until after the next ``op(...)`` has been emitted, so the XLA
+    latency-hiding scheduler overlaps the all-reduce with the SpMV (the
+    compiled-collective equivalent of Belos_Tpetra_CgPipeline's early idot,
+    packages/belos/tpetra/src/solvers/Belos_Tpetra_CgPipeline.hpp:99-109).
+
+    The extra recurrence vectors drift in finite precision (classic
+    pipelined-CG stagnation — observed ~1e-2 in f32 without a guard), so
+    every ``replace_every`` iterations the pipelined state is rebuilt from
+    the TRUE residual r = b - A x and the current search direction — the
+    residual-replacement safeguard Belos pairs with its implicit-residual
+    convergence tests (BelosStatusTestImpResNorm.hpp:47-88). The segment
+    boundary restarts the alpha recurrence from the directly computed
+    <r,u>/<p,Ap>, which is the exact CG step for the preserved direction.
     """
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
 
-    r = b - op(x)
-    u = M(r)
-    w = op(u)
-    d0 = comm.psum(jnp.stack([local_dot(r, u), local_dot(w, u),
-                              local_dot(r, r), local_dot(b, b)]))
-    gamma, delta, rr, bb = d0[0], d0[1], d0[2], d0[3]
+    bb = comm.psum(local_dot(b, b))
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
     tol2 = tol * tol
-    m_ = M(w)
-    n_ = op(m_)
-    zero = jnp.zeros_like(b)
-    alpha = safe_divide(gamma, delta)
-    beta = jnp.zeros_like(alpha)
-    # pipelined auxiliary vectors
-    z = n_
-    q = m_
-    p = u
-    s_v = w
+    p0 = M(b - op(x))
 
-    def cond(st):
-        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, beta, k) = st
-        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+    def refresh(x, p):
+        """Rebuild pipelined state from scratch (replacement step)."""
+        r = b - op(x)
+        u = M(r)
+        w = op(u)
+        s_v = op(p)
+        q = M(s_v)
+        z = op(q)
+        d = comm.psum(jnp.stack([local_dot(r, u), local_dot(w, u),
+                                 local_dot(r, r), local_dot(p, s_v)]))
+        gamma, rr, pap = d[0], d[2], d[3]
+        alpha = safe_divide(gamma, pap)
+        return r, u, w, s_v, q, z, gamma, rr, alpha
 
-    def body(st):
-        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, beta, k) = st
+    def inner_cond(st):
+        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k, k0) = st
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, k - k0 < replace_every),
+            jnp.any(rr > tol2))
+
+    def inner_body(st):
+        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k, k0) = st
         active = rr > tol2
         a = jnp.where(active, alpha, 0)
         x = x + bcast_cols(a, p)
@@ -195,9 +273,22 @@ def cg_pipeline(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         z = n_next + bcast_cols(beta_new, z)
         return (x, r, u, w, m_next, n_next, z, q, p, s_v,
                 jnp.where(active, gamma_new, gamma),
-                jnp.where(active, rr_new, rr), alpha_new, beta_new, k + 1)
+                jnp.where(active, rr_new, rr), alpha_new, k + 1, k0)
 
-    st = (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, beta, 0)
-    out = lax.while_loop(cond, body, st)
-    x, rr, k = out[0], out[11], out[14]
-    return SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr), converged=rr <= tol2)
+    def outer_cond(st):
+        x, p, rr, k = st
+        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+    def outer_body(st):
+        x, p, rr, k = st
+        r, u, w, s_v, q, z, gamma, rr, alpha = refresh(x, p)
+        m_ = M(w)
+        n_ = op(m_)
+        ist = (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k, k)
+        out = lax.while_loop(inner_cond, inner_body, ist)
+        return (out[0], out[8], out[11], out[13])
+
+    x, p, rr, k = lax.while_loop(outer_cond, outer_body,
+                                 (x, p0, jnp.full_like(tol2, jnp.inf), 0))
+    resnorm, conv = certify_residual(op, b, x, tol, comm)
+    return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)

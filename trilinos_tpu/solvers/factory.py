@@ -24,7 +24,7 @@ from ..utils.params import Param, ParameterList, make_params
 from .base import SolveResult
 from .bicgstab import bicgstab
 from .block_gmres import block_gmres
-from .cg import cg, cg_pipeline, cg_single_reduce
+from .cg import cg, cg_pipeline, cg_single_reduce, stochastic_cg
 from .gmres import fgmres, gmres
 from .linear_problem import LinearProblem
 from .lsqr import fixed_point, lsqr
@@ -38,7 +38,8 @@ ALIASES = {
     "PSEUDO BLOCK CG": "cg",
     "BLOCK CG": "cg",  # multivector RHS handled natively
     "SINGLE REDUCE CG": "cg_single_reduce",
-    "PSEUDOBLOCK STOCHASTIC CG": "cg",
+    "PSEUDOBLOCK STOCHASTIC CG": "stochastic_cg",
+    "STOCHASTIC CG": "stochastic_cg",
     "PIPELINED CG": "cg_pipeline",
     "GMRES": "gmres",
     "PSEUDOBLOCK GMRES": "gmres",
@@ -117,6 +118,10 @@ class SolverManager:
             res = cg_pipeline(op, b, x0, prec=problem.left_prec
                               or problem.right_prec, maxiter=maxiter,
                               **common)
+        elif self.kind == "stochastic_cg":
+            res, self.stochastic_vector = stochastic_cg(
+                op, b, x0, prec=problem.left_prec or problem.right_prec,
+                maxiter=maxiter, **common)
         elif self.kind in ("gmres", "fgmres"):
             fn = fgmres if self.kind == "fgmres" else gmres
             res = fn(op, b, x0, prec=problem.right_prec or problem.left_prec,
