@@ -23,6 +23,11 @@ import jax
 # forces the CPU backend for the unit-test mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: shard_map/while-loop programs dominate suite
+# wall time; cache survives across pytest processes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TT_JAX_CACHE", "/tmp/tt-jax-cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
@@ -31,3 +36,13 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the heavyweight files so `-m "not slow"` is a quick
+    (<2 min) suite; the full suite stays the default."""
+    slow_files = {"test_dist.py", "test_baseline_configs.py",
+                  "test_dist_precond.py", "test_combine_modes.py"}
+    for item in items:
+        if item.path.name in slow_files:
+            item.add_marker(pytest.mark.slow)

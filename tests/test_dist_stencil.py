@@ -1,0 +1,55 @@
+"""Distributed matrix-free stencil operator (DistStencil): VERDICT
+round-1 missing #2 — the framework's fastest operator usable in
+distributed solves (z-slab halo planes; SURVEY §3.3 overlap structure)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from trilinos_tpu.galeri import laplace3d
+from trilinos_tpu.ops import matvec as S
+from trilinos_tpu.parallel import distmatrix as D
+from trilinos_tpu.parallel import driver as drv
+from trilinos_tpu.solvers import cg
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+class TestDistStencil:
+    def test_apply_matches_serial(self, n_shards, rng):
+        op = laplace3d(16, 8, 8 * n_shards // 2 if n_shards > 2 else 8,
+                       dtype=np.float64, fmt="stencil")
+        ds = D.distribute_stencil(op, n_shards)
+        mesh = drv.make_mesh(n_shards)
+        n = op.n_rows
+        x = rng.standard_normal(n)
+        xg = jnp.asarray(ds.row_map.to_padded(x))
+        y = drv.dist_spmv(ds, xg, mesh)
+        got = ds.row_map.from_padded(np.asarray(y))
+        xp = np.zeros(op.n_rows_pad)
+        xp[:n] = x
+        want = np.asarray(S.spmv(op, jnp.asarray(xp), impl="xla"))[:n]
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_cg_solve(self, n_shards, rng):
+        op = laplace3d(8, 8, 8 * n_shards, dtype=np.float64, fmt="stencil")
+        a = laplace3d(8, 8, 8 * n_shards)  # stored twin for the check
+        ds = D.distribute_stencil(op, n_shards)
+        mesh = drv.make_mesh(n_shards)
+        n = op.n_rows
+        b = rng.standard_normal(n)
+        bg = jnp.asarray(ds.row_map.to_padded(b))
+        res = drv.dist_solve(cg, ds, bg, mesh=mesh, rtol=1e-10,
+                             maxiter=2000)
+        assert bool(res.converged.all())
+        x = ds.row_map.from_padded(np.asarray(res.x))
+        rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
+        assert rel <= 2e-10
+
+
+def test_diststencil_rejects_bad_split():
+    op = laplace3d(8, 8, 6, dtype=np.float32, fmt="stencil")
+    with pytest.raises(ValueError):
+        D.distribute_stencil(op, 4)

@@ -177,3 +177,52 @@ class TestDistributedRead:
         y = drv.dist_spmv(dm, jnp.asarray(dm.row_map.to_padded(x)), mesh)
         np.testing.assert_allclose(dm.row_map.from_padded(np.asarray(y)),
                                    a.to_dense() @ x, rtol=1e-12)
+
+
+class TestBinaryContainer:
+    """TTBC binary container (EpetraExt_HDF5 analogue) + binary COO
+    (Tpetra_Details_CooMatrix analogue)."""
+
+    def test_round_trip(self, tmp_path, rng):
+        from trilinos_tpu.io.container import BinaryContainer
+        from trilinos_tpu.galeri import laplace2d
+
+        a = laplace2d(13, 9)
+        vec = rng.standard_normal(17)
+        p = str(tmp_path / "c.ttbc")
+        (BinaryContainer()
+         .add_csr("A", a)
+         .add_array("x", vec)
+         .add_coo("B", [0, 1, 2], [2, 1, 0], [1.5, -2.0, 3.25], (3, 3))
+         .add_meta("info", {"solver": "CG", "rtol": 1e-8})
+         .write(p))
+        c = BinaryContainer.open(p)
+        assert c.names() == ["A", "B", "info", "x"]
+        a2 = c.get_csr("A")
+        np.testing.assert_array_equal(a2.row_ptr, a.row_ptr)
+        np.testing.assert_array_equal(a2.cols, a.cols)
+        np.testing.assert_array_equal(a2.vals, a.vals)
+        np.testing.assert_array_equal(c.get_array("x"), vec)
+        r, cc, v, shape = c.get_coo("B")
+        np.testing.assert_array_equal(r, [0, 1, 2])
+        np.testing.assert_array_equal(v, [1.5, -2.0, 3.25])
+        assert shape == (3, 3)
+        assert c.get_meta("info")["solver"] == "CG"
+
+    def test_coo_file(self, tmp_path):
+        from trilinos_tpu.io.container import read_coo, write_coo
+
+        p = str(tmp_path / "m.coo")
+        write_coo(p, np.array([0, 5]), np.array([1, 3]),
+                  np.array([2.0, -4.0]), (6, 6))
+        r, c, v, shape = read_coo(p)
+        np.testing.assert_array_equal(r, [0, 5])
+        assert shape == (6, 6)
+
+    def test_bad_magic(self, tmp_path):
+        from trilinos_tpu.io.container import BinaryContainer
+
+        p = tmp_path / "junk.bin"
+        p.write_bytes(b"NOTTTBC!xxxx")
+        with pytest.raises(ValueError):
+            BinaryContainer.open(str(p))

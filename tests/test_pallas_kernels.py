@@ -94,3 +94,24 @@ class TestStencilOp:
         op = laplace2d(10, 10, dtype=np.float32, fmt="stencil")
         a = laplace2d(10, 10)
         assert op.nnz == a.nnz
+
+
+class TestDiaSpmm:
+    """Packed multivector DIA kernel (round-2: KokkosSparse_spmv.hpp:156
+    multivector analogue) vs XLA, interpret mode."""
+
+    @pytest.mark.parametrize("k", [2, 4, 8])
+    def test_matches_xla(self, k):
+        from trilinos_tpu.ops.pallas.dia_spmv import (dia_spmm_applicable,
+                                                      dia_spmm_pallas)
+
+        a = laplace3d(32, 16, 16, dtype=np.float32, fmt="dia")
+        assert dia_spmm_applicable(a, k)
+        n = a.n_rows_pad
+        x = np.zeros((n, k), np.float32)
+        x[: a.n_rows] = np.random.default_rng(0).standard_normal(
+            (a.n_rows, k))
+        y_k = dia_spmm_pallas(a, jnp.asarray(x), interpret=True)
+        y_x = mv.spmv(a, jnp.asarray(x), impl="xla")
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x),
+                                   rtol=1e-5, atol=1e-5)

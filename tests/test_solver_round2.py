@@ -59,6 +59,62 @@ class TestStochasticCG:
         assert tr_rel < 0.15, tr_rel
 
 
+class TestCaGmres:
+    """gmres_single_reduce / gmres_pipeline parity with plain GMRES
+    (Belos_Tpetra_GmresSingleReduce.hpp, Belos_Tpetra_GmresPipeline.hpp)."""
+
+    def _problem(self, nonsym=True):
+        from trilinos_tpu.galeri import recirc2d
+        a = (recirc2d(16, 16, diff=1e-2) if nonsym else laplace2d(16, 16))
+        return make_problem(a)
+
+    @pytest.mark.parametrize("nonsym", [False, True])
+    def test_iteration_parity(self, nonsym):
+        from trilinos_tpu.solvers import (gmres, gmres_pipeline,
+                                          gmres_single_reduce)
+
+        op, b, dense, n = self._problem(nonsym)
+        k0 = int(gmres(op, b, rtol=1e-8, restart=40).iters)
+        for fn in (gmres_single_reduce, gmres_pipeline):
+            res = fn(op, b, rtol=1e-8, restart=40)
+            assert bool(res.converged.all()), fn.__name__
+            x = np.asarray(res.x)[:n]
+            rel = (np.linalg.norm(np.asarray(b)[:n] - dense @ x)
+                   / np.linalg.norm(np.asarray(b)[:n]))
+            assert rel <= 2e-8, (fn.__name__, rel)
+            assert abs(int(res.iters) - k0) <= 3, (fn.__name__,
+                                                   int(res.iters), k0)
+
+    def test_preconditioned_and_multivector(self):
+        from trilinos_tpu.solvers import gmres_single_reduce
+
+        a = laplace2d(12, 12)
+        op, b, dense, n = make_problem(a, nrhs=2)
+        dinv = np.ones(b.shape[0])
+        dinv[:n] = 1.0 / np.diag(dense)
+        prec = lambda v: jnp.asarray(dinv)[:, None] * v \
+            if v.ndim == 2 else jnp.asarray(dinv) * v
+        res = gmres_single_reduce(op, b, prec=lambda v: (
+            jnp.asarray(dinv)[:, None] if v.ndim == 2
+            else jnp.asarray(dinv)) * v, rtol=1e-9, restart=40)
+        assert bool(res.converged.all())
+        x = np.asarray(res.x)[:n]
+        r = np.asarray(b)[:n] - dense @ x
+        rel = np.linalg.norm(r, axis=0) / np.linalg.norm(
+            np.asarray(b)[:n], axis=0)
+        assert (rel <= 2e-9).all()
+
+    def test_factory_names(self):
+        from trilinos_tpu.solvers import SolverManager, LinearProblem
+
+        a = laplace2d(10, 10)
+        op, b, dense, n = make_problem(a)
+        for name in ("Single Reduce GMRES", "Pipelined GMRES"):
+            mgr = SolverManager(name, {"Convergence Tolerance": 1e-8})
+            res = mgr.solve(LinearProblem(op, b))
+            assert bool(res.converged.all()), name
+
+
 class TestBlockGmresEarlyExit:
     def test_iters_counts_block_steps(self):
         """Cycle must exit at convergence, not run all num_blocks steps

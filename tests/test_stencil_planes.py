@@ -62,3 +62,24 @@ class TestPlaneKernel:
         st = stencils.cross2d_stencil(4.0, -1.0, -1.0, -1.0, -1.0)
         op = StencilOp.create((100, 100), st)
         assert _plane_plan(op) is None
+
+
+class TestStencilSpmm:
+    """Packed multivector plane kernel vs XLA (interpret mode)."""
+
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_matches_xla(self, k):
+        from trilinos_tpu.ops.pallas.stencil_op import (
+            stencil_spmm_applicable, stencil_spmm_pallas)
+
+        st = stencils.cross3d_stencil(6.0, *([-1.0] * 6))
+        op = StencilOp.create((32, 32, 8), st)
+        assert stencil_spmm_applicable(op, k)
+        n = op.n_rows_pad
+        x = np.zeros((n, k), np.float32)
+        x[: op.n_rows] = np.random.default_rng(0).standard_normal(
+            (op.n_rows, k))
+        y_k = stencil_spmm_pallas(op, jnp.asarray(x), interpret=True)
+        y_x = stencil_spmv_xla(op, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,5 +1,8 @@
 from .lanczos import arnoldi, lanczos_eigs
 from .lobpcg import EigenResult, lobpcg, power_method
+from .krylov_schur import EigsResult, block_krylov_schur
+from .davidson import block_davidson
 
 __all__ = ["arnoldi", "lanczos_eigs", "EigenResult", "lobpcg",
-           "power_method"]
+           "power_method", "EigsResult", "block_krylov_schur",
+           "block_davidson"]

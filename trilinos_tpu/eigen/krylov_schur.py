@@ -1,0 +1,196 @@
+"""Block Krylov–Schur eigensolver with thick (implicit) restarts.
+
+TPU-native analogue of Anasazi::BlockKrylovSchur
+(packages/anasazi/src/AnasaziBlockKrylovSchurSolMgr.hpp,
+AnasaziBlockKrylovSchur.hpp — block Arnoldi expansion + Schur
+decomposition of the projected matrix + implicit restart keeping the
+wanted Ritz block). Block size nb > 1 captures eigenvalue multiplicities
+a single-vector Krylov space cannot (the reason the reference's flagship
+is BLOCK Krylov-Schur).
+
+Division of labor (the same split the reference makes between MultiVecs
+and LAPACK): the block Arnoldi expansion — batched SpMM + CGS2 block
+projections + CholQR2 panel orthogonalization — is ONE jitted device
+program over the static-shape padded basis; the small (m x m) Schur
+decomposition, Ritz ordering and restart assembly run on host
+(scipy/LAPACK) once per restart.
+
+The restart is Stewart's Krylov–Schur transformation: from
+A V_m = V_m H + V_b B E_m', order the Schur form T = Q' H Q so the wanted
+Ritz values lead, keep k columns:
+    A (V_m Q_k) = (V_m Q_k) T_k + V_b (B Q[m-nb:m, :k])
+— a valid generalized Krylov decomposition whose expansion continues with
+plain block Arnoldi (projection is against the whole basis anyway).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import scipy.linalg as sla
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel.comm import Comm, SerialComm, norm2
+from ..solvers.base import Operator, safe_divide
+from ..solvers.ortho import cgs2_project, cholqr2
+
+
+@dataclasses.dataclass
+class EigsResult:
+    eigenvalues: np.ndarray  # (nev,) complex (real for symmetric)
+    eigenvectors: np.ndarray  # (n, nev)
+    resnorms: np.ndarray  # (nev,) Ritz residual estimates
+    iters: int  # Arnoldi (column) steps performed
+    converged: bool
+
+
+def _extend(op, comm, m, nb):
+    """Jitted block-Arnoldi expansion: block steps k/nb..m/nb-1 on (V,H).
+
+    V: (n, m+nb) padded basis; H: (m+nb, m)."""
+
+    def run(v, h, k):
+        n = v.shape[0]
+
+        def body(jb, carry):
+            v, h = carry
+            j = jb * nb
+            vj = lax.dynamic_slice(v, (0, j), (n, nb))
+            w = op(vj) if nb > 1 else op(vj[:, 0])[:, None]
+            w2, c = cgs2_project(comm, v, w)
+            q, r_small, _ = cholqr2(comm, w2)
+            hcol = lax.dynamic_update_slice(c, r_small, (j + nb, 0))
+            v = lax.dynamic_update_slice(v, q, (0, j + nb))
+            h = lax.dynamic_update_slice(h, hcol, (0, j))
+            return v, h
+
+        return lax.fori_loop(k // nb, m // nb, body, (v, h))
+
+    return jax.jit(run)
+
+
+def _crit(w, which):
+    if which == "LM":
+        return np.abs(w)
+    if which == "SM":
+        return -np.abs(w)
+    if which == "LR":
+        return np.real(w)
+    if which == "SR":
+        return -np.real(w)
+    raise ValueError(f"unknown which={which!r}")
+
+
+def _ordschur(hm: np.ndarray, which: str, keep: int):
+    """Ordered real Schur form: the ``keep`` most-wanted eigenvalues moved
+    to the leading block (LAPACK trsen via scipy.schur(sort=...)); the
+    sort predicate is a robust threshold on the selection criterion."""
+    w_all = sla.eigvals(hm)
+    vals = _crit(w_all, which)
+    cutoff = np.sort(vals)[-keep]
+    eps = 1e-12 * max(1.0, float(np.abs(vals).max()))
+
+    def sort_fn(re, im):
+        return bool(_crit(re + 1j * im, which) >= cutoff - eps)
+
+    t_mat, q, sdim = sla.schur(hm, output="real", sort=sort_fn)
+    theta_sorted = sla.eigvals(t_mat)
+    return t_mat, q, theta_sorted
+
+
+def block_krylov_schur(op: Operator, n: int, nev: int, *,
+                       m: int | None = None, nb: int = 1,
+                       which: str = "LM", tol: float = 1e-8,
+                       max_restarts: int = 50, symmetric: bool = False,
+                       v0: jax.Array | None = None,
+                       comm: Comm | None = None,
+                       dtype=jnp.float64) -> EigsResult:
+    """Compute ``nev`` eigenpairs of ``op`` (length-n vectors; for nb > 1
+    the operator must accept (n, nb) multivectors).
+
+    which: LM (largest magnitude) / SM / LR / SR. ``symmetric=True`` uses
+    eigh for the projected problem (thick-restart block Lanczos).
+    """
+    comm = comm or SerialComm()
+    m = m or min(max(2 * nev + 12, 20), n - nb)
+    m = (m // nb) * nb
+    keep_target = min(nev + max(nev // 2, 4), m - 2 * nb)
+    keep_target = max((keep_target // nb) * nb, nb)
+    extend = _extend(op, comm, m, nb)
+
+    rng = np.random.default_rng(42)
+    if v0 is None:
+        v0 = jnp.asarray(rng.standard_normal((n, nb)), dtype=dtype)
+    elif v0.ndim == 1:
+        v0 = jnp.concatenate(
+            [v0[:, None],
+             jnp.asarray(rng.standard_normal((n, nb - 1)), dtype=dtype)],
+            axis=1) if nb > 1 else v0[:, None]
+    q0, _, _ = cholqr2(comm, v0.astype(dtype))
+    v = jnp.zeros((n, m + nb), dtype)
+    v = v.at[:, :nb].set(q0)
+    h = jnp.zeros((m + nb, m), dtype)
+    k = 0
+    total_steps = 0
+    res = np.full(nev, np.inf)
+    converged = False
+
+    for restart in range(max_restarts + 1):
+        v, h = extend(v, h, k)
+        total_steps += (m - k)
+        hn = np.asarray(h, dtype=np.float64)
+        hm = hn[:m, :m]
+        b_blk = hn[m:m + nb, m - nb:m]  # residual coupling block
+
+        if symmetric:
+            theta_all, q = np.linalg.eigh((hm + hm.T) / 2)
+            order = np.argsort(-_crit(theta_all, which))
+            q = q[:, order]
+            theta_sorted = theta_all[order]
+            t_mat = np.diag(theta_sorted)
+        else:
+            t_mat, q, theta_sorted = _ordschur(hm, which, keep_target)
+
+        # Ritz residuals of the leading nev: ||B Q[m-nb:m, j]||
+        coup = b_blk @ q[m - nb:m, :]
+        res = np.linalg.norm(coup[:, :nev].reshape(nb, nev), axis=0)
+        scale = np.maximum(np.abs(theta_sorted[:nev]), 1e-30)
+        converged = bool((res <= tol * scale).all())
+        if converged or restart == max_restarts:
+            break
+
+        # thick restart: keep a multiple of nb; don't split a 2x2 block
+        keep = keep_target
+        if not symmetric and keep < m and t_mat[keep, keep - 1] != 0:
+            keep += nb
+        qk = jnp.asarray(q[:, :keep], dtype=dtype)
+        v_new = jnp.zeros_like(v)
+        v_new = v_new.at[:, :keep].set(v[:, :m] @ qk)
+        v_new = v_new.at[:, keep:keep + nb].set(v[:, m:m + nb])
+        h_new = np.zeros_like(hn)
+        h_new[:keep, :keep] = t_mat[:keep, :keep]
+        h_new[keep:keep + nb, :keep] = coup[:, :keep]
+        v = v_new
+        h = jnp.asarray(h_new, dtype=dtype)
+        k = keep
+
+    # eigenpairs from the final projected matrix
+    if symmetric:
+        theta_fin, z_all = np.linalg.eigh((hn[:m, :m] + hn[:m, :m].T) / 2)
+        w_all = theta_fin.astype(complex)
+    else:
+        w_all, z_all = np.linalg.eig(hn[:m, :m])
+    order = np.argsort(-_crit(w_all, which))[:nev]
+    w_small = w_all[order]
+    z = z_all[:, order]
+    x = np.asarray(v[:, :m], dtype=np.float64) @ z
+    x = x / np.linalg.norm(x, axis=0, keepdims=True)
+    if symmetric:
+        w_small = w_small.real
+        x = x.real
+    return EigsResult(eigenvalues=w_small, eigenvectors=x,
+                      resnorms=res, iters=total_steps, converged=converged)

@@ -287,3 +287,60 @@ def create_matrix(name: str, params: dict, dtype=np.float64, fmt: str = "csr"):
         st = cross2d_stencil(p["a"], p["b"], p["c"], p["d"], p["e"])
         return _emit((nx, ny), st, dtype, fmt)
     raise ValueError(f"unknown Galeri matrix type {name!r}")
+
+
+def maxwell2d(nx: int, ny: int, sigma=1.0, dtype=np.float64):
+    """2-D eddy-current (curl-curl) test problem on a structured grid:
+    A = CᵀC + σ·M on EDGE unknowns, with M = I, plus the discrete
+    gradient G (edges × nodes) whose range spans curl-curl's null space.
+    The Galeri-style generator for Hiptmair smoother testing (reference:
+    ifpack2/src/Ifpack2_Hiptmair_decl.hpp's target problem class).
+
+    Edge numbering: x-edges (nx·(ny+1)) first, then y-edges ((nx+1)·ny).
+    Returns (A: CsrHost, G: CsrHost).
+    """
+    n_nodes = (nx + 1) * (ny + 1)
+    n_ex = nx * (ny + 1)
+    n_ey = (nx + 1) * ny
+    n_e = n_ex + n_ey
+
+    def node(i, j):
+        return i + (nx + 1) * j
+
+    def ex(i, j):  # x-edge from (i,j) to (i+1,j)
+        return i + nx * j
+
+    def ey(i, j):  # y-edge from (i,j) to (i,j+1)
+        return n_ex + i + (nx + 1) * j
+
+    rows_g, cols_g, vals_g = [], [], []
+    for j in range(ny + 1):
+        for i in range(nx):
+            rows_g += [ex(i, j), ex(i, j)]
+            cols_g += [node(i + 1, j), node(i, j)]
+            vals_g += [1.0, -1.0]
+    for j in range(ny):
+        for i in range(nx + 1):
+            rows_g += [ey(i, j), ey(i, j)]
+            cols_g += [node(i, j + 1), node(i, j)]
+            vals_g += [1.0, -1.0]
+    g = CsrHost.from_coo(np.array(rows_g), np.array(cols_g),
+                         np.array(vals_g, dtype=dtype), (n_e, n_nodes))
+
+    rows_c, cols_c, vals_c = [], [], []
+    for j in range(ny):
+        for i in range(nx):
+            f = i + nx * j
+            rows_c += [f, f, f, f]
+            cols_c += [ex(i, j), ey(i + 1, j), ex(i, j + 1), ey(i, j)]
+            vals_c += [1.0, 1.0, -1.0, -1.0]
+    c = CsrHost.from_coo(np.array(rows_c), np.array(cols_c),
+                         np.array(vals_c, dtype=dtype), (nx * ny, n_e))
+
+    from ..ops.matrix_ops import diag_matrix, spadd, spgemm
+
+    ctc = spgemm(c.transpose(), c)
+    sig = (np.full(n_e, float(sigma)) if np.isscalar(sigma)
+           else np.asarray(sigma, dtype=np.float64))
+    a = spadd(ctc, diag_matrix(sig), 1.0, 1.0)
+    return a, g

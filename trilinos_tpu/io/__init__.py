@@ -1,3 +1,5 @@
+from .container import (BinaryContainer, read_coo, read_csr,
+                        write_coo, write_csr)
 from .harwell_boeing import read_hb
 from .matrix_market import (
     read_dense,
@@ -8,6 +10,11 @@ from .matrix_market import (
 )
 
 __all__ = [
+    "BinaryContainer",
+    "read_coo",
+    "write_coo",
+    "read_csr",
+    "write_csr",
     "read_hb",
     "read_dense",
     "read_sparse",

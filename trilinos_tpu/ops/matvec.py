@@ -149,16 +149,21 @@ def spmv(a: SparseMatrix, x: jax.Array, transpose: bool = False,
 
         if impl != "xla" and pk._on_tpu():
             from .pallas.stencil_op import (stencil_pallas_applicable,
+                                            stencil_spmm_applicable,
+                                            stencil_spmm_pallas,
                                             stencil_spmv_pallas)
 
-            if stencil_pallas_applicable(a, x.ndim):
+            if x.ndim == 1 and stencil_pallas_applicable(a, x.ndim):
                 return stencil_spmv_pallas(a, x)
+            if x.ndim == 2 and stencil_spmm_applicable(a, x.shape[1]):
+                return stencil_spmm_pallas(a, x)
         return stencil_spmv_xla(a, x)
     if impl in ("auto", "pallas"):
         from . import pallas as pk
 
         fn = pk.maybe_pallas(a, transpose, force=(impl == "pallas"),
-                             x_ndim=x.ndim)
+                             x_ndim=x.ndim,
+                             nrhs=x.shape[1] if x.ndim == 2 else 1)
         if fn is not None:
             return fn(a, x)
     table = _XLA_TRANS if transpose else _XLA_FWD

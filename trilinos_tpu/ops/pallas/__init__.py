@@ -20,17 +20,20 @@ def _on_tpu() -> bool:
 
 
 def maybe_pallas(a: SparseMatrix, transpose: bool, force: bool = False,
-                 x_ndim: int = 1):
+                 x_ndim: int = 1, nrhs: int = 1):
     if transpose:
         return None
     if not (force or _on_tpu()):
         return None
     try:
         if isinstance(a, DiaMatrix):
-            from .dia_spmv import dia_spmv_pallas, dia_pallas_applicable
+            from .dia_spmv import (dia_pallas_applicable, dia_spmm_applicable,
+                                   dia_spmm_pallas, dia_spmv_pallas)
 
-            if dia_pallas_applicable(a, x_ndim):
+            if x_ndim == 1 and dia_pallas_applicable(a, x_ndim):
                 return dia_spmv_pallas
+            if x_ndim == 2 and dia_spmm_applicable(a, nrhs):
+                return dia_spmm_pallas
     except ImportError:  # pragma: no cover
         return None
     return None

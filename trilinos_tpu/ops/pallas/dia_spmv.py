@@ -134,6 +134,163 @@ def _kernel(offsets, br, h, r, data_ref, x_hbm, y_ref, win, sem):
     y_ref[:] = acc.astype(y_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Multivector (SpMM) variant: packed (k, R, 128) layout
+# ---------------------------------------------------------------------------
+#
+# The whole point of SpMM on TPU is DATA REUSE: the diagonal stream (the
+# dominant traffic) is read once per block and multiplies all k right-hand
+# sides. Lane layout stays on the row dimension; the k axis is a leading
+# batch axis of both the window scratch and the output (reference:
+# multivector spmv, kokkos-kernels/src/sparse/KokkosSparse_spmv.hpp:156).
+# Callers keep multivectors in (n, k); the wrapper transposes to/from the
+# packed (k, R, 128) form in-graph (two extra k*n passes — still a large
+# win over re-reading the matrix k times).
+
+
+def _plan_mv(offsets, n_rows_pad, n_diags, k) -> tuple[int, int] | None:
+    if n_rows_pad % LANES != 0 or k < 1 or k > 16:
+        return None
+    r = n_rows_pad // LANES
+    min_br = max((abs(o) // LANES + 2 for o in offsets), default=1)
+    h = ((min_br + 7) // 8) * 8
+    row_bytes = LANES * 4
+    vmem_budget = 13 * 2 ** 20
+    top = (min(r // 2, MAX_BR) // 8) * 8
+    for cand in range(top, 7, -8):
+        if r % cand != 0 or cand + 2 * h > r:
+            continue
+        need = 2 * row_bytes * (n_diags * cand + k * (cand + 2 * h)
+                                + k * cand)
+        if need <= vmem_budget:
+            return cand, h
+    return None
+
+
+def dia_spmm_applicable(a: DiaMatrix, k: int) -> bool:
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return _plan_mv(a.offsets, a.n_rows_pad, a.data.shape[0], k) is not None
+
+
+def _kernel_mv(offsets, br, h, r, k, data_ref, x_hbm, y_ref, win, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    wrows = br + 2 * h
+
+    def issue(blk, slot, wait):
+        is_first = blk == 0
+        is_last = blk == nb - 1
+
+        def run(d):
+            d.wait() if wait else d.start()
+
+        @pl.when(is_first)
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(0, br + h), :],
+                win.at[slot, :, pl.ds(h, br + h)], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_first),
+                                 jnp.logical_not(is_last)))
+        def _():
+            start = jnp.clip(blk * br - h, 0, r - wrows)
+            run(pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(start, wrows), :],
+                win.at[slot], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(is_last, jnp.logical_not(is_first)))
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(r - (br + h), br + h), :],
+                win.at[slot, :, pl.ds(0, br + h)], sem.at[slot]))
+
+    @pl.when(b == 0)
+    def _():
+        zero = jnp.zeros((k, h, LANES), dtype=win.dtype)
+        win[0, :, pl.ds(0, h)] = zero
+        win[0, :, pl.ds(br + h, h)] = zero
+        win[1, :, pl.ds(0, h)] = zero
+        win[1, :, pl.ds(br + h, h)] = zero
+        issue(0, 0, wait=False)
+
+    slot = lax.rem(b, jnp.int32(2))
+
+    @pl.when(b + 1 < nb)
+    def _():
+        issue(b + 1, lax.rem(b + 1, jnp.int32(2)), wait=False)
+
+    issue(b, slot, wait=True)
+
+    window = win.at[slot]
+    lane = lax.broadcasted_iota(jnp.int32, (k, br, LANES), 2)
+    acc = jnp.zeros((k, br, LANES), dtype=jnp.float32)
+    for d, o in enumerate(offsets):
+        ro, lo = divmod(o, LANES)
+        a_blk = window[:, pl.ds(h + ro, br)]
+        if lo == 0:
+            shifted = a_blk
+        else:
+            b_blk = window[:, pl.ds(h + ro + 1, br)]
+            ra = pltpu.roll(a_blk, LANES - lo, 2)
+            rb = pltpu.roll(b_blk, LANES - lo, 2)
+            shifted = jnp.where(lane < LANES - lo, ra, rb)
+        acc = acc + (data_ref[d].astype(jnp.float32)[None]
+                     * shifted.astype(jnp.float32))
+    y_ref[:] = acc.astype(y_ref.dtype)
+
+
+def dia_spmm_packed(a: DiaMatrix, xk: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """SpMM on a PACKED multivector xk of shape (k, R, 128)."""
+    n = a.n_rows_pad
+    r = n // LANES
+    k = xk.shape[0]
+    plan = _plan_mv(a.offsets, n, a.data.shape[0], k)
+    if plan is None:
+        raise ValueError("dia_spmm_packed: not applicable (use XLA path)")
+    br, h = plan
+    nb = r // br
+    nd = a.data.shape[0]
+    data3 = a.data if a.data.ndim == 3 else a.data.reshape(nd, r, LANES)
+    out = pl.pallas_call(
+        functools.partial(_kernel_mv, a.offsets, br, h, r, k),
+        out_shape=jax.ShapeDtypeStruct((k, r, LANES), xk.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((nd, br, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((k, br, LANES), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, k, br + 2 * h, LANES), xk.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n * k,
+            bytes_accessed=(nd + 2 * k) * n * xk.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(data3, xk)
+    return out
+
+
+def dia_spmm_pallas(a: DiaMatrix, x: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """SpMM for x of shape (n_pad, k): packs to (k, R, 128), runs the
+    packed kernel, unpacks. The transposes cost 2*2kn extra bytes but the
+    diagonal stream is read ONCE instead of k times."""
+    n = a.n_rows_pad
+    r = n // LANES
+    k = x.shape[1]
+    xk = x.T.reshape(k, r, LANES)
+    out = dia_spmm_packed(a, xk, interpret=interpret)
+    return out.reshape(k, n).T
+
+
 def dia_spmv_pallas(a: DiaMatrix, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
     n = a.n_rows_pad

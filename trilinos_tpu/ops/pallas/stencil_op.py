@@ -309,9 +309,11 @@ def _plane_plan(op: StencilOp, nrhs: int = 1):
 def _build_planes(op: StencilOp):
     """Host-side per-offset coefficient*mask planes.
 
-    Returns (planes, plane_idx): planes is an (n_planes, P, 128) f32 array
-    (None when no offset needs one); plane_idx[t] is the plane row for
-    offset t or None for scalar-coefficient offsets."""
+    Returns (planes, plane_idx): planes is an (n_planes, P, 128) f32
+    NUMPY array (cached; converted to a device constant per trace by the
+    caller — caching a jnp array created under an active trace would leak
+    tracers); plane_idx[t] is the plane row for offset t or None for
+    scalar-coefficient offsets."""
     p_rows = _plane_geometry(op)
     assert p_rows is not None
     nx, ny, _ = op.dims
@@ -333,7 +335,7 @@ def _build_planes(op: StencilOp):
         plane_idx.append(len(planes) - 1)
     arr = np.stack(planes) if planes else np.zeros((1, p_rows, LANES),
                                                   np.float32)
-    return jnp.asarray(arr), tuple(plane_idx)
+    return arr, tuple(plane_idx)
 
 
 def _shifted_chunk(window, base, p_rows, o, lane):
@@ -456,7 +458,8 @@ def stencil_spmv_planes(op: StencilOp, x: jax.Array,
         raise ValueError("stencil_spmv_planes: not applicable")
     br, q, h, p_rows = plan
     nb = r // br
-    planes, plane_idx = _build_planes(op)
+    planes_np, plane_idx = _build_planes(op)
+    planes = jnp.asarray(planes_np)
     x2 = x.reshape(r, LANES)
     out = pl.pallas_call(
         functools.partial(_plane_kernel, op, br, q, h, p_rows, r, plane_idx),
@@ -488,6 +491,170 @@ def stencil_spmv_pallas(op: StencilOp, x: jax.Array,
     if _plane_plan(op) is not None:
         return stencil_spmv_planes(op, x, interpret=interpret)
     return stencil_spmv_masked(op, x, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Multivector (SpMM) plane kernel: packed (k, R, 128) layout
+# ---------------------------------------------------------------------------
+
+
+def stencil_spmm_applicable(op: StencilOp, k: int) -> bool:
+    if op.dtype not in ("float32", "bfloat16") or not 1 <= k <= 16:
+        return False
+    return _plane_plan(op, nrhs=k) is not None
+
+
+def _plane_compute_mv(op: StencilOp, m, q, p_rows, h, k, plane_idx, b,
+                      window, planes_ref, y_ref):
+    nx, ny, nz = op.dims
+    nz_total = op.n_rows // (nx * ny)
+    has_pad = op.n_rows_pad > op.n_rows
+    lane = lax.broadcasted_iota(jnp.int32, (k, q, LANES), 2)
+    br = m * q
+    for rep in range(m):
+        base = h + rep * q
+        start = b * br + rep * q
+        if q == p_rows:
+            iz = b * m + rep
+            poff = 0
+        else:
+            iz = lax.div(start, jnp.int32(p_rows))
+            poff = start - iz * p_rows
+        acc = jnp.zeros((k, q, LANES), dtype=jnp.float32)
+        for t, (off3, c) in enumerate(zip(op.offsets, op.coeffs)):
+            o = op.lin_offset(off3)
+            ro, lo = divmod(o, LANES)
+            a_blk = window[:, pl.ds(base + ro, q)]
+            if lo == 0:
+                shifted = a_blk
+            else:
+                b_blk = window[:, pl.ds(base + ro + 1, q)]
+                ra = pltpu.roll(a_blk, LANES - lo, 2)
+                rb = pltpu.roll(b_blk, LANES - lo, 2)
+                shifted = jnp.where(lane < LANES - lo, ra, rb)
+            sf = shifted.astype(jnp.float32)
+            dz = off3[2]
+            if plane_idx[t] is not None:
+                pslab = planes_ref[plane_idx[t], pl.ds(poff, q)]
+                term = pslab[None] * sf
+                if dz:
+                    zvalid = jnp.logical_and(iz + dz >= 0, iz + dz < nz)
+                    term = jnp.where(zvalid, term, 0.0)
+            elif dz:
+                zvalid = jnp.logical_and(iz + dz >= 0, iz + dz < nz)
+                cz = jnp.where(zvalid, jnp.float32(c), jnp.float32(0.0))
+                term = cz * sf
+            else:
+                term = jnp.float32(c) * sf
+            acc = acc + term
+        if has_pad:
+            x_chunk = window[:, pl.ds(base, q)].astype(jnp.float32)
+            acc = jnp.where(iz < nz_total, acc, x_chunk)
+        y_ref[:, pl.ds(rep * q, q)] = acc.astype(y_ref.dtype)
+
+
+def _plane_kernel_mv(op: StencilOp, br, q, h, p_rows, r, k, plane_idx,
+                     planes_ref, x_hbm, y_ref, win, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    wrows = br + 2 * h
+    m = br // q
+
+    def issue(blk, slot, wait):
+        is_first = blk == 0
+        is_last = blk == nb - 1
+
+        def run(d):
+            d.wait() if wait else d.start()
+
+        @pl.when(is_first)
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(0, br + h), :],
+                win.at[slot, :, pl.ds(h, br + h)], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_first),
+                                 jnp.logical_not(is_last)))
+        def _():
+            start = jnp.clip(blk * br - h, 0, r - wrows)
+            run(pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(start, wrows), :],
+                win.at[slot], sem.at[slot]))
+
+        @pl.when(jnp.logical_and(is_last, jnp.logical_not(is_first)))
+        def _():
+            run(pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(r - (br + h), br + h), :],
+                win.at[slot, :, pl.ds(0, br + h)], sem.at[slot]))
+
+    @pl.when(b == 0)
+    def _():
+        zero = jnp.zeros((k, h, LANES), dtype=win.dtype)
+        win[0, :, pl.ds(0, h)] = zero
+        win[0, :, pl.ds(br + h, h)] = zero
+        win[1, :, pl.ds(0, h)] = zero
+        win[1, :, pl.ds(br + h, h)] = zero
+        issue(0, 0, wait=False)
+
+    slot = lax.rem(b, jnp.int32(2))
+
+    @pl.when(b + 1 < nb)
+    def _():
+        issue(b + 1, lax.rem(b + 1, jnp.int32(2)), wait=False)
+
+    issue(b, slot, wait=True)
+    _plane_compute_mv(op, m, q, p_rows, h, k, plane_idx, b, win.at[slot],
+                      planes_ref, y_ref)
+
+
+def stencil_spmm_packed(op: StencilOp, xk: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Multivector stencil apply on a PACKED (k, R, 128) multivector."""
+    n = op.n_rows_pad
+    r = n // LANES
+    k = xk.shape[0]
+    plan = _plane_plan(op, nrhs=k)
+    if plan is None:
+        raise ValueError("stencil_spmm_packed: not applicable")
+    br, q, h, p_rows = plan
+    nb = r // br
+    planes_np, plane_idx = _build_planes(op)
+    planes = jnp.asarray(planes_np)
+    out = pl.pallas_call(
+        functools.partial(_plane_kernel_mv, op, br, q, h, p_rows, r, k,
+                          plane_idx),
+        out_shape=jax.ShapeDtypeStruct((k, r, LANES), xk.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(planes.shape, lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((k, br, LANES), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, k, br + 2 * h, LANES), xk.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(op.offsets) * n * k,
+            bytes_accessed=2 * n * k * xk.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(planes, xk)
+    return out
+
+
+def stencil_spmm_pallas(op: StencilOp, x: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Multivector apply for x (n_pad, k): pack, kernel, unpack."""
+    n = op.n_rows_pad
+    r = n // LANES
+    k = x.shape[1]
+    xk = x.T.reshape(k, r, LANES)
+    out = stencil_spmm_packed(op, xk, interpret=interpret)
+    return out.reshape(k, n).T
 
 
 def stencil_spmv_masked(op: StencilOp, x: jax.Array,

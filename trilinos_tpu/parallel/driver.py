@@ -26,8 +26,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.formats import CsrHost
 from ..solvers.base import SolveResult
 from .comm import AxisComm, Comm
-from .distmatrix import DistMatrix, apply_local, unstack_local
+from .distmatrix import (DistMatrix, DistStencil, apply_local,
+                         apply_local_stencil, unstack_local)
 from .map import Map
+
+
+def _local_op(al, n_shards):
+    """Per-shard operator closure for either DistMatrix or DistStencil."""
+    if isinstance(al, DistStencil):
+        return lambda v: apply_local_stencil(
+            al.sel, al.valid, al.op_local, al.depth, al.plan, v, AXIS,
+            n_shards)
+    return lambda v: apply_local(al.interior, al.boundary, al.plan, v,
+                                 AXIS, n_shards)
 
 AXIS = "rows"
 
@@ -91,6 +102,84 @@ class DistPrecond:
                 return x
 
             return ilu_apply
+        if self.kind == "amg":
+            from .distmatrix import apply_local as _apply_local
+
+            sweeps, omega, gamma, npl_c = self.consts
+            levels = local["levels"]
+            coarse_inv = local["coarse_inv"]
+            axis, p_shards = comm.axis_name, comm.size
+
+            def apply_dm(dm, v):
+                return _apply_local(dm.interior, dm.boundary, dm.plan, v,
+                                    axis, p_shards)
+
+            def smooth(lvl, x, b):
+                dinv = (lvl["dinv"] if b.ndim == 1
+                        else lvl["dinv"][:, None])
+                for _ in range(sweeps):
+                    x = x + omega * dinv * (b - apply_dm(lvl["a"], x))
+                return x
+
+            def vcycle(k, b):
+                if k == len(levels):
+                    # replicated dense coarse solve: gather all shards'
+                    # coarse residual chunks, one dense matmul, slice own
+                    r_all = jax.lax.all_gather(b, axis, tiled=True)
+                    e_all = coarse_inv @ r_all
+                    me = jax.lax.axis_index(axis)
+                    if b.ndim == 1:
+                        return jax.lax.dynamic_slice(
+                            e_all, (me * npl_c,), (npl_c,))
+                    return jax.lax.dynamic_slice(
+                        e_all, (me * npl_c, 0), (npl_c, b.shape[1]))
+                lvl = levels[k]
+                x = smooth(lvl, jnp.zeros_like(b), b)
+                for _ in range(gamma):  # gamma=2 -> W-cycle
+                    r = b - apply_dm(lvl["a"], x)
+                    r_c = apply_dm(lvl["r"], r)
+                    e_c = vcycle(k + 1, r_c)
+                    x = x + apply_dm(lvl["p"], e_c)
+                x = smooth(lvl, x, b)
+                return x
+
+            return lambda r: vcycle(0, r)
+        if self.kind == "schwarz":
+            from ..ops.formats import EllMatrix
+            from ..ops.matvec import spmv
+            from .distmatrix import exchange, export_combine
+
+            (sweeps, combine, npl) = self.consts
+            axis, p_shards = comm.axis_name, comm.size
+            plan = local["plan"]
+            udinv_v = local["udinv"]
+
+            def mk(cols, vals):
+                n = cols.shape[0]
+                return EllMatrix(cols=cols, vals=vals, n_rows=n, n_cols=n,
+                                 nnz=0)
+
+            l_m = mk(local["l_cols"], local["l_vals"])
+            u_m = mk(local["u_cols"], local["u_vals"])
+
+            def schwarz_apply(r):
+                # widen to the overlapped subdomain [owned | overlap]
+                ghosts = exchange(r, plan, axis, p_shards)
+                rt = jnp.concatenate([r, ghosts.astype(r.dtype)], axis=0)
+                udinv = udinv_v if r.ndim == 1 else udinv_v[:, None]
+                y = rt
+                for _ in range(sweeps):
+                    y = rt - (spmv(l_m, y) - y)
+                z = udinv * y
+                for _ in range(sweeps):
+                    z = z + udinv * (y - spmv(u_m, z))
+                z_own, z_ovl = z[:npl], z[npl:]
+                # RAS (ZERO) drops overlap contributions; classical AS
+                # (ADD) exports them back to their owners
+                return export_combine(z_own, z_ovl, plan, axis, p_shards,
+                                      mode=combine)
+
+            return schwarz_apply
         if self.kind == "chebyshev":
             dinv = local["dinv"]
             lmax, lmin, degree = self.consts
@@ -194,6 +283,179 @@ def identity_precond() -> DistPrecond:
     return DistPrecond(arrays={}, kind="identity")
 
 
+def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
+             coarse_max: int = 64, min_agg: int = 2,
+             sa_damping: float = 4.0 / 3.0, sweeps: int = 2,
+             omega: float = 0.8, cycle: str = "V",
+             dtype=None) -> DistPrecond:
+    """Distributed smoothed-aggregation AMG.
+
+    Setup runs on host (MueLu Hierarchy::Setup,
+    muelu/src/MueCentral/MueLu_Hierarchy_decl.hpp:103): aggregation,
+    smoothed P, Galerkin coarse operators. Every level's A is row-sharded
+    (DistMatrix with halo plan); P and R are RECTANGULAR DistMatrices whose
+    halo plans live on the coarse/fine column maps. The V/W-cycle
+    (Hierarchy::Iterate, :238) then runs entirely inside shard_map —
+    smoothing, restriction and prolongation are halo-exchange applies, and
+    the coarsest level is a replicated dense solve after one all_gather.
+    """
+    from ..precond.amg import build_hierarchy_host
+    from .distmatrix import distribute, distribute_rect
+
+    dtype = dtype or a.vals.dtype
+    n_shards = rmap.n_shards
+    assert rmap.n_global == a.shape[0]
+    host_levels, a_coarse = build_hierarchy_host(
+        a, max_levels, coarse_max, min_agg, sa_damping)
+
+    maps = [rmap]
+    for (_, p_l) in host_levels:
+        maps.append(Map.uniform(p_l.shape[1], n_shards))
+
+    levels = []
+    for i, (a_l, p_l) in enumerate(host_levels):
+        fmap, cmap = maps[i], maps[i + 1]
+        a_dm = distribute(a_l, n_shards, dtype=dtype)
+        p_dm = distribute_rect(p_l, fmap, cmap, dtype=dtype)
+        r_dm = distribute_rect(p_l.transpose(), cmap, fmap, dtype=dtype)
+        d = a_l.diagonal().astype(np.float64)
+        dinv_g = 1.0 / np.where(d != 0, d, 1.0)
+        stacked = fmap.to_padded(dinv_g)
+        for s in range(n_shards):
+            lo = s * fmap.n_local_pad + fmap.n_owned(s)
+            stacked[lo:(s + 1) * fmap.n_local_pad] = 1.0
+        dinv = jnp.asarray(
+            stacked.reshape(n_shards, fmap.n_local_pad), dtype=dtype)
+        levels.append(dict(a=a_dm, p=p_dm, r=r_dm, dinv=dinv))
+
+    # coarsest: dense inverse in the PADDED global layout (the all_gather
+    # of per-shard padded chunks), replicated across shards
+    cmap = maps[-1]
+    ngp = cmap.n_global_pad
+    pos = np.zeros(cmap.n_global, np.int64)
+    for s in range(n_shards):
+        lo, hi = cmap.shard_lo(s), cmap.shard_hi(s)
+        pos[lo:hi] = s * cmap.n_local_pad + np.arange(hi - lo)
+    dense = np.eye(ngp)
+    dense[np.ix_(pos, pos)] = a_coarse.to_dense()
+    cinv = np.linalg.pinv(dense, rcond=1e-12)  # semidefinite-safe
+    coarse_inv = jnp.asarray(
+        np.broadcast_to(cinv, (n_shards, ngp, ngp)).copy(), dtype=dtype)
+
+    gamma = 2 if cycle == "W" else 1
+    return DistPrecond(
+        arrays={"levels": levels, "coarse_inv": coarse_inv},
+        kind="amg",
+        consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
+
+
+def dist_schwarz(a: CsrHost, rmap: Map, *, overlap: int = 1,
+                 sweeps: int = 6, combine: str = "ZERO",
+                 dtype=None) -> DistPrecond:
+    """Distributed (restricted) additive Schwarz with ILU(0) subdomain
+    solves.
+
+    Each shard's subdomain = its owned rows plus ``overlap`` layers of
+    graph neighbors (the reference's OverlappingRowMatrix built via
+    Import, ifpack2/src/Ifpack2_OverlappingRowMatrix_decl.hpp;
+    Ifpack2_AdditiveSchwarz_decl.hpp). A second halo plan gathers the
+    residual on the overlap rows; the subdomain ILU(0) applies with fixed
+    Jacobi sweeps (FastILU strategy); combine='ZERO' is restricted AS
+    (discard overlap contributions), 'ADD' is classical AS via
+    export_combine.
+    """
+    from ..ops.formats import csr_to_ell
+    from ..precond.ilu import ilu0_factor
+    from .distmatrix import build_halo_plans, stack_shards
+
+    dtype = dtype or a.vals.dtype
+    n_shards = rmap.n_shards
+    npl = rmap.n_local_pad
+    n = a.shape[0]
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+
+    # --- overlap rows per shard: BFS `overlap` layers out ---------------
+    ghosts_of = []
+    for s in range(n_shards):
+        lo, hi = rmap.shard_lo(s), rmap.shard_hi(s)
+        in_sub = np.zeros(n, dtype=bool)
+        in_sub[lo:hi] = True
+        frontier = np.arange(lo, hi)
+        for _ in range(overlap):
+            if not len(frontier):
+                break
+            sel = np.zeros(n, dtype=bool)
+            sel[frontier] = True
+            cols = a.cols[sel[rows_all]]
+            new = np.unique(cols.astype(np.int64))
+            new = new[~in_sub[new]]
+            in_sub[new] = True
+            frontier = new
+        ovl = np.where(in_sub)[0]
+        ovl = ovl[(ovl < lo) | (ovl >= hi)]
+        owners = rmap.owner_of(ovl)
+        order = np.lexsort((ovl, owners))
+        ghosts_of.append(ovl[order])
+
+    plans, _ = build_halo_plans(ghosts_of, rmap, n_shards)
+    g_pad = plans[0].n_ghost_pad
+    ntot = npl + g_pad
+
+    # --- per-shard overlapped subdomain matrix + ILU(0) -----------------
+    shards = []
+    for s in range(n_shards):
+        lo, hi = rmap.shard_lo(s), rmap.shard_hi(s)
+        ovl = ghosts_of[s]
+        # local index of each global id inside the subdomain (-1 = out)
+        lidx = np.full(n, -1, dtype=np.int64)
+        lidx[lo:hi] = np.arange(hi - lo)
+        lidx[ovl] = npl + np.arange(len(ovl))
+        sub_rows = np.concatenate([np.arange(lo, hi), ovl])
+        sel = np.zeros(n, dtype=bool)
+        sel[sub_rows] = True
+        mask = sel[rows_all]
+        rs_g = rows_all[mask]
+        cs_g = a.cols[mask].astype(np.int64)
+        vs_g = a.vals[mask]
+        keep = lidx[cs_g] >= 0
+        rs2 = lidx[rs_g[keep]]
+        cs2 = lidx[cs_g[keep]]
+        vs2 = vs_g[keep]
+        # identity rows on padding slots keep the factorization regular
+        present = np.zeros(ntot, dtype=bool)
+        present[rs2] = True
+        pad_rows = np.where(~present)[0]
+        sub = CsrHost.from_coo(
+            np.concatenate([rs2, pad_rows]),
+            np.concatenate([cs2, pad_rows]),
+            np.concatenate([vs2, np.ones(len(pad_rows),
+                                         dtype=a.vals.dtype)]),
+            (ntot, ntot))
+        shards.append(ilu0_factor(sub))
+
+    kl = max(max(l.max_row_length() for l, _ in shards), 1)
+    ku = max(max(u.max_row_length() for _, u in shards), 1)
+    l_cols, l_vals, u_cols, u_vals, udinvs = [], [], [], [], []
+    for l_m, u_m in shards:
+        le = csr_to_ell(l_m, dtype=dtype, k=kl, n_rows_pad=ntot)
+        ue = csr_to_ell(u_m, dtype=dtype, k=ku, n_rows_pad=ntot)
+        l_cols.append(le.cols)
+        l_vals.append(le.vals)
+        u_cols.append(ue.cols)
+        u_vals.append(ue.vals)
+        du = u_m.diagonal().astype(np.float64)
+        dv = np.ones(ntot)
+        dv[: len(du)] = 1.0 / np.where(du != 0, du, 1.0)
+        udinvs.append(jnp.asarray(dv, dtype=dtype))
+    arrays = {
+        "l_cols": jnp.stack(l_cols), "l_vals": jnp.stack(l_vals),
+        "u_cols": jnp.stack(u_cols), "u_vals": jnp.stack(u_vals),
+        "udinv": jnp.stack(udinvs), "plan": stack_shards(plans),
+    }
+    return DistPrecond(arrays=arrays, kind="schwarz",
+                       consts=(int(sweeps), combine.upper(), npl))
+
+
 # ---------------------------------------------------------------------------
 # global entry points
 # ---------------------------------------------------------------------------
@@ -208,8 +470,7 @@ def dist_spmv(a: DistMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
                        in_specs=(P(AXIS), vec_spec), out_specs=vec_spec)
     def run(a_sh, x_loc):
         al = unstack_local(a_sh)
-        return apply_local(al.interior, al.boundary, al.plan, x_loc, AXIS,
-                           n_shards)
+        return _local_op(al, n_shards)(x_loc)
 
     return run(a, x)
 
@@ -237,8 +498,7 @@ def dist_solve(solver: Callable, a: DistMatrix, b: jax.Array,
     def run(a_sh, b_loc, x0_loc, prec_sh):
         al = unstack_local(a_sh)
         comm = AxisComm(AXIS, n_shards)
-        op = lambda v: apply_local(al.interior, al.boundary, al.plan, v,
-                                   AXIS, n_shards)
+        op = _local_op(al, n_shards)
         prec_local = DistPrecond(arrays=prec_sh, kind=prec.kind,
                                  consts=prec.consts)
         m = prec_local.make(comm, op)

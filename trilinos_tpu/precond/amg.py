@@ -108,6 +108,26 @@ def smooth_prolongator(a: CsrHost, p_t: CsrHost, damping: float) -> CsrHost:
     return spadd(p_t, dap, 1.0, -1.0)
 
 
+def build_hierarchy_host(a: CsrHost, max_levels: int, coarse_max: int,
+                         min_agg: int, damping: float):
+    """Host-side SA-AMG setup shared by the on-chip and distributed
+    preconditioners: returns ([(A_l, P_l), ...], A_coarsest) — the
+    Hierarchy::Setup phase (MueLu_Hierarchy_decl.hpp:103)."""
+    levels = []
+    for _ in range(max_levels - 1):
+        if a.shape[0] <= coarse_max:
+            break
+        agg = aggregate(a, min_agg)
+        if int(agg.max()) + 1 >= a.shape[0]:  # no coarsening progress
+            break
+        p_t = tentative_prolongator(agg)
+        p_s = smooth_prolongator(a, p_t, damping)
+        a_c = ptap(a, p_s)
+        levels.append((a, p_s))
+        a = a_c
+    return levels, a
+
+
 class SaAmg(Preconditioner):
     """Smoothed-aggregation AMG V-cycle (fixed, linear → Krylov-safe)."""
 
@@ -120,35 +140,32 @@ class SaAmg(Preconditioner):
         p = self.params
         dtype = p["dtype"] or self.a.vals.dtype
         self.levels = []
-        a = self.a
-        for _ in range(int(p["max levels"]) - 1):
-            if a.shape[0] <= int(p["coarse: max size"]):
-                break
-            agg = aggregate(a, int(p["aggregation: min agg size"]))
-            if int(agg.max()) + 1 >= a.shape[0]:  # no coarsening progress
-                break
-            p_t = tentative_prolongator(agg)
-            p_s = smooth_prolongator(a, p_t, float(p["sa: damping factor"]))
-            a_c = ptap(a, p_s)
-            d = a.diagonal()
-            npad = round_up(a.shape[0], ROW_ALIGN)
+        host_levels, a = build_hierarchy_host(
+            self.a, int(p["max levels"]), int(p["coarse: max size"]),
+            int(p["aggregation: min agg size"]),
+            float(p["sa: damping factor"]))
+        for a_l, p_s in host_levels:
+            d = a_l.diagonal()
+            npad = round_up(a_l.shape[0], ROW_ALIGN)
             dinv = np.ones(npad)
-            dinv[: a.shape[0]] = 1.0 / np.where(d != 0, d, 1.0)
-            np_c = round_up(a_c.shape[0], ROW_ALIGN)
+            dinv[: a_l.shape[0]] = 1.0 / np.where(d != 0, d, 1.0)
+            np_c = round_up(p_s.shape[1], ROW_ALIGN)
             self.levels.append(dict(
-                a=choose_format(a, dtype=dtype),
+                a=choose_format(a_l, dtype=dtype),
                 dinv=jnp.asarray(dinv, dtype=dtype),
                 # P: (n_f, n_c) rectangular — ELL without identity padding
                 p=_pack_rect(p_s, dtype, npad, np_c),
                 pt=_pack_rect(p_s.transpose(), dtype, np_c, npad),
                 n_f=npad, n_c=np_c))
-            a = a_c
         # coarsest: dense inverse (identity-padded)
         nc = a.shape[0]
         npad = round_up(nc, ROW_ALIGN)
         dense = np.eye(npad)
         dense[:nc, :nc] = a.to_dense()
-        self.coarse_inv = jnp.asarray(np.linalg.inv(dense), dtype=dtype)
+        # pseudo-inverse: semidefinite coarse operators (e.g. Hiptmair's
+        # auxiliary Gt A G with constants in the null space) stay stable
+        self.coarse_inv = jnp.asarray(np.linalg.pinv(dense, rcond=1e-12),
+                                      dtype=dtype)
         self.sweeps = int(p["smoother: sweeps"])
         self.omega = float(p["smoother: damping factor"])
         self.gamma = 2 if p["cycle type"] == "W" else 1

@@ -61,8 +61,8 @@ class Preconditioner:
         raise NotImplementedError
 
 
-def create(name: str, a, params: ParameterList | dict | None = None
-           ) -> Preconditioner:
+def create(name: str, a, params: ParameterList | dict | None = None,
+           **kw) -> Preconditioner:
     """String factory: name → computed preconditioner class instance.
 
     Accepted names follow the reference factory strings
@@ -75,6 +75,7 @@ def create(name: str, a, params: ParameterList | dict | None = None
     from .ilut import Ilut
     from .jacobi import BlockJacobi, Relaxation
     from .multicolor_gs import MulticolorGaussSeidel
+    from .hiptmair import Hiptmair
     from .poly import GmresPoly
     from .schwarz import AdditiveSchwarz
 
@@ -95,6 +96,7 @@ def create(name: str, a, params: ParameterList | dict | None = None
         "GAUSS-SEIDEL": MulticolorGaussSeidel,
         "SCHWARZ": AdditiveSchwarz,
         "ADDITIVE SCHWARZ": AdditiveSchwarz,
+        "HIPTMAIR": Hiptmair,
         "SA-AMG": SaAmg,
         "MUELU": SaAmg,
         "AMG": SaAmg,
@@ -102,4 +104,4 @@ def create(name: str, a, params: ParameterList | dict | None = None
     if key not in table:
         raise ValueError(f"unknown preconditioner {name!r}; "
                          f"valid: {sorted(table)}")
-    return table[key](a, params)
+    return table[key](a, params, **kw)

@@ -1,6 +1,7 @@
 from .base import Operator, SolveResult, identity_prec
 from .cg import cg, cg_pipeline, cg_single_reduce, stochastic_cg
 from .gmres import fgmres, gmres
+from .gmres_ca import gmres_pipeline, gmres_single_reduce
 from .block_gmres import block_gmres
 from .bicgstab import bicgstab
 from .minres import minres
@@ -23,6 +24,8 @@ __all__ = [
     "stochastic_cg",
     "gmres",
     "fgmres",
+    "gmres_single_reduce",
+    "gmres_pipeline",
     "block_gmres",
     "bicgstab",
     "minres",

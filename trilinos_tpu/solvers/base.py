@@ -19,6 +19,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 Operator = Callable[[jax.Array], jax.Array]
 
@@ -56,6 +57,42 @@ def rhs_norm_scale(bnorm: jax.Array, rtol, atol) -> jax.Array:
     scaling of the implicit residual)."""
     scale = jnp.where(bnorm > 0, bnorm, 1)
     return rtol * scale + atol
+
+
+def certified_solve(solve_from, op, b, x0, tol, maxiter, comm):
+    """Run a solver loop, certify with an explicit residual, and — when
+    the recurrence undershoots (f32 drift: the implicit residual crosses
+    the tolerance a few percent before the true one) — RESUME with a
+    16x tightened loop threshold until the certified residual passes or
+    maxiter is exhausted. This is the compiled-loop form of Belos'
+    ImpResNorm loss-of-accuracy recovery (BelosStatusTestImpResNorm.hpp:
+    47-88: tighten currTolerance and keep iterating).
+
+    solve_from(x, tol2_loop, k0) -> (x, k) continues the iteration from
+    ``x`` (k counts cumulative iterations; must not exceed maxiter).
+    """
+    from ..ops.blas import local_dot
+
+    tol2 = tol * tol
+
+    def true_rr(x):
+        r = b - op(x)
+        return comm.psum(local_dot(r, r))
+
+    def cond(s):
+        x, k, t2, rr = s
+        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+    def body(s):
+        x, k, t2, _ = s
+        x, k = solve_from(x, t2, k)
+        return x, k, t2 * jnp.asarray(0.0625, t2.dtype), true_rr(x)
+
+    t2_0 = tol2 * jnp.ones_like(jnp.asarray(tol))
+    x, k, t2, rr = lax.while_loop(
+        cond, body, (x0, 0, t2_0, jnp.full_like(t2_0, jnp.inf)))
+    resnorm = jnp.sqrt(rr)
+    return x, k, resnorm, resnorm <= tol
 
 
 def certify_residual(op: Operator, b: jax.Array, x: jax.Array, tol, comm):

@@ -30,8 +30,9 @@ from jax import lax
 
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm
-from .base import (Operator, SolveResult, bcast_cols, certify_residual,
-                   identity_prec, rhs_norm_scale, safe_divide)
+from .base import (Operator, SolveResult, bcast_cols, certified_solve,
+                   certify_residual, identity_prec, rhs_norm_scale,
+                   safe_divide)
 
 
 def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
@@ -42,37 +43,42 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
 
-    r = b - op(x)
-    z = M(r)
-    p = z
-    d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r),
-                              local_dot(b, b)]))
-    rz, rr, bb = d0[0], d0[1], d0[2]
+    bb = comm.psum(local_dot(b, b))
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
-    tol2 = tol * tol
 
-    def cond(s):
-        x, r, z, p, rz, rr, k = s
-        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
-
-    def body(s):
-        x, r, z, p, rz, rr, k = s
-        active = rr > tol2
-        ap = op(p)
-        pap = comm.psum(local_dot(p, ap))
-        alpha = jnp.where(active, safe_divide(rz, pap), 0)
-        x = x + bcast_cols(alpha, p)
-        r = r - bcast_cols(alpha, ap)
+    def solve_from(x, tol2, k0):
+        r = b - op(x)
         z = M(r)
-        d = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
-        rz_new, rr_new = d[0], d[1]
-        beta = jnp.where(active, safe_divide(rz_new, rz), 0)
-        p = z + bcast_cols(beta, p)
-        return (x, r, z, p, jnp.where(active, rz_new, rz),
-                jnp.where(active, rr_new, rr), k + 1)
+        p = z
+        d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
+        rz, rr = d0[0], d0[1]
 
-    x, r, z, p, rz, rr, k = lax.while_loop(cond, body, (x, r, z, p, rz, rr, 0))
-    resnorm, conv = certify_residual(op, b, x, tol, comm)
+        def cond(s):
+            x, r, z, p, rz, rr, k = s
+            return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+        def body(s):
+            x, r, z, p, rz, rr, k = s
+            active = rr > tol2
+            ap = op(p)
+            pap = comm.psum(local_dot(p, ap))
+            alpha = jnp.where(active, safe_divide(rz, pap), 0)
+            x = x + bcast_cols(alpha, p)
+            r = r - bcast_cols(alpha, ap)
+            z = M(r)
+            d = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
+            rz_new, rr_new = d[0], d[1]
+            beta = jnp.where(active, safe_divide(rz_new, rz), 0)
+            p = z + bcast_cols(beta, p)
+            return (x, r, z, p, jnp.where(active, rz_new, rz),
+                    jnp.where(active, rr_new, rr), k + 1)
+
+        x, r, z, p, rz, rr, k = lax.while_loop(
+            cond, body, (x, r, z, p, rz, rr, k0))
+        return x, k
+
+    x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
+                                          maxiter, comm)
     return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)
 
 
@@ -154,46 +160,52 @@ def cg_single_reduce(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
 
-    r = b - op(x)
-    z = M(r)
-    w = op(z)
-    d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(z, w),
-                              local_dot(r, r), local_dot(b, b)]))
-    rz, delta, rr, bb = d0[0], d0[1], d0[2], d0[3]
+    bb = comm.psum(local_dot(b, b))
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
-    tol2 = tol * tol
-    alpha = safe_divide(rz, delta)
-    beta = jnp.zeros_like(alpha)
-    p = z
-    q = w
 
-    def cond(s):
-        x, r, z, p, q, w, rz, rr, alpha, beta, k = s
-        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
-
-    def body(s):
-        x, r, z, p, q, w, rz, rr, alpha, beta, k = s
-        active = rr > tol2
-        a = jnp.where(active, alpha, 0)
-        x = x + bcast_cols(a, p)
-        r = r - bcast_cols(a, q)
+    def solve_from(x, tol2, k0):
+        r = b - op(x)
         z = M(r)
         w = op(z)
-        d = comm.psum(jnp.stack([local_dot(r, z), local_dot(z, w),
-                                 local_dot(r, r)]))
-        rz_new, delta, rr_new = d[0], d[1], d[2]
-        beta_new = jnp.where(active, safe_divide(rz_new, rz), 0)
-        alpha_new = safe_divide(
-            rz_new, delta - beta_new * safe_divide(rz_new, alpha))
-        alpha_new = jnp.where(active, alpha_new, alpha)
-        p = z + bcast_cols(beta_new, p)
-        q = w + bcast_cols(beta_new, q)
-        return (x, r, z, p, q, w, jnp.where(active, rz_new, rz),
-                jnp.where(active, rr_new, rr), alpha_new, beta_new, k + 1)
+        d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(z, w),
+                                  local_dot(r, r)]))
+        rz, delta, rr = d0[0], d0[1], d0[2]
+        alpha = safe_divide(rz, delta)
+        beta = jnp.zeros_like(alpha)
+        p = z
+        q = w
 
-    s = (x, r, z, p, q, w, rz, rr, alpha, beta, 0)
-    x, r, z, p, q, w, rz, rr, alpha, beta, k = lax.while_loop(cond, body, s)
-    resnorm, conv = certify_residual(op, b, x, tol, comm)
+        def cond(s):
+            x, r, z, p, q, w, rz, rr, alpha, beta, k = s
+            return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+        def body(s):
+            x, r, z, p, q, w, rz, rr, alpha, beta, k = s
+            active = rr > tol2
+            a = jnp.where(active, alpha, 0)
+            x = x + bcast_cols(a, p)
+            r = r - bcast_cols(a, q)
+            z = M(r)
+            w = op(z)
+            d = comm.psum(jnp.stack([local_dot(r, z), local_dot(z, w),
+                                     local_dot(r, r)]))
+            rz_new, delta, rr_new = d[0], d[1], d[2]
+            beta_new = jnp.where(active, safe_divide(rz_new, rz), 0)
+            alpha_new = safe_divide(
+                rz_new, delta - beta_new * safe_divide(rz_new, alpha))
+            alpha_new = jnp.where(active, alpha_new, alpha)
+            p = z + bcast_cols(beta_new, p)
+            q = w + bcast_cols(beta_new, q)
+            return (x, r, z, p, q, w, jnp.where(active, rz_new, rz),
+                    jnp.where(active, rr_new, rr), alpha_new, beta_new,
+                    k + 1)
+
+        s = (x, r, z, p, q, w, rz, rr, alpha, beta, k0)
+        out = lax.while_loop(cond, body, s)
+        return out[0], out[10]
+
+    x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
+                                          maxiter, comm)
     return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)
 
 
@@ -225,8 +237,6 @@ def cg_pipeline(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
     bb = comm.psum(local_dot(b, b))
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
-    tol2 = tol * tol
-    p0 = M(b - op(x))
 
     def refresh(x, p):
         """Rebuild pipelined state from scratch (replacement step)."""
@@ -242,53 +252,67 @@ def cg_pipeline(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         alpha = safe_divide(gamma, pap)
         return r, u, w, s_v, q, z, gamma, rr, alpha
 
-    def inner_cond(st):
-        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k, k0) = st
-        return jnp.logical_and(
-            jnp.logical_and(k < maxiter, k - k0 < replace_every),
-            jnp.any(rr > tol2))
+    def make_inner(tol2):
+        def inner_cond(st):
+            (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k,
+             k0) = st
+            return jnp.logical_and(
+                jnp.logical_and(k < maxiter, k - k0 < replace_every),
+                jnp.any(rr > tol2))
 
-    def inner_body(st):
-        (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k, k0) = st
-        active = rr > tol2
-        a = jnp.where(active, alpha, 0)
-        x = x + bcast_cols(a, p)
-        r = r - bcast_cols(a, s_v)
-        u = u - bcast_cols(a, q)
-        w = w - bcast_cols(a, z)
-        # issue the fused reduction for this step ...
-        d = comm.psum(jnp.stack([local_dot(r, u), local_dot(w, u),
-                                 local_dot(r, r)]))
-        # ... and immediately emit the next apply chain; XLA overlaps them
-        m_next = M(w)
-        n_next = op(m_next)
-        gamma_new, delta, rr_new = d[0], d[1], d[2]
-        beta_new = jnp.where(active, safe_divide(gamma_new, gamma), 0)
-        alpha_new = safe_divide(
-            gamma_new, delta - beta_new * safe_divide(gamma_new, alpha))
-        alpha_new = jnp.where(active, alpha_new, alpha)
-        p = u + bcast_cols(beta_new, p)
-        s_v = w + bcast_cols(beta_new, s_v)
-        q = m_next + bcast_cols(beta_new, q)
-        z = n_next + bcast_cols(beta_new, z)
-        return (x, r, u, w, m_next, n_next, z, q, p, s_v,
-                jnp.where(active, gamma_new, gamma),
-                jnp.where(active, rr_new, rr), alpha_new, k + 1, k0)
+        def inner_body(st):
+            (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k,
+             k0) = st
+            active = rr > tol2
+            a = jnp.where(active, alpha, 0)
+            x = x + bcast_cols(a, p)
+            r = r - bcast_cols(a, s_v)
+            u = u - bcast_cols(a, q)
+            w = w - bcast_cols(a, z)
+            # issue the fused reduction for this step ...
+            d = comm.psum(jnp.stack([local_dot(r, u), local_dot(w, u),
+                                     local_dot(r, r)]))
+            # ... then emit the next apply chain; XLA overlaps them
+            m_next = M(w)
+            n_next = op(m_next)
+            gamma_new, delta, rr_new = d[0], d[1], d[2]
+            beta_new = jnp.where(active, safe_divide(gamma_new, gamma), 0)
+            alpha_new = safe_divide(
+                gamma_new, delta - beta_new * safe_divide(gamma_new, alpha))
+            alpha_new = jnp.where(active, alpha_new, alpha)
+            p = u + bcast_cols(beta_new, p)
+            s_v = w + bcast_cols(beta_new, s_v)
+            q = m_next + bcast_cols(beta_new, q)
+            z = n_next + bcast_cols(beta_new, z)
+            return (x, r, u, w, m_next, n_next, z, q, p, s_v,
+                    jnp.where(active, gamma_new, gamma),
+                    jnp.where(active, rr_new, rr), alpha_new, k + 1, k0)
 
-    def outer_cond(st):
-        x, p, rr, k = st
-        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+        return inner_cond, inner_body
 
-    def outer_body(st):
-        x, p, rr, k = st
-        r, u, w, s_v, q, z, gamma, rr, alpha = refresh(x, p)
-        m_ = M(w)
-        n_ = op(m_)
-        ist = (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha, k, k)
-        out = lax.while_loop(inner_cond, inner_body, ist)
-        return (out[0], out[8], out[11], out[13])
+    def solve_from(x, tol2, k0):
+        p0 = M(b - op(x))
+        inner_cond, inner_body = make_inner(tol2)
 
-    x, p, rr, k = lax.while_loop(outer_cond, outer_body,
-                                 (x, p0, jnp.full_like(tol2, jnp.inf), 0))
-    resnorm, conv = certify_residual(op, b, x, tol, comm)
+        def outer_cond(st):
+            x, p, rr, k = st
+            return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+
+        def outer_body(st):
+            x, p, rr, k = st
+            r, u, w, s_v, q, z, gamma, rr, alpha = refresh(x, p)
+            m_ = M(w)
+            n_ = op(m_)
+            ist = (x, r, u, w, m_, n_, z, q, p, s_v, gamma, rr, alpha,
+                   k, k)
+            out = lax.while_loop(inner_cond, inner_body, ist)
+            return (out[0], out[8], out[11], out[13])
+
+        x, p, rr, k = lax.while_loop(
+            outer_cond, outer_body,
+            (x, p0, jnp.full_like(tol2, jnp.inf), k0))
+        return x, k
+
+    x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
+                                          maxiter, comm)
     return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)

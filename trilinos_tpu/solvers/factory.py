@@ -54,6 +54,8 @@ ALIASES = {
     "FIXED POINT": "fixed_point",
     "GCRODR": "gcrodr",
     "S-STEP GMRES": "sstep",
+    "SINGLE REDUCE GMRES": "gmres_sr",
+    "PIPELINED GMRES": "gmres_pipe",
     "RCG": "rcg",
     "PCPG": "pcpg",
     "CA-GMRES": "sstep",
@@ -122,6 +124,13 @@ class SolverManager:
             res, self.stochastic_vector = stochastic_cg(
                 op, b, x0, prec=problem.left_prec or problem.right_prec,
                 maxiter=maxiter, **common)
+        elif self.kind in ("gmres_sr", "gmres_pipe"):
+            from .gmres_ca import gmres_pipeline, gmres_single_reduce
+
+            fn = (gmres_single_reduce if self.kind == "gmres_sr"
+                  else gmres_pipeline)
+            res = fn(op, b, x0, prec=problem.right_prec or problem.left_prec,
+                     restart=int(p["Num Blocks"]), maxiter=maxiter, **common)
         elif self.kind in ("gmres", "fgmres"):
             fn = fgmres if self.kind == "fgmres" else gmres
             res = fn(op, b, x0, prec=problem.right_prec or problem.left_prec,
