@@ -6,16 +6,32 @@ packages/kokkos-kernels/perf_test/sparse/KokkosSparse_spmv.cpp:278, and of
 the CG per-kernel timer harness,
 packages/tpetra/core/test/PerformanceCGSolve/cg_solve_file.hpp:135-140).
 
-vs_baseline = achieved_GB/s / (0.70 × measured STREAM triad), i.e. ≥1.0
-meets the driver target (BASELINE.md: SpMV ≥70% of STREAM roofline/chip).
-The triad ceiling is measured in-situ (TT_STREAM_PEAK_GBPS overrides) —
-on the tunneled dev chip it lands near 460 GB/s, well under the v5e paper
-number, and there is a ~0.27 ms per-kernel launch floor, so the benchmark
-uses 16.7M-row problems where bandwidth dominates.
+Measurement methodology (round 2, validated by repeatability): the
+tunneled chip has a ~25-30 ms fixed cost per Python→device call, and pure
+XLA elementwise chains can be folded across loop iterations — so
+  * every kernel is timed inside ONE in-graph fori_loop with reps large
+    enough that the fixed cost is <10% (reps 150-500), min of 3 calls,
+    reporting total/reps (slightly conservative);
+  * the STREAM triad ceiling is a center-only plane-stencil "copy"
+    through the manual-DMA path (XLA cannot fold Pallas calls — the jnp
+    version "measured" 1.5 TB/s; the BlockSpec-pipeline copy is ~7x
+    slower than the manual-DMA path on this chip);
+  * solver timing uses FRESH right-hand sides per call (defeats repeat-
+    call result caching in the tunnel) over 1000 fixed iterations.
+Matrices are passed as jit ARGUMENTS (closures serialize into the
+remote-compile request → HTTP 413).
+
+vs_baseline = achieved_GB/s / (0.70 × pallas-triad), i.e. ≥1.0 meets the
+driver target (BASELINE.md: SpMV ≥70% of STREAM roofline). Every metric
+is recorded in the value±tolerance perf archive (utils/perf_archive.py,
+the Teuchos_XMLPerfTestArchive analogue). Round-1 numbers were measured
+with reps=30 and are NOT comparable (they carried +0.83 ms/rep of
+dispatch cost).
 """
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -24,59 +40,64 @@ import jax.numpy as jnp
 from jax import lax
 
 STREAM_OVERRIDE = os.environ.get("TT_STREAM_PEAK_GBPS")
+ARCHIVE = os.environ.get("TT_PERF_ARCHIVE", "PERF_ARCHIVE.json")
+LANES = 128
 
 
-def measure_triad(n_mb=256, reps=60):
-    n = n_mb * 1024 * 1024 // 4
+def timed(fn, args, x, reps, repeats=3):
+    """min-of-repeats of an in-graph reps-chain; returns seconds/rep."""
+    @partial(jax.jit, static_argnums=0)
+    def chain(reps_, *a):
+        def body(i, v):
+            return lax.optimization_barrier(fn(*a[:-1], v) * (1.0 / 7.0))
+        return lax.fori_loop(0, reps_, body, a[-1])
+
+    r = chain(reps, *args, x)
+    float(r.reshape(-1)[0])  # hard sync (block_until_ready returns early
+    # on the tunnel; the first timed call otherwise absorbs warmup work)
+    best = 1e9
+    for i in range(repeats + 1):
+        t0 = time.perf_counter()
+        r = chain(reps, *args, x)
+        float(r.reshape(-1)[0])
+        if i > 0:  # discard the first timed call (residual warmup)
+            best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def measure_triad(reps=300):
+    """Read+write roofline via a center-only plane-stencil "copy" — the
+    framework's proven manual-DMA streaming path (un-foldable by XLA; the
+    BlockSpec-pipeline copy measures ~7x slower on this chip and a jnp
+    copy chain gets folded entirely)."""
+    from trilinos_tpu.ops.pallas.stencil_op import (StencilOp,
+                                                    stencil_spmv_planes)
+
+    op = StencilOp.create((256, 256, 256), [((0, 0, 0), 1.0)])
+    n = op.n_rows_pad
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n),
                     dtype=jnp.float32)
-
-    @jax.jit
-    def chain(v):
-        def body(i, v):
-            return lax.optimization_barrier(v * 1.0000001 + 0.5)
-        return lax.fori_loop(0, reps, body, v)
-
-    r = chain(x)
-    r.block_until_ready()
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = chain(x)
-        float(r[0])  # host read = hard sync on the tunneled device
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return 2 * 4 * n / best / 1e9
+    dt = timed(lambda v: stencil_spmv_planes(op, v), (), x, reps)
+    return 2 * n * 4 / dt / 1e9
 
 
-def bench_spmv(nx=256, ny=256, nz=256, reps=30, dtype=np.float32):
+def bench_spmv(nx=256, ny=256, nz=256, dtype=np.float32, reps=150):
     """Stored-DIA SpMV via the Pallas kernel (general-format headline)."""
     from trilinos_tpu.galeri import laplace3d
     from trilinos_tpu.ops import matvec as mv
 
     a = laplace3d(nx, ny, nz, dtype=dtype, fmt="dia")
     n = a.n_rows_pad
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=dtype)
-
-    @jax.jit
-    def chain(mat, v):
-        def body(i, v):
-            return lax.optimization_barrier(mv.spmv(mat, v) * (1.0 / 7.0))
-        return lax.fori_loop(0, reps, body, v)
-
-    chain(a, x).block_until_ready()
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = chain(a, x)
-        float(r[0])
-        best = min(best, (time.perf_counter() - t0) / reps)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                    dtype=dtype)
+    dt = timed(lambda m, v: mv.spmv(m, v), (a,), x, reps)
     itemsize = np.dtype(dtype).itemsize
     useful = (a.data.shape[0] + 2) * n * itemsize
-    return useful / best / 1e9, a.nnz / best, best
+    return useful / dt / 1e9, a.nnz / dt, dt
 
 
-def bench_stencil_op(nx=256, ny=256, nz=256, reps=30):
-    """Matrix-free stencil operator (TPU-first fast path): nnz/s."""
+def bench_stencil_op(nx=256, ny=256, nz=256, reps=300):
+    """Matrix-free plane-masked stencil kernel: nnz/s."""
     from trilinos_tpu.galeri import laplace3d
     from trilinos_tpu.ops import matvec as mv
 
@@ -84,43 +105,78 @@ def bench_stencil_op(nx=256, ny=256, nz=256, reps=30):
     n = op.n_rows_pad
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n),
                     dtype=jnp.float32)
-
-    @jax.jit
-    def chain(v):
-        def body(i, v):
-            return lax.optimization_barrier(mv.spmv(op, v) * (1.0 / 7.0))
-        return lax.fori_loop(0, reps, body, v)
-
-    chain(x).block_until_ready()
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = chain(x)
-        float(r[0])
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return op.nnz / best, best
+    dt = timed(lambda v: mv.spmv(op, v), (), x, reps)
+    return op.nnz / dt, dt
 
 
-def bench_cg(nx=128, ny=128, nz=128, dtype=np.float32):
+def bench_spmm(nx=256, ny=256, nz=256, k=4, reps=100):
+    """Packed multivector DIA SpMM (KokkosSparse_spmv.hpp:156 analogue)."""
     from trilinos_tpu.galeri import laplace3d
-    from trilinos_tpu.solvers import cg_single_reduce
+    from trilinos_tpu.ops.pallas.dia_spmv import dia_spmm_packed
+
+    a = laplace3d(nx, ny, nz, dtype=np.float32, fmt="dia")
+    r = a.n_rows_pad // LANES
+    xk = jnp.asarray(
+        np.random.default_rng(2).standard_normal((k, r, LANES)),
+        dtype=jnp.float32)
+    dt = timed(lambda m, v: dia_spmm_packed(m, v), (a,), xk, reps)
+    agg = (a.data.shape[0] + 2 * k) * a.n_rows_pad * 4
+    return agg / dt / 1e9, a.nnz * k / dt, dt
+
+
+def bench_ortho(n=2 * 1024 * 1024, k=8, reps=100):
+    """Block orthogonalization throughput: CGS2 projection + CholQR2
+    (belos_orthomanager_tpetra_benchmark.cpp analogue)."""
+    from trilinos_tpu.parallel.comm import SerialComm
+    from trilinos_tpu.solvers.ortho import cgs2_project, cholqr2
+
+    comm = SerialComm()
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(np.linalg.qr(rng.standard_normal((n, k)))[0],
+                    dtype=jnp.float32)
+
+    def step(basis, w):
+        w2, _ = cgs2_project(comm, basis, w)
+        q, _, _ = cholqr2(comm, w2)
+        return q
+
+    w0 = jnp.asarray(rng.standard_normal((n, k)), dtype=jnp.float32)
+    dt = timed(lambda basis, w: step(basis, w), (v,), w0, reps)
+    # CGS2: 4 GEMM passes (2 proj x (VtW + update)) + CholQR2 ~ 2 passes
+    gb = (4 + 2) * n * k * 4 / 1e9
+    return gb / dt, dt
+
+
+def bench_cg(nx=128, ny=128, nz=128, iters=1000):
+    """CG time per iteration over `iters` fixed iterations with FRESH
+    right-hand sides per timed call."""
+    from trilinos_tpu.galeri import laplace3d
     from trilinos_tpu.ops import matvec as mv
+    from trilinos_tpu.solvers import cg_single_reduce
 
     op = laplace3d(nx, ny, nz, dtype=np.float32, fmt="stencil")
     n, npad = op.n_rows, op.n_rows_pad
-    b = np.zeros(npad, dtype)
-    b[:n] = np.random.default_rng(1).standard_normal(n)
-
     run = jax.jit(lambda bb: cg_single_reduce(
-        lambda v: mv.spmv(op, v), bb, rtol=1e-5, maxiter=150))
-    res = run(jnp.asarray(b))
-    jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = run(jnp.asarray(b))
-    float(res.resnorm)
-    dt = time.perf_counter() - t0
-    iters = int(res.iters)
-    return iters / dt, iters
+        lambda v: mv.spmv(op, v), bb, rtol=0.0, maxiter=iters))
+    rng = np.random.default_rng(1)
+
+    def fresh_b():
+        b = np.zeros(npad, np.float32)
+        b[:n] = rng.standard_normal(n)
+        return jnp.asarray(b)
+
+    r = run(fresh_b())
+    float(jnp.max(r.resnorm))  # hard sync
+    best = 1e9
+    for i in range(4):
+        b = fresh_b()
+        t0 = time.perf_counter()
+        r = run(b)
+        float(jnp.max(r.resnorm))
+        if i > 0:  # discard first timed call (residual warmup)
+            best = min(best, time.perf_counter() - t0)
+    per_it = best / max(int(r.iters), 1)
+    return 1.0 / per_it, per_it
 
 
 def _safe(fn, fallback):
@@ -131,12 +187,29 @@ def _safe(fn, fallback):
 
 
 def main():
+    from trilinos_tpu.utils.perf_archive import PerfArchive
+
     triad = float(STREAM_OVERRIDE) if STREAM_OVERRIDE else _safe(
-        measure_triad, 460.0)
+        measure_triad, 550.0)
     gbps, nnz_s, t_apply = _safe(bench_spmv, (0.0, 0.0, float("inf")))
     st_nnz_s, st_t = _safe(bench_stencil_op, (0.0, float("inf")))
-    cg_iters_s, cg_iters = _safe(bench_cg, (0.0, 0))
+    mm_gbps, mm_nnz_s, mm_t = _safe(bench_spmm, (0.0, 0.0, float("inf")))
+    ortho_gbps, ortho_t = _safe(bench_ortho, (0.0, float("inf")))
+    cg_iters_s, cg_it_t = _safe(bench_cg, (0.0, float("inf")))
     target = 0.70 * triad
+
+    arch = PerfArchive(ARCHIVE, machine=os.environ.get("TT_MACHINE",
+                                                       "axon-v5e"))
+    statuses = {}
+    for name, val in [("spmv_gbps", gbps),
+                      ("stencil_gnnz", st_nnz_s / 1e9),
+                      ("spmm_gbps", mm_gbps),
+                      ("ortho_gbps", ortho_gbps),
+                      ("cg_iters_per_s", cg_iters_s),
+                      ("triad_gbps", triad)]:
+        r = arch.check(name, val, tol=1.20, higher_is_better=True)
+        statuses[name] = r.status
+
     print(json.dumps({
         "metric": "spmv_effective_bandwidth",
         "value": round(gbps, 2),
@@ -148,9 +221,16 @@ def main():
             "spmv_apply_ms": round(t_apply * 1e3, 3),
             "stencil_op_nnz_per_s_G": round(st_nnz_s / 1e9, 2),
             "stencil_op_apply_ms": round(st_t * 1e3, 3),
+            "spmm_k4_gbps": round(mm_gbps, 1),
+            "spmm_k4_nnz_per_s_G": round(mm_nnz_s / 1e9, 2),
+            "ortho_gbps": round(ortho_gbps, 1),
             "cg_iters_per_s": round(cg_iters_s, 1),
-            "cg_iters": cg_iters,
-            "problem": "Laplace3D 256^3 (SpMV), 128^3 (CG), f32",
+            "cg_iter_ms": round(cg_it_t * 1e3, 3),
+            "perf_archive": statuses,
+            "timing": "big-reps min-of-3 (reps 100-300), pallas triad, "
+                      "fresh-RHS CG; round-1 numbers carried +0.83ms/rep "
+                      "dispatch cost and are not comparable",
+            "problem": "Laplace3D 256^3 (SpMV/SpMM k=4), 128^3 (CG), f32",
         },
     }))
 

@@ -223,3 +223,36 @@ class TestBlock2x2:
         res = gmres(blk, b, prec=prec, restart=40, rtol=1e-10, maxiter=200)
         # exact block-LU preconditioner: converges in O(1) iterations
         assert int(res.iters) <= 5
+
+
+class TestConformanceHarness:
+    """MVOPTester-analogue harness (BelosMVOPTester.hpp:86,1454)."""
+
+    def test_multivector_traits(self):
+        from trilinos_tpu.testing import validate_multivector_traits
+
+        assert validate_multivector_traits() == []
+
+    def test_preconditioner_conformance(self):
+        from trilinos_tpu import precond as PC
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.testing import validate_preconditioner
+
+        a = laplace2d(8, 8)
+        jac = PC.create("JACOBI", a).compute()
+        n = 64
+
+        def prec(x):
+            shape = (jac_pad,) if x.ndim == 1 else (jac_pad, x.shape[1])
+            xp = jnp.zeros(shape, x.dtype).at[:n].set(x)
+            return jac.apply(xp)[:n]
+
+        import jax.numpy as jnp
+        jac_pad = 64
+        assert validate_preconditioner(prec, n, spd=True) == []
+
+    def test_catches_nonlinear_op(self):
+        from trilinos_tpu.testing import validate_operator
+
+        bad = lambda x: x * x if x.ndim == 1 else x * x
+        assert any("linear" in p for p in validate_operator(bad, 16))

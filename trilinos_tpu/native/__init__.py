@@ -83,6 +83,29 @@ def lib():
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.float64)]
+        l.tt_splu.restype = i64
+        l.tt_splu.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64), i64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64)]
+        l.tt_splu_solve.restype = None
+        l.tt_splu_solve.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64)]
         _lib = l
         return _lib
 
@@ -156,3 +179,48 @@ def spgemm_native(a, b):
     l.tt_spgemm_fill(m, n, a_ptr, a_cols, a_vals, b_ptr, b_cols, b_vals,
                      c_ptr, c_cols, c_vals)
     return CsrHost(c_ptr, c_cols, c_vals, (m, n))
+
+
+def splu_native(n, row_ptr, cols, vals):
+    """Sparse LU (Gilbert-Peierls, partial pivoting) via the native lib.
+
+    Returns (l_ptr, l_cols, l_vals, u_ptr, u_cols, u_vals, perm) or None
+    when the native library is unavailable. L/U are column-major: L column
+    j holds original-row multipliers (unit diagonal implicit); U column j
+    holds pivot-position rows with the diagonal last.
+    """
+    l = lib()
+    if l is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    cap = max(int(row_ptr[-1]) * 8, 16 * n, 1024)
+    for _ in range(8):
+        l_ptr = np.zeros(n + 1, np.int64)
+        l_cols = np.zeros(cap, np.int32)
+        l_vals = np.zeros(cap, np.float64)
+        u_ptr = np.zeros(n + 1, np.int64)
+        u_cols = np.zeros(cap, np.int32)
+        u_vals = np.zeros(cap, np.float64)
+        perm = np.zeros(n, np.int64)
+        r = l.tt_splu(n, row_ptr, cols, vals, cap, l_ptr, l_cols, l_vals,
+                      u_ptr, u_cols, u_vals, perm)
+        if r >= 0:
+            return (l_ptr, l_cols[: l_ptr[n]], l_vals[: l_ptr[n]],
+                    u_ptr, u_cols[: u_ptr[n]], u_vals[: u_ptr[n]], perm)
+        cap = max(int(-r) * 2, cap * 2)
+    raise RuntimeError("tt_splu: fill capacity retry limit exceeded")
+
+
+def splu_solve_native(factors, b):
+    l = lib()
+    if l is None:
+        return None
+    l_ptr, l_cols, l_vals, u_ptr, u_cols, u_vals, perm = factors
+    n = len(perm)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    out = np.zeros(n, np.float64)
+    l.tt_splu_solve(n, l_ptr, l_cols, l_vals, u_ptr, u_cols, u_vals,
+                    perm, b, out)
+    return out

@@ -209,4 +209,180 @@ void tt_spgemm_fill(int64_t m, int64_t n, const int64_t* a_ptr,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Sparse LU: Gilbert-Peierls left-looking factorization with partial
+// pivoting (the algorithm behind KLU/SuperLU's column factorization —
+// reference consumer: packages/amesos2/src/Amesos2_KLU2_decl.hpp).
+// Two-call protocol: tt_splu sizes/fills within caller-provided capacity;
+// returns required nnz (caller retries with bigger buffers if needed).
+// Outputs: L (unit diagonal implicit, row-permuted), U (upper), and the
+// row permutation perm (perm[k] = original row in position k).
+// ---------------------------------------------------------------------------
+
+int64_t tt_splu(int64_t n, const int64_t* a_ptr, const int32_t* a_cols,
+                const double* a_vals, int64_t cap,
+                int64_t* l_ptr, int32_t* l_cols, double* l_vals,
+                int64_t* u_ptr, int32_t* u_cols, double* u_vals,
+                int64_t* perm) {
+  // CSC copy of A (Gilbert-Peierls is column-based)
+  std::vector<int64_t> cptr(n + 1, 0);
+  const int64_t nnz = a_ptr[n];
+  for (int64_t j = 0; j < nnz; ++j) cptr[a_cols[j] + 1]++;
+  for (int64_t c = 0; c < n; ++c) cptr[c + 1] += cptr[c];
+  std::vector<int32_t> crow(nnz);
+  std::vector<double> cval(nnz);
+  {
+    std::vector<int64_t> w(cptr.begin(), cptr.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t jj = a_ptr[i]; jj < a_ptr[i + 1]; ++jj) {
+        const int64_t pos = w[a_cols[jj]]++;
+        crow[pos] = (int32_t)i;
+        cval[pos] = a_vals[jj];
+      }
+  }
+  // L stored column-wise during factorization (unit diag implicit)
+  std::vector<std::vector<int32_t>> lrow(n);
+  std::vector<std::vector<double>> lval(n);
+  std::vector<int64_t> pinv(n, -1);  // original row -> pivot position
+  std::vector<double> x(n, 0.0);
+  std::vector<int32_t> stack(n), flag(n, -1), pattern;
+  pattern.reserve(256);
+  int64_t lnnz = 0, unnz = 0;
+  u_ptr[0] = 0;
+  for (int64_t col = 0; col < n; ++col) {
+    // symbolic: DFS from A(:,col) rows through L columns of pivoted rows
+    pattern.clear();
+    for (int64_t jj = cptr[col]; jj < cptr[col + 1]; ++jj) {
+      int32_t r = crow[jj];
+      if (flag[r] == col) continue;
+      // iterative DFS
+      int64_t top = 0;
+      stack[top] = r;
+      std::vector<int64_t> pos_in(1, 0);
+      while (top >= 0) {
+        const int32_t node = stack[top];
+        if (flag[node] != col) flag[node] = col;
+        const int64_t pv = pinv[node];
+        bool descended = false;
+        if (pv >= 0) {
+          auto& lr = lrow[pv];
+          for (int64_t q = pos_in[top]; q < (int64_t)lr.size(); ++q) {
+            const int32_t child = lr[q];
+            if (flag[child] != col) {
+              pos_in[top] = q + 1;
+              stack[++top] = child;
+              if ((int64_t)pos_in.size() <= top) pos_in.push_back(0);
+              else pos_in[top] = 0;
+              descended = true;
+              break;
+            }
+          }
+        }
+        if (!descended) {
+          pattern.push_back(node);
+          --top;
+        }
+      }
+    }
+    // numeric: x = A(:,col); sparse triangular updates in topological
+    // (reverse-pattern) order
+    for (int32_t r : pattern) x[r] = 0.0;
+    for (int64_t jj = cptr[col]; jj < cptr[col + 1]; ++jj)
+      x[crow[jj]] = cval[jj];
+    for (int64_t t = (int64_t)pattern.size() - 1; t >= 0; --t) {
+      const int32_t node = pattern[t];
+      const int64_t pv = pinv[node];
+      if (pv < 0) continue;
+      const double xj = x[node];
+      if (xj == 0.0) continue;
+      auto& lr = lrow[pv];
+      auto& lv = lval[pv];
+      for (size_t q = 0; q < lr.size(); ++q) x[lr[q]] -= lv[q] * xj;
+    }
+    // pivot: largest |x| among unpivoted rows in the pattern
+    double pmax = 0.0;
+    int32_t prow = -1;
+    for (int32_t r : pattern)
+      if (pinv[r] < 0 && std::abs(x[r]) > pmax) {
+        pmax = std::abs(x[r]);
+        prow = r;
+      }
+    if (prow < 0) {  // structurally singular column: pick any free row
+      for (int32_t r = 0; r < n; ++r)
+        if (pinv[r] < 0) { prow = r; break; }
+      x[prow] = (x[prow] == 0.0) ? 1e-300 : x[prow];
+    }
+    const double piv = x[prow] != 0.0 ? x[prow] : 1e-300;
+    pinv[prow] = col;
+    perm[col] = prow;
+    // U column = pivoted-row entries (pattern rows already pivoted)
+    for (int32_t r : pattern) {
+      if (pinv[r] >= 0 && pinv[r] < col && x[r] != 0.0) {
+        if (unnz >= cap) return -(int64_t)(unnz + lnnz + n);
+        u_cols[unnz] = (int32_t)pinv[r];
+        u_vals[unnz] = x[r];
+        ++unnz;
+      }
+    }
+    if (unnz >= cap) return -(int64_t)(unnz + lnnz + n);
+    u_cols[unnz] = (int32_t)col;  // diagonal of U
+    u_vals[unnz] = piv;
+    ++unnz;
+    u_ptr[col + 1] = unnz;
+    // L column (unit diagonal implicit): unpivoted pattern rows
+    auto& lr = lrow[col];
+    auto& lv = lval[col];
+    for (int32_t r : pattern) {
+      if (pinv[r] < 0 && x[r] != 0.0) {
+        lr.push_back(r);
+        lv.push_back(x[r] / piv);
+      }
+    }
+    lnnz += (int64_t)lr.size();
+    for (int32_t r : pattern) x[r] = 0.0;
+  }
+  if (lnnz > cap) return -(lnnz + unnz);
+  // flatten L columns to CSC-ish (l_ptr/l_cols hold column-major: for
+  // column j, the ORIGINAL row ids with their multipliers)
+  l_ptr[0] = 0;
+  int64_t at = 0;
+  for (int64_t j = 0; j < n; ++j) {
+    for (size_t q = 0; q < lrow[j].size(); ++q) {
+      l_cols[at] = lrow[j][q];
+      l_vals[at] = lval[j][q];
+      ++at;
+    }
+    l_ptr[j + 1] = at;
+  }
+  return lnnz + unnz;
+}
+
+// Forward/backward solve with the tt_splu factors: solves A x = b.
+void tt_splu_solve(int64_t n, const int64_t* l_ptr, const int32_t* l_cols,
+                   const double* l_vals, const int64_t* u_ptr,
+                   const int32_t* u_cols, const double* u_vals,
+                   const int64_t* perm, const double* b, double* out) {
+  // y[col] = (P b) with L (unit lower, column-major over original rows)
+  std::vector<double> y(n);
+  std::vector<double> bw(b, b + n);
+  for (int64_t col = 0; col < n; ++col) {
+    const double yc = bw[perm[col]];
+    y[col] = yc;
+    for (int64_t q = l_ptr[col]; q < l_ptr[col + 1]; ++q)
+      bw[l_cols[q]] -= l_vals[q] * yc;
+  }
+  // U x = y  (U stored column-wise: u column col holds rows < col and
+  // the diagonal at the end)
+  std::vector<double>& xv = y;
+  for (int64_t col = n - 1; col >= 0; --col) {
+    const int64_t lo = u_ptr[col], hi = u_ptr[col + 1];
+    const double piv = u_vals[hi - 1];
+    const double xc = xv[col] / piv;
+    xv[col] = xc;
+    for (int64_t q = lo; q < hi - 1; ++q) xv[u_cols[q]] -= u_vals[q] * xc;
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = xv[i];
+}
+
 }  // extern "C"

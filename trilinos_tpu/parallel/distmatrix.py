@@ -297,15 +297,22 @@ def build_halo_plans(ghosts_of, omap: Map, n_shards: int):
         recv_sel = np.zeros(g_pad, dtype=np.int32)
         ghost_valid = np.zeros(g_pad, dtype=bool)
         ghost_valid[: len(g)] = True
-        owners = omap.owner_of(g) if len(g) else np.zeros(0, np.int64)
-        for j, (gid, o) in enumerate(zip(g, owners)):
-            pos = int(np.searchsorted(
-                omap.shard_lo(int(o)) + sends[int(o)][s], gid))
+        if len(g):
+            owners = omap.owner_of(g).astype(np.int64)
+            # ghosts are owner-major gid-sorted, so each ghost's position
+            # in its owner's send segment is its offset within the
+            # owner's run — closed form, no per-ghost lookup
+            uniq, starts = np.unique(owners, return_index=True)
+            counts = np.diff(np.append(starts, len(g)))
+            pos = np.arange(len(g)) - np.repeat(starts, counts)
             if mode == "a2a":
-                recv_sel[j] = int(o) * seg + pos
+                lane = owners
             else:
-                off_idx = all_offs.index((s - int(o)) % n_shards)
-                recv_sel[j] = off_idx * seg + pos
+                lut = np.zeros(n_shards, dtype=np.int64)
+                for i, off in enumerate(all_offs):
+                    lut[off] = i
+                lane = lut[(s - owners) % n_shards]
+            recv_sel[: len(g)] = (lane * seg + pos).astype(np.int32)
         plans.append(HaloPlan(
             send_idx=jnp.asarray(send_idx),
             send_valid=jnp.asarray(send_valid),
@@ -313,6 +320,35 @@ def build_halo_plans(ghosts_of, omap: Map, n_shards: int):
             ghost_valid=jnp.asarray(ghost_valid),
             n_ghost_pad=g_pad, seg=seg, mode=mode, offsets=tuple(all_offs)))
     return plans, sends
+
+
+def _boundary_stats(trips):
+    rows = trips[0]
+    if len(rows) == 0:
+        return 0, 0
+    _, counts = np.unique(rows, return_counts=True)
+    return len(counts), int(counts.max())
+
+
+def _pack_boundary(trips, nb_pad, kb, npl_c, dtype):
+    """Vectorized packing of boundary COO triples (local row, ghost slot,
+    value) into the compact BoundaryPart ELL (no Python per-entry loop)."""
+    rows, slots, vals = trips
+    rows_idx = np.zeros(nb_pad, dtype=np.int32)
+    bcols = np.zeros((nb_pad, kb), dtype=np.int32)
+    bvals = np.zeros((nb_pad, kb), dtype=dtype)
+    if len(rows):
+        order = np.lexsort((slots, rows))
+        r_s, sl_s, v_s = rows[order], slots[order], vals[order]
+        ur, starts = np.unique(r_s, return_index=True)
+        counts = np.diff(np.append(starts, len(r_s)))
+        j_idx = np.repeat(np.arange(len(ur)), counts)
+        q_idx = np.arange(len(r_s)) - np.repeat(starts, counts)
+        rows_idx[: len(ur)] = ur
+        bcols[j_idx, q_idx] = npl_c + sl_s
+        bvals[j_idx, q_idx] = v_s
+    return BoundaryPart(rows_idx=jnp.asarray(rows_idx),
+                        cols=jnp.asarray(bcols), vals=jnp.asarray(bvals))
 
 
 def distribute_rect(a: CsrHost, row_map: Map, col_map: Map,
@@ -358,17 +394,13 @@ def distribute_rect(a: CsrHost, row_map: Map, col_map: Map,
         sort_perm = np.argsort(ghost_gids, kind="stable")
         lookup = np.searchsorted(ghost_gids[sort_perm], bc_cols)
         bc_slots = sort_perm[lookup]
-        bdict: dict[int, list] = {}
-        for r_l, sl_g, v_g in zip(bc_rows.tolist(), bc_slots.tolist(),
-                                  bc_vals.tolist()):
-            bdict.setdefault(r_l, []).append((sl_g, v_g))
-        boundary_coo.append(bdict)
+        boundary_coo.append((bc_rows, bc_slots, bc_vals))
 
     plans, _ = build_halo_plans(ghosts_of, col_map, n_shards)
 
-    kb = max(max((max((len(v) for v in bc.values()), default=0)
-                  for bc in boundary_coo), default=0), 1)
-    nb_pad = round_up(max((len(bc) for bc in boundary_coo), default=0) or 1,
+    stats = [_boundary_stats(t) for t in boundary_coo]
+    kb = max(max((c for _, c in stats), default=0), 1)
+    nb_pad = round_up(max((r for r, _ in stats), default=0) or 1,
                       ROW_ALIGN)
     k_union = max(max(ic.max_row_length() for ic in interior_csr), 1)
     interiors, boundaries = [], []
@@ -377,17 +409,8 @@ def distribute_rect(a: CsrHost, row_map: Map, col_map: Map,
                        n_rows_pad=npl_r, identity_pad_rows=False)
         interiors.append(EllMatrix(cols=e.cols, vals=e.vals, n_rows=npl_r,
                                    n_cols=npl_c, nnz=0))
-        rows_idx = np.zeros(nb_pad, dtype=np.int32)
-        bcols = np.zeros((nb_pad, kb), dtype=np.int32)
-        bvals = np.zeros((nb_pad, kb), dtype=dtype)
-        for j, (r, ents) in enumerate(sorted(boundary_coo[s].items())):
-            rows_idx[j] = r
-            for q, (slot, vv) in enumerate(ents):
-                bcols[j, q] = npl_c + slot
-                bvals[j, q] = vv
-        boundaries.append(BoundaryPart(
-            rows_idx=jnp.asarray(rows_idx), cols=jnp.asarray(bcols),
-            vals=jnp.asarray(bvals)))
+        boundaries.append(_pack_boundary(boundary_coo[s], nb_pad, kb,
+                                         npl_c, dtype))
     return DistMatrix(
         interior=stack_shards(interiors), boundary=stack_shards(boundaries),
         plan=stack_shards(plans), row_map=row_map, col_map=col_map)
@@ -438,11 +461,7 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
         sort_perm = np.argsort(ghost_gids, kind="stable")
         lookup = np.searchsorted(ghost_gids[sort_perm], bc_cols)
         bc_slots = sort_perm[lookup]
-        bdict: dict[int, list] = {}
-        for r_l, sl_g, v_g in zip(bc_rows.tolist(), bc_slots.tolist(),
-                                  bc_vals.tolist()):
-            bdict.setdefault(r_l, []).append((sl_g, v_g))
-        boundary_coo.append(bdict)
+        boundary_coo.append((bc_rows, bc_slots, bc_vals))
 
     plans, sends = build_halo_plans(ghosts_of, rmap, n_shards)
 
@@ -450,10 +469,9 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
     g_pad = plans[0].n_ghost_pad
     boundaries = []
     interiors = []
-    kb = max((max((len(v) for v in bc.values()), default=0)
-              for bc in boundary_coo), default=0)
-    kb = max(kb, 1)
-    nb_pad = round_up(max((len(bc) for bc in boundary_coo), default=0) or 1,
+    stats = [_boundary_stats(t) for t in boundary_coo]
+    kb = max(max((c for _, c in stats), default=0), 1)
+    nb_pad = round_up(max((r for r, _ in stats), default=0) or 1,
                       ROW_ALIGN)
     # uniform interior format across shards
     if fmt == "auto":
@@ -478,17 +496,8 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
                            n_rows_pad=npl)
             interiors.append(EllMatrix(cols=e.cols, vals=e.vals, n_rows=npl,
                                        n_cols=npl, nnz=0))
-        rows_idx = np.zeros(nb_pad, dtype=np.int32)
-        bcols = np.zeros((nb_pad, kb), dtype=np.int32)
-        bvals = np.zeros((nb_pad, kb), dtype=dtype)
-        for j, (r, ents) in enumerate(sorted(boundary_coo[s].items())):
-            rows_idx[j] = r
-            for q, (slot, vv) in enumerate(ents):
-                bcols[j, q] = npl + slot
-                bvals[j, q] = vv
-        boundaries.append(BoundaryPart(
-            rows_idx=jnp.asarray(rows_idx), cols=jnp.asarray(bcols),
-            vals=jnp.asarray(bvals)))
+        boundaries.append(_pack_boundary(boundary_coo[s], nb_pad, kb,
+                                         npl, dtype))
 
     dm = DistMatrix(
         interior=stack_shards(interiors), boundary=stack_shards(boundaries),

@@ -75,6 +75,8 @@ def create(name: str, a, params: ParameterList | dict | None = None,
     from .ilut import Ilut
     from .jacobi import BlockJacobi, Relaxation
     from .multicolor_gs import MulticolorGaussSeidel
+    from .containers import BlockRelaxation
+    from .direct_prec import DirectPrec
     from .hiptmair import Hiptmair
     from .poly import GmresPoly
     from .schwarz import AdditiveSchwarz
@@ -90,13 +92,18 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         "ILUT": Ilut,
         "GMRESPOLY": GmresPoly,
         "POLY": GmresPoly,
-        "BLOCK RELAXATION": BlockJacobi,
+        "BLOCK RELAXATION": BlockRelaxation,
+        "TRIDI": BlockRelaxation,
+        "BANDED RELAXATION": BlockRelaxation,
         "BLOCK_JACOBI": BlockJacobi,
         "MT GAUSS-SEIDEL": MulticolorGaussSeidel,
         "GAUSS-SEIDEL": MulticolorGaussSeidel,
         "SCHWARZ": AdditiveSchwarz,
         "ADDITIVE SCHWARZ": AdditiveSchwarz,
         "HIPTMAIR": Hiptmair,
+        "AMESOS2": DirectPrec,
+        "DIRECT": DirectPrec,
+        "KLU2": DirectPrec,
         "SA-AMG": SaAmg,
         "MUELU": SaAmg,
         "AMG": SaAmg,

@@ -10,6 +10,7 @@ from .lsqr import fixed_point, lsqr
 from .gcrodr import RecycleSpace, gcrodr
 from .rcg import CgRecycleSpace, pcpg, rcg
 from .sstep_gmres import sstep_gmres
+from .direct import SparseLu, direct_solve
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
 from . import ortho, status
@@ -39,6 +40,8 @@ __all__ = [
     "CgRecycleSpace",
     "pcpg",
     "LinearProblem",
+    "SparseLu",
+    "direct_solve",
     "SolverManager",
     "build",
     "create_solver",

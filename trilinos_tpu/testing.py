@@ -77,3 +77,54 @@ def validate_comm(comm, n: int = 16) -> list[str]:
     if abs(float(s) - expect) > 1e-9 * max(expect, 1.0):
         problems.append(f"psum mismatch: {float(s)} != {expect}")
     return problems
+
+
+def validate_preconditioner(prec: Callable, n: int, *, spd: bool = False,
+                            seed: int = 0, rtol: float = 1e-6
+                            ) -> list[str]:
+    """Preconditioner-contract checks (the MVOPTester discipline applied
+    to the prec slot): linearity, shape, finiteness; with ``spd=True``
+    also symmetry in the inner product and positivity of x'Mx — the
+    conditions CG requires of its preconditioner."""
+    problems = validate_operator(prec, n, symmetric=spd or None,
+                                 seed=seed, rtol=rtol)
+    if spd:
+        rng = np.random.default_rng(seed + 1)
+        for t in range(3):
+            x = jnp.asarray(rng.standard_normal(n))
+            q = float(jnp.vdot(x, prec(x)))
+            if not q > 0:
+                problems.append(f"x'Mx = {q} <= 0 (not positive definite)")
+                break
+    return problems
+
+
+def validate_multivector_traits(n: int = 64, nrhs: int = 3,
+                                seed: int = 0) -> list[str]:
+    """TestMultiVecTraits analogue for the array+Comm multivector model
+    (BelosMVOPTester.hpp:86): columnwise dot/norm semantics, GEMM-update
+    (MvTimesMatAddMv), SetBlock-style column updates."""
+    from .ops.blas import local_dot
+
+    problems: list[str] = []
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.standard_normal((n, nrhs)))
+    b = jnp.asarray(rng.standard_normal((n, nrhs)))
+    d = local_dot(a, b)
+    if d.shape != (nrhs,):
+        problems.append(f"local_dot shape {d.shape} != ({nrhs},)")
+    want = np.einsum("ij,ij->j", np.asarray(a), np.asarray(b))
+    if not np.allclose(np.asarray(d), want, rtol=1e-10):
+        problems.append("local_dot != columnwise inner products")
+    # MvTimesMatAddMv: C = alpha*A@S + beta*C
+    s_small = jnp.asarray(rng.standard_normal((nrhs, nrhs)))
+    c = jnp.asarray(rng.standard_normal((n, nrhs)))
+    got = 0.5 * (a @ s_small) + 2.0 * c
+    want = 0.5 * np.asarray(a) @ np.asarray(s_small) + 2.0 * np.asarray(c)
+    if not np.allclose(np.asarray(got), want, rtol=1e-10):
+        problems.append("GEMM-update (MvTimesMatAddMv) mismatch")
+    # SetBlock: column-range update
+    upd = a.at[:, 1:2].set(b[:, 0:1])
+    if not np.allclose(np.asarray(upd[:, 1]), np.asarray(b[:, 0])):
+        problems.append("SetBlock-style column update mismatch")
+    return problems
