@@ -96,6 +96,19 @@ def bench_spmv(nx=256, ny=256, nz=256, dtype=np.float32, reps=150):
     return useful / dt / 1e9, a.nnz / dt, dt
 
 
+def bench_spmv_bf16(nx=256, ny=256, nz=256, reps=300):
+    """bf16 diagonal storage (f32 accumulate): ~halves the data stream."""
+    from trilinos_tpu.galeri import laplace3d
+    from trilinos_tpu.ops import matvec as mv
+
+    a = laplace3d(nx, ny, nz, dtype=jnp.bfloat16, fmt="dia")
+    n = a.n_rows_pad
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                    dtype=jnp.float32)
+    dt = timed(lambda m, v: mv.spmv(m, v), (a,), x, reps)
+    return a.nnz / dt, dt
+
+
 def bench_stencil_op(nx=256, ny=256, nz=256, reps=300):
     """Matrix-free plane-masked stencil kernel: nnz/s."""
     from trilinos_tpu.galeri import laplace3d
@@ -193,6 +206,7 @@ def main():
         measure_triad, 550.0)
     gbps, nnz_s, t_apply = _safe(bench_spmv, (0.0, 0.0, float("inf")))
     st_nnz_s, st_t = _safe(bench_stencil_op, (0.0, float("inf")))
+    bf_nnz_s, bf_t = _safe(bench_spmv_bf16, (0.0, float("inf")))
     mm_gbps, mm_nnz_s, mm_t = _safe(bench_spmm, (0.0, 0.0, float("inf")))
     ortho_gbps, ortho_t = _safe(bench_ortho, (0.0, float("inf")))
     cg_iters_s, cg_it_t = _safe(bench_cg, (0.0, float("inf")))
@@ -221,6 +235,8 @@ def main():
             "spmv_apply_ms": round(t_apply * 1e3, 3),
             "stencil_op_nnz_per_s_G": round(st_nnz_s / 1e9, 2),
             "stencil_op_apply_ms": round(st_t * 1e3, 3),
+            "spmv_bf16_nnz_per_s_G": round(bf_nnz_s / 1e9, 2),
+            "spmv_bf16_apply_ms": round(bf_t * 1e3, 3),
             "spmm_k4_gbps": round(mm_gbps, 1),
             "spmm_k4_nnz_per_s_G": round(mm_nnz_s / 1e9, 2),
             "ortho_gbps": round(ortho_gbps, 1),

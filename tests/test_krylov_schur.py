@@ -136,3 +136,22 @@ class TestBlockDavidson:
         dense_w = np.linalg.eigvalsh(a.to_dense())
         np.testing.assert_allclose(np.sort(res.eigenvalues),
                                    dense_w[:2], rtol=1e-7)
+
+
+class TestTraceMin:
+    def test_smallest_laplace2d(self):
+        from trilinos_tpu.eigen import tracemin
+
+        a = laplace2d(14, 10)
+        op, n = op_of(a)
+        res = tracemin(op, n, nev=3, inner_iters=25, tol=1e-9,
+                       maxiter=200)
+        assert res.converged, res.resnorms
+        dense_w = np.linalg.eigvalsh(a.to_dense())
+        np.testing.assert_allclose(np.sort(res.eigenvalues),
+                                   dense_w[:3], rtol=1e-7)
+        ad = a.to_dense()
+        for j in range(3):
+            x = res.eigenvectors[:, j]
+            lam = res.eigenvalues[j]
+            assert np.linalg.norm(ad @ x - lam * x) <= 1e-6

@@ -2,7 +2,8 @@ from .lanczos import arnoldi, lanczos_eigs
 from .lobpcg import EigenResult, lobpcg, power_method
 from .krylov_schur import EigsResult, block_krylov_schur
 from .davidson import block_davidson
+from .tracemin import tracemin
 
 __all__ = ["arnoldi", "lanczos_eigs", "EigenResult", "lobpcg",
            "power_method", "EigsResult", "block_krylov_schur",
-           "block_davidson"]
+           "block_davidson", "tracemin"]

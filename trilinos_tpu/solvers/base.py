@@ -70,6 +70,11 @@ def certified_solve(solve_from, op, b, x0, tol, maxiter, comm):
 
     solve_from(x, tol2_loop, k0) -> (x, k) continues the iteration from
     ``x`` (k counts cumulative iterations; must not exceed maxiter).
+
+    Tightening attempts are capped (4 passes): an UNATTAINABLE tolerance
+    (e.g. rtol 1e-8 in f32) is reported as converged=False after a
+    bounded amount of extra work instead of spinning to maxiter — the
+    loss-of-accuracy exit of the reference test.
     """
     from ..ops.blas import local_dot
 
@@ -80,17 +85,20 @@ def certified_solve(solve_from, op, b, x0, tol, maxiter, comm):
         return comm.psum(local_dot(r, r))
 
     def cond(s):
-        x, k, t2, rr = s
-        return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+        x, k, t2, rr, tries = s
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, tries < 4),
+            jnp.any(rr > tol2))
 
     def body(s):
-        x, k, t2, _ = s
+        x, k, t2, _, tries = s
         x, k = solve_from(x, t2, k)
-        return x, k, t2 * jnp.asarray(0.0625, t2.dtype), true_rr(x)
+        return (x, k, t2 * jnp.asarray(0.0625, t2.dtype), true_rr(x),
+                tries + 1)
 
     t2_0 = tol2 * jnp.ones_like(jnp.asarray(tol))
-    x, k, t2, rr = lax.while_loop(
-        cond, body, (x0, 0, t2_0, jnp.full_like(t2_0, jnp.inf)))
+    x, k, t2, rr, tries = lax.while_loop(
+        cond, body, (x0, 0, t2_0, jnp.full_like(t2_0, jnp.inf), 0))
     resnorm = jnp.sqrt(rr)
     return x, k, resnorm, resnorm <= tol
 
