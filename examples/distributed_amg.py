@@ -19,7 +19,9 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
 import numpy as np
 import jax
 
-if jax.default_backend() not in ("tpu", "axon"):
+if os.environ.get("TT_EXAMPLE_TPU") != "1":
+    # default to the CPU mesh (the axon/tpu tunnel registers itself as
+    # the default backend even when JAX_PLATFORMS=cpu is set)
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)  # f64 tolerances on CPU
 import jax.numpy as jnp

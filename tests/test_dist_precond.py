@@ -190,3 +190,23 @@ class TestDistSchwarz:
         assert bool(r1.converged.all())
         assert int(r1.iters) <= int(r0.iters) + 2, \
             (int(r1.iters), int(r0.iters))
+
+
+@pytest.mark.parametrize("n_shards", [4])
+class TestRebalancedAmg:
+    def test_rebalanced_matches_plain_quality(self, n_shards):
+        """Rebalanced (re-partitioned coarse levels) AMG must converge
+        like the plain hierarchy (muelu/src/Rebalancing/ analogue)."""
+        a = laplace3d(10, 10, 8)
+        dm, mesh, b, bg = dist_setup(a, n_shards)
+        p0 = drv.dist_amg(a, dm.row_map, coarse_max=32)
+        p1 = drv.dist_amg(a, dm.row_map, coarse_max=32, rebalance=True)
+        r0 = drv.dist_solve(cg, dm, bg, mesh=mesh, prec=p0,
+                            rtol=1e-8, maxiter=100)
+        r1 = drv.dist_solve(cg, dm, bg, mesh=mesh, prec=p1,
+                            rtol=1e-8, maxiter=100)
+        assert bool(r1.converged.all())
+        x = dm.row_map.from_padded(np.asarray(r1.x))
+        rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
+        assert rel <= 2e-8
+        assert abs(int(r1.iters) - int(r0.iters)) <= 3

@@ -232,7 +232,8 @@ class TestMulticolorGS:
 class TestBlockRelaxationContainers:
     """Container family (Ifpack2_Container_decl.hpp: Dense/TriDi/Banded)."""
 
-    @pytest.mark.parametrize("container", ["Dense", "TriDi", "Banded"])
+    @pytest.mark.parametrize("container", ["Dense", "TriDi", "Banded",
+                                           "SparseILU0"])
     def test_cg_converges(self, container):
         a = laplace2d(16, 12)
         op, b, dense, n = make_problem(a)

@@ -283,11 +283,25 @@ def identity_precond() -> DistPrecond:
     return DistPrecond(arrays={}, kind="identity")
 
 
+def _permute_rows(m: CsrHost, new_of_old: np.ndarray) -> CsrHost:
+    rows = np.repeat(np.arange(m.shape[0], dtype=np.int64),
+                     m.row_lengths())
+    return CsrHost.from_coo(new_of_old[rows], m.cols.astype(np.int64),
+                            m.vals, m.shape, sum_duplicates=False)
+
+
+def _permute_cols(m: CsrHost, new_of_old: np.ndarray) -> CsrHost:
+    rows = np.repeat(np.arange(m.shape[0], dtype=np.int64),
+                     m.row_lengths())
+    return CsrHost.from_coo(rows, new_of_old[m.cols.astype(np.int64)],
+                            m.vals, m.shape, sum_duplicates=False)
+
+
 def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
              coarse_max: int = 64, min_agg: int = 2,
              sa_damping: float = 4.0 / 3.0, sweeps: int = 2,
              omega: float = 0.8, cycle: str = "V",
-             dtype=None) -> DistPrecond:
+             rebalance: bool = False, dtype=None) -> DistPrecond:
     """Distributed smoothed-aggregation AMG.
 
     Setup runs on host (MueLu Hierarchy::Setup,
@@ -301,12 +315,42 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
     """
     from ..precond.amg import build_hierarchy_host
     from .distmatrix import distribute, distribute_rect
+    from .partition import (partition_greedy_graph,
+                            partition_to_permutation, permute_csr)
 
     dtype = dtype or a.vals.dtype
     n_shards = rmap.n_shards
     assert rmap.n_global == a.shape[0]
     host_levels, a_coarse = build_hierarchy_host(
         a, max_levels, coarse_max, min_agg, sa_damping)
+
+    if rebalance:
+        # MueLu-style rebalanced hierarchy (muelu/src/Rebalancing/):
+        # re-partition each COARSE level's operator with graph growing so
+        # its halo plans cut fewer edges, and carry the renumbering
+        # through P's columns / R's rows. The finest level keeps the
+        # caller's map (the solve vector layout must not change).
+        relabeled = []
+        for i, (a_l, p_l) in enumerate(host_levels):
+            if i == 0:
+                relabeled.append([a_l, p_l])
+                continue
+            part = partition_greedy_graph(a_l, n_shards)
+            perm = partition_to_permutation(part)  # perm[new] = old
+            inv = np.empty(a_l.shape[0], dtype=np.int64)
+            inv[perm] = np.arange(a_l.shape[0])
+            relabeled[i - 1][1] = _permute_cols(relabeled[i - 1][1], inv)
+            relabeled.append([permute_csr(a_l, perm),
+                              _permute_rows(p_l, inv)])
+        if len(host_levels) > 1:
+            # coarsest operator's rows follow the last P's columns
+            part = partition_greedy_graph(a_coarse, n_shards)
+            perm = partition_to_permutation(part)
+            inv = np.empty(a_coarse.shape[0], dtype=np.int64)
+            inv[perm] = np.arange(a_coarse.shape[0])
+            relabeled[-1][1] = _permute_cols(relabeled[-1][1], inv)
+            a_coarse = permute_csr(a_coarse, perm)
+        host_levels = [tuple(lv) for lv in relabeled]
 
     maps = [rmap]
     for (_, p_l) in host_levels:

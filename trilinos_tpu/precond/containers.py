@@ -35,7 +35,8 @@ from .base import Preconditioner
 
 _SPECS = {
     "relaxation: container": Param("relaxation: container", "Dense",
-                                   choices=("Dense", "TriDi", "Banded")),
+                                   choices=("Dense", "TriDi", "Banded",
+                                            "SparseILU0")),
     "partitioner: block size": Param("partitioner: block size", 4),
     "relaxation: sweeps": Param("relaxation: sweeps", 1),
     "relaxation: damping factor": Param("relaxation: damping factor", 1.0),
@@ -66,6 +67,22 @@ class BlockRelaxation(Preconditioner):
         self.sweeps = int(p["relaxation: sweeps"])
         self.omega = float(p["relaxation: damping factor"])
         self.a_dev = choose_format(self.a, dtype=dtype)
+
+        if container == "SparseILU0":
+            # Ifpack2 SparseContainer analogue (recursive preconditioner
+            # per block, Ifpack2_SparseContainer_decl.hpp): ILU(0) of the
+            # block-diagonal filter — the fill pattern stays inside the
+            # blocks, so one factorization covers all containers
+            from .ilu import Ilu0
+
+            rows = np.repeat(np.arange(n, dtype=np.int64),
+                             self.a.row_lengths())
+            cols_g = self.a.cols.astype(np.int64)
+            keep = rows // bs == cols_g // bs
+            filt = CsrHost.from_coo(rows[keep], cols_g[keep],
+                                    self.a.vals[keep], self.a.shape)
+            self.inner = Ilu0(filt, {"dtype": dtype}).compute()
+            return
 
         # extract per-block structures (LinearPartitioner blocks)
         dense = np.tile(np.eye(bs, dtype=np.float64), (nb_pad, 1, 1))
@@ -107,6 +124,8 @@ class BlockRelaxation(Preconditioner):
 
     def _container_solve(self, r2: jax.Array) -> jax.Array:
         """(npad_in, k) -> (npad_in, k): batched per-block solves."""
+        if self.container == "SparseILU0":
+            return self.inner.apply(r2)
         bs = self.block_size
         npad_in = r2.shape[0]
         x2 = r2
