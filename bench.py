@@ -192,6 +192,36 @@ def bench_cg(nx=128, ny=128, nz=128, iters=1000):
     return 1.0 / per_it, per_it
 
 
+def bench_cg_fused(nx=128, ny=128, nz=128, iters=1000):
+    """Fused-iteration CG (one Pallas launch/iter) — same protocol as
+    bench_cg."""
+    from trilinos_tpu.galeri import laplace3d
+    from trilinos_tpu.solvers import cg_fused
+
+    op = laplace3d(nx, ny, nz, dtype=np.float32, fmt="stencil")
+    n, npad = op.n_rows, op.n_rows_pad
+    run = jax.jit(lambda bb: cg_fused(op, bb, rtol=0.0, maxiter=iters))
+    rng = np.random.default_rng(4)
+
+    def fresh_b():
+        b = np.zeros(npad, np.float32)
+        b[:n] = rng.standard_normal(n)
+        return jnp.asarray(b)
+
+    r = run(fresh_b())
+    float(jnp.max(r.resnorm))
+    best = 1e9
+    for i in range(4):
+        b = fresh_b()
+        t0 = time.perf_counter()
+        r = run(b)
+        float(jnp.max(r.resnorm))
+        if i > 0:
+            best = min(best, time.perf_counter() - t0)
+    per_it = best / max(int(r.iters), 1)
+    return 1.0 / per_it, per_it
+
+
 def _safe(fn, fallback):
     try:
         return fn()
@@ -210,6 +240,7 @@ def main():
     mm_gbps, mm_nnz_s, mm_t = _safe(bench_spmm, (0.0, 0.0, float("inf")))
     ortho_gbps, ortho_t = _safe(bench_ortho, (0.0, float("inf")))
     cg_iters_s, cg_it_t = _safe(bench_cg, (0.0, float("inf")))
+    cgf_iters_s, cgf_it_t = _safe(bench_cg_fused, (0.0, float("inf")))
     target = 0.70 * triad
 
     arch = PerfArchive(ARCHIVE, machine=os.environ.get("TT_MACHINE",
@@ -220,6 +251,7 @@ def main():
                       ("spmm_gbps", mm_gbps),
                       ("ortho_gbps", ortho_gbps),
                       ("cg_iters_per_s", cg_iters_s),
+                      ("cg_fused_iters_per_s", cgf_iters_s),
                       ("triad_gbps", triad)]:
         r = arch.check(name, val, tol=1.20, higher_is_better=True)
         statuses[name] = r.status
@@ -242,6 +274,8 @@ def main():
             "ortho_gbps": round(ortho_gbps, 1),
             "cg_iters_per_s": round(cg_iters_s, 1),
             "cg_iter_ms": round(cg_it_t * 1e3, 3),
+            "cg_fused_iters_per_s": round(cgf_iters_s, 1),
+            "cg_fused_iter_ms": round(cgf_it_t * 1e3, 3),
             "perf_archive": statuses,
             "timing": "big-reps min-of-3 (reps 100-300), pallas triad, "
                       "fresh-RHS CG; round-1 numbers carried +0.83ms/rep "

@@ -1,0 +1,83 @@
+"""Canonical real-chip verification: BASELINE configs 1+2 on the PALLAS
+path + kernel-parity spot checks (VERDICT round-1 weak #6 — kernel
+regressions must fail a config check, not just move a bench number).
+
+Run (no env overrides — uses the tunneled TPU):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/chip_verify.py
+Takes ~5-15 min (remote compiles dominate). Exits nonzero on failure.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def check(name, ok, detail=""):
+    print(f"  [{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
+    if not ok:
+        sys.exit(1)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    from trilinos_tpu.galeri import laplace2d, laplace3d
+    from trilinos_tpu.ops import choose_format, matvec as mv
+    from trilinos_tpu.solvers import cg, gmres
+
+    # --- kernel parity on chip (pallas vs xla), plane + DIA + SpMM ------
+    op = laplace3d(64, 64, 32, dtype=np.float32, fmt="stencil")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        op.n_rows_pad), dtype=jnp.float32)
+    y_p = jax.jit(lambda v: mv.spmv(op, v))(x)  # pallas on chip
+    y_x = jax.jit(lambda v: mv.spmv(op, v, impl="xla"))(x)
+    err = float(jnp.max(jnp.abs(y_p - y_x)))
+    check("plane-stencil kernel parity", err < 1e-4, f"err={err:.1e}")
+
+    a = laplace3d(64, 64, 32, dtype=np.float32, fmt="dia")
+    y_p = jax.jit(lambda m, v: mv.spmv(m, v))(a, x)
+    y_x = jax.jit(lambda m, v: mv.spmv(m, v, impl="xla"))(a, x)
+    err = float(jnp.max(jnp.abs(y_p - y_x)))
+    check("DIA kernel parity", err < 1e-4, f"err={err:.1e}")
+
+    xm = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (a.n_rows_pad, 4)), dtype=jnp.float32)
+    y_p = jax.jit(lambda m, v: mv.spmv(m, v))(a, xm)  # packed SpMM kernel
+    y_x = jax.jit(lambda m, v: mv.spmv(m, v, impl="xla"))(a, xm)
+    err = float(jnp.max(jnp.abs(y_p - y_x)))
+    check("DIA SpMM k=4 kernel parity", err < 1e-4, f"err={err:.1e}")
+
+    # --- BASELINE config 1: Laplace2D 100^2, unprec CG (pallas path) ----
+    a1 = laplace2d(100, 100, dtype=np.float32)
+    dev = choose_format(a1)
+    n, npad = a1.shape[0], dev.n_rows_pad
+    b = np.zeros(npad, np.float32)
+    b[:n] = np.random.default_rng(0).standard_normal(n)
+    res = cg(lambda v: mv.spmv(dev, v), jnp.asarray(b), rtol=1e-5,
+             maxiter=2000)
+    xs = np.asarray(res.x)[:n]
+    rel = np.linalg.norm(b[:n] - a1.to_dense() @ xs) / np.linalg.norm(b[:n])
+    check("config 1 (CG, pallas path)",
+          bool(res.converged) and rel <= 1.05e-5,
+          f"iters={int(res.iters)} rel={rel:.1e}")
+
+    # --- BASELINE config 2: Laplace3D 64^3, Jacobi-GMRES, SpMM nrhs=4 ---
+    a2 = laplace3d(64, 64, 64, dtype=np.float32, fmt="dia")
+    n2, npad2 = 64 ** 3, a2.n_rows_pad
+    d = 6.0
+    dinv = jnp.asarray(np.full(npad2, 1.0 / d, np.float32))
+    b2 = np.zeros((npad2, 4), np.float32)
+    b2[:n2] = np.random.default_rng(2).standard_normal((n2, 4))
+    t0 = time.time()
+    res2 = gmres(lambda v: mv.spmv(a2, v), jnp.asarray(b2),
+                 prec=lambda v: dinv[:, None] * v if v.ndim == 2
+                 else dinv * v, rtol=1e-5, restart=30, maxiter=300)
+    ok = bool(jnp.all(res2.converged))
+    check("config 2 (Jacobi-GMRES nrhs=4, SpMM kernel)", ok,
+          f"iters={int(res2.iters)} t={time.time()-t0:.0f}s")
+    print("chip_verify: ALL PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()

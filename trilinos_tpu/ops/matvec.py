@@ -151,10 +151,10 @@ def spmv(a: SparseMatrix, x: jax.Array, transpose: bool = False,
             from .pallas.stencil_op import (stencil_pallas_applicable,
                                             stencil_spmm_applicable,
                                             stencil_spmm_pallas,
-                                            stencil_spmv_pallas)
+                                            stencil_spmv_vmappable)
 
             if x.ndim == 1 and stencil_pallas_applicable(a, x.ndim):
-                return stencil_spmv_pallas(a, x)
+                return stencil_spmv_vmappable(a, x)
             if x.ndim == 2 and stencil_spmm_applicable(a, x.shape[1]):
                 return stencil_spmm_pallas(a, x)
         return stencil_spmv_xla(a, x)

@@ -28,10 +28,12 @@ def maybe_pallas(a: SparseMatrix, transpose: bool, force: bool = False,
     try:
         if isinstance(a, DiaMatrix):
             from .dia_spmv import (dia_pallas_applicable, dia_spmm_applicable,
-                                   dia_spmm_pallas, dia_spmv_pallas)
+                                   dia_spmm_pallas, dia_spmv_vmappable)
 
             if x_ndim == 1 and dia_pallas_applicable(a, x_ndim):
-                return dia_spmv_pallas
+                # vmappable wrapper: jax.vmap over columns lands on the
+                # packed SpMM kernel instead of breaking Mosaic lowering
+                return dia_spmv_vmappable
             if x_ndim == 2 and dia_spmm_applicable(a, nrhs):
                 return dia_spmm_pallas
     except ImportError:  # pragma: no cover

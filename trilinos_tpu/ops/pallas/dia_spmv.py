@@ -291,6 +291,42 @@ def dia_spmm_pallas(a: DiaMatrix, x: jax.Array,
     return out.reshape(k, n).T
 
 
+def _dia_xla_lastaxis(a: DiaMatrix, x: jax.Array) -> jax.Array:
+    """Roll-based DIA apply on the LAST axis (any leading batch dims) —
+    the generic fallback for batched applies the kernels can't take."""
+    y = jnp.zeros_like(x)
+    data = a.data_flat
+    for d, off in enumerate(a.offsets):
+        shifted = jnp.roll(x, -off, axis=-1) if off else x
+        y = y + data[d] * shifted
+    return y
+
+
+@jax.custom_batching.custom_vmap
+def dia_spmv_vmappable(a: DiaMatrix, x: jax.Array) -> jax.Array:
+    """Single-RHS Pallas SpMV whose vmap rule is the PACKED SpMM kernel.
+
+    Plain vmap of a pallas_call with an ANY-memory-space windowed input
+    fails Mosaic lowering (and would be the wrong program anyway); this
+    wrapper makes `jax.vmap(spmv)` — the pseudo-block GMRES pattern —
+    land on dia_spmm_packed, reading the diagonal data once for all
+    batched right-hand sides."""
+    return dia_spmv_pallas(a, x)
+
+
+@dia_spmv_vmappable.def_vmap
+def _dia_spmv_vmap_rule(axis_size, in_batched, a, x):
+    a_batched = any(jax.tree_util.tree_leaves(in_batched[0]))
+    if a_batched or x.ndim != 2:
+        return _dia_xla_lastaxis(a, x), True
+    k = x.shape[0]
+    if dia_spmm_applicable(a, k):
+        r = a.n_rows_pad // LANES
+        out = dia_spmm_packed(a, x.reshape(k, r, LANES))
+        return out.reshape(k, a.n_rows_pad), True
+    return _dia_xla_lastaxis(a, x), True
+
+
 def dia_spmv_pallas(a: DiaMatrix, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
     n = a.n_rows_pad

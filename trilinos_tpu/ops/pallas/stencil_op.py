@@ -493,6 +493,26 @@ def stencil_spmv_pallas(op: StencilOp, x: jax.Array,
     return stencil_spmv_masked(op, x, interpret=interpret)
 
 
+@jax.custom_batching.custom_vmap
+def stencil_spmv_vmappable(op: StencilOp, x: jax.Array) -> jax.Array:
+    """Single-RHS stencil apply whose vmap rule is the packed SpMM plane
+    kernel (see dia_spmv.dia_spmv_vmappable for the rationale)."""
+    return stencil_spmv_pallas(op, x)
+
+
+@stencil_spmv_vmappable.def_vmap
+def _stencil_vmap_rule(axis_size, in_batched, op, x):
+    if x.ndim == 2 and stencil_spmm_applicable(op, x.shape[0]):
+        k = x.shape[0]
+        r = op.n_rows_pad // LANES
+        out = stencil_spmm_packed(op, x.reshape(k, r, LANES))
+        return out.reshape(k, op.n_rows_pad), True
+    # generic fallback: masked-roll XLA on (n, k) layout
+    xm = jnp.moveaxis(x, 0, -1)
+    y = stencil_spmv_xla(op, xm.reshape(op.n_rows_pad, -1))
+    return jnp.moveaxis(y.reshape(xm.shape), -1, 0), True
+
+
 # ---------------------------------------------------------------------------
 # Multivector (SpMM) plane kernel: packed (k, R, 128) layout
 # ---------------------------------------------------------------------------
