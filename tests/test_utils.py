@@ -148,3 +148,30 @@ class TestIlut:
             b[:n])
         assert rel <= 1e-6
         assert int(accel.iters) < int(plain.iters)
+
+
+class TestGaleriFactoryNames:
+    """create_matrix covers the reference's named problems
+    (Galeri_CrsMatrices.cpp string factory + src-xpetra problems)."""
+
+    def test_round2_names(self):
+        from trilinos_tpu.galeri.stencils import create_matrix
+
+        for name, params in [("Elasticity2D", dict(nx=4, ny=3)),
+                             ("Helmholtz2D", dict(nx=6, ny=5, k=2.0)),
+                             ("UniFlow2D", dict(nx=6, ny=5)),
+                             ("Maxwell2D", dict(nx=4, ny=4))]:
+            m = create_matrix(name, params)
+            if name == "Maxwell2D":
+                a, g = m
+                assert a.shape[0] == a.shape[1] == g.shape[0]
+            else:
+                assert m.shape[0] == m.shape[1] > 0
+
+    def test_unknown_raises(self):
+        import pytest as _pytest
+
+        from trilinos_tpu.galeri.stencils import create_matrix
+
+        with _pytest.raises(ValueError):
+            create_matrix("NotAProblem", dict(nx=2, ny=2))

@@ -286,6 +286,20 @@ def create_matrix(name: str, params: dict, dtype=np.float64, fmt: str = "csr"):
     if name_lower == "cross2d":
         st = cross2d_stencil(p["a"], p["b"], p["c"], p["d"], p["e"])
         return _emit((nx, ny), st, dtype, fmt)
+    if name_lower in ("elasticity2d", "helmholtz2d", "uniflow2d"):
+        from . import fem
+
+        if name_lower == "elasticity2d":
+            return fem.elasticity2d(nx, ny, e_mod=p.get("E", 1e9),
+                                    nu=p.get("nu", 0.25))
+        if name_lower == "helmholtz2d":
+            return fem.helmholtz2d(nx, ny, k=p.get("k", 1.0),
+                                   fmt=fmt) if "fmt" in                 fem.helmholtz2d.__code__.co_varnames else                 fem.helmholtz2d(nx, ny, k=p.get("k", 1.0))
+        return fem.uniflow2d(nx, ny, conv=p.get("conv", 1.0),
+                             diff=p.get("diff", 1e-5),
+                             alpha=p.get("alpha", 0.0))
+    if name_lower == "maxwell2d":
+        return maxwell2d(nx, ny, sigma=p.get("sigma", 1.0))
     raise ValueError(f"unknown Galeri matrix type {name!r}")
 
 

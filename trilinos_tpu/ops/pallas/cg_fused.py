@@ -7,8 +7,15 @@ point of the reference's fused-kernel ladder
 (Tpetra_Details_residual.hpp fused residual; CGSingleRedIter's fused
 MvTransMv, belos/src/BelosCGSingleRedIter.hpp:477-483; the per-kernel CG
 timer trio of cg_solve_file.hpp:138-140): per iteration the fused kernel
-moves ~10 vector passes instead of ~15 for the unfused XLA loop, and
-launches once instead of ~6 times.
+moves ~10 vector passes (3 halo windows + 2 streamed inputs + 5 outputs)
+and launches once.
+
+MEASURED (v5e, 128^3, round 2): 0.233 ms/iter — statistically TIED with
+the unfused cg_single_reduce driver (0.206 ms/iter): XLA's own fusion of
+the stencil + axpby/dot chain is already near the bandwidth bound on this
+chip, and the three manual halo windows offset the launch savings. Kept
+as a correctness-tested alternative (and the template for future
+multi-iteration s-step fusion); the unfused driver remains the default.
 
 State (identity preconditioner; z = r): (x, r, w = A r, p, q = A p) plus
 scalars [rz = <r,r>, delta = <r,w>, rz_prev, alpha_prev]. Per call:
