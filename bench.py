@@ -137,6 +137,26 @@ def bench_spmm(nx=256, ny=256, nz=256, k=4, reps=100):
     return agg / dt / 1e9, a.nnz * k / dt, dt
 
 
+def bench_bdia(nx=1024, ny=512, reps=300):
+    """Block-stencil (BDIA) SpMV on Q1 elasticity (b=2, 9 block offsets):
+    the BSR fast path — plane-shifted FMAs, zero gathers (design in
+    ops/pallas/bdia_spmv.py; KokkosSparse_spmv_bsrmatrix_impl.hpp is the
+    reference analogue)."""
+    from trilinos_tpu.galeri import elasticity2d
+    from trilinos_tpu.ops import csr_to_bdia
+    from trilinos_tpu.ops import matvec as mv
+
+    a = csr_to_bdia(elasticity2d(nx, ny, e_mod=1.0, dtype=np.float32), 2,
+                    dtype=np.float32)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal(a.n_rows_pad),
+        dtype=jnp.float32)
+    dt = timed(lambda m, v: mv.spmv(m, v), (a,), x, reps)
+    nd, b = len(a.offsets), a.block_size
+    stored = (nd * b * b + 2 * b) * a.nbr_pad * 4
+    return stored / dt / 1e9, a.nnz / dt, dt
+
+
 def bench_ortho(n=2 * 1024 * 1024, k=8, reps=100):
     """Block orthogonalization throughput: CGS2 projection + CholQR2
     (belos_orthomanager_tpetra_benchmark.cpp analogue)."""
@@ -238,6 +258,7 @@ def main():
     st_nnz_s, st_t = _safe(bench_stencil_op, (0.0, float("inf")))
     bf_nnz_s, bf_t = _safe(bench_spmv_bf16, (0.0, float("inf")))
     mm_gbps, mm_nnz_s, mm_t = _safe(bench_spmm, (0.0, 0.0, float("inf")))
+    bd_gbps, bd_nnz_s, bd_t = _safe(bench_bdia, (0.0, 0.0, float("inf")))
     ortho_gbps, ortho_t = _safe(bench_ortho, (0.0, float("inf")))
     cg_iters_s, cg_it_t = _safe(bench_cg, (0.0, float("inf")))
     cgf_iters_s, cgf_it_t = _safe(bench_cg_fused, (0.0, float("inf")))
@@ -249,6 +270,7 @@ def main():
     for name, val in [("spmv_gbps", gbps),
                       ("stencil_gnnz", st_nnz_s / 1e9),
                       ("spmm_gbps", mm_gbps),
+                      ("bdia_gbps", bd_gbps),
                       ("ortho_gbps", ortho_gbps),
                       ("cg_iters_per_s", cg_iters_s),
                       ("cg_fused_iters_per_s", cgf_iters_s),
@@ -271,6 +293,9 @@ def main():
             "spmv_bf16_apply_ms": round(bf_t * 1e3, 3),
             "spmm_k4_gbps": round(mm_gbps, 1),
             "spmm_k4_nnz_per_s_G": round(mm_nnz_s / 1e9, 2),
+            "bdia_elasticity_gbps": round(bd_gbps, 1),
+            "bdia_nnz_per_s_G": round(bd_nnz_s / 1e9, 2),
+            "bdia_apply_ms": round(bd_t * 1e3, 3),
             "ortho_gbps": round(ortho_gbps, 1),
             "cg_iters_per_s": round(cg_iters_s, 1),
             "cg_iter_ms": round(cg_it_t * 1e3, 3),

@@ -50,6 +50,7 @@ def _check_spmv(a_csr, dev, nrhs, rtol=1e-12):
         F.EllMatrix: lambda d: d.n_rows_pad,
         F.DiaMatrix: lambda d: d.n_rows_pad,
         F.BsrMatrix: lambda d: d.n_brows_pad * d.block_size,
+        F.BdiaMatrix: lambda d: d.n_rows_pad,
     }[type(dev)](dev)
     dense = a_csr.to_dense()
     m, n = a_csr.shape
@@ -127,6 +128,65 @@ class TestBsr:
         dense = F.to_dense(dev)
         np.testing.assert_allclose(dense[:10, :10], a.to_dense())
         np.testing.assert_allclose(dense[10:12, 10:12], np.eye(2))
+
+
+def block_stencil_csr(rng, nb, b, offsets, dtype=np.float64):
+    """Random block-stencil matrix: dense (b, b) blocks at constant block
+    offsets (in-range only)."""
+    rows, cols, vals = [], [], []
+    for o in offsets:
+        qs = np.arange(max(0, -o), min(nb, nb - o))
+        blocks = rng.standard_normal((len(qs), b, b)).astype(dtype)
+        for bi in range(b):
+            for bj in range(b):
+                rows.append(qs * b + bi)
+                cols.append((qs + o) * b + bj)
+                vals.append(blocks[:, bi, bj])
+    return F.CsrHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                              np.concatenate(vals), (nb * b, nb * b))
+
+
+class TestBdia:
+    @pytest.mark.parametrize("b,nrhs", [(2, 0), (2, 3), (4, 1)])
+    def test_spmv_block_stencil(self, rng, b, nrhs):
+        a = block_stencil_csr(rng, 13, b, (-3, -1, 0, 1, 3))
+        dev = F.csr_to_bdia(a, b)
+        assert isinstance(dev, F.BdiaMatrix)
+        assert dev.offsets == (-3, -1, 0, 1, 3)
+        _check_spmv(a, dev, nrhs)
+
+    def test_to_dense_and_identity_padding(self, rng):
+        a = block_stencil_csr(rng, 5, 2, (0, 1))
+        dev = F.csr_to_bdia(a, 2)
+        assert dev.nbr_pad == 8
+        dense = F.to_dense(dev)
+        np.testing.assert_allclose(dense, a.to_dense())
+        data = np.asarray(dev.data_flat)
+        d0 = dev.offsets.index(0)
+        for i in range(2):
+            np.testing.assert_allclose(data[d0, i, i, 5:], 1.0)
+
+    def test_missing_zero_offset_gets_identity_plane(self, rng):
+        a = block_stencil_csr(rng, 6, 2, (-1, 1))
+        dev = F.csr_to_bdia(a, 2)
+        assert 0 in dev.offsets
+        _check_spmv(a, dev, 0)
+
+    def test_unaligned_dims_padded(self, rng):
+        a = random_csr(rng, 11, 11, density=0.6)
+        dev = F.csr_to_bdia(a, 2)
+        assert dev.n_rows % 2 == 0
+        dense = F.to_dense(dev)
+        np.testing.assert_allclose(dense[:11, :11], a.to_dense())
+
+    def test_elasticity2d_is_block_stencil(self):
+        from trilinos_tpu.galeri import elasticity2d
+
+        a = elasticity2d(6, 5)
+        dev = F.choose_format(a, block_size=2)
+        assert isinstance(dev, F.BdiaMatrix)
+        assert len(dev.offsets) <= 9
+        _check_spmv(a, dev, 2, rtol=1e-9)
 
 
 class TestChooseFormat:

@@ -155,3 +155,74 @@ class TestTraceMin:
             x = res.eigenvectors[:, j]
             lam = res.eigenvalues[j]
             assert np.linalg.norm(ad @ x - lam * x) <= 1e-6
+
+
+class TestGeneralizedDavidson:
+    def test_nonsymmetric_lm(self):
+        from trilinos_tpu.eigen.gen_davidson import generalized_davidson
+
+        a = recirc2d(10, 10, diff=1e-1)
+        op, n = op_of(a)
+        res = generalized_davidson(op, n, nev=4, nb=4, which="LM",
+                                   tol=1e-8, maxiter=200)
+        assert res.converged, res.resnorms
+        dense_w = np.linalg.eigvals(a.to_dense())
+        want = np.sort(np.abs(dense_w))[-4:]
+        got = np.sort(np.abs(res.eigenvalues))[-4:]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_smallest_real_with_prec(self):
+        from trilinos_tpu.eigen.gen_davidson import generalized_davidson
+
+        a = recirc2d(8, 8, diff=5e-1)
+        op, n = op_of(a)
+        d = a.diagonal()
+        dinv = jnp.asarray(1.0 / d)
+        prec = lambda r: dinv[:, None] * r
+        res = generalized_davidson(op, n, nev=2, nb=2, which="SR",
+                                   prec=prec, tol=1e-8, maxiter=300)
+        assert res.converged
+        dense_w = np.linalg.eigvals(a.to_dense())
+        want = np.sort(dense_w.real)[:2]
+        got = np.sort(res.eigenvalues.real)[:2]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_restart_exercised(self):
+        from trilinos_tpu.eigen.gen_davidson import generalized_davidson
+
+        a = recirc2d(10, 10, diff=1e-1)
+        op, n = op_of(a)
+        res = generalized_davidson(op, n, nev=2, nb=2, smax=8, which="LM",
+                                   tol=1e-8, maxiter=300)
+        assert res.converged
+        assert res.iters > 4
+
+
+class TestRtr:
+    def test_smallest_laplace2d(self):
+        from trilinos_tpu.eigen.rtr import rtr
+
+        a = laplace2d(14, 11)
+        op, n = op_of(a)
+        res = rtr(op, n, nev=3, block=5, tol=1e-9, maxiter=200)
+        assert res.converged, res.resnorms
+        dense_w = np.linalg.eigvalsh(a.to_dense())
+        np.testing.assert_allclose(np.sort(res.eigenvalues),
+                                   dense_w[:3], rtol=1e-7)
+        ad = a.to_dense()
+        for j in range(3):
+            x = res.eigenvectors[:, j]
+            lam = res.eigenvalues[j]
+            assert np.linalg.norm(ad @ x - lam * x) <= 1e-6
+
+    def test_trust_region_shrinks_on_bad_model(self):
+        """Solver must survive tiny initial radius (forces rho updates)."""
+        from trilinos_tpu.eigen.rtr import rtr
+
+        a = laplace2d(10, 10)
+        op, n = op_of(a)
+        res = rtr(op, n, nev=2, block=3, tol=1e-8, maxiter=300)
+        assert res.converged
+        dense_w = np.linalg.eigvalsh(a.to_dense())
+        np.testing.assert_allclose(np.sort(res.eigenvalues),
+                                   dense_w[:2], rtol=1e-6)

@@ -148,3 +148,61 @@ class TestBf16Storage:
         rel = (np.linalg.norm(b[:n] - a.to_dense() @ x)
                / np.linalg.norm(b[:n]))
         assert rel <= 5e-5
+
+
+class TestBdiaKernel:
+    """Block-diagonal (block-stencil) kernel vs XLA plane path, interpret
+    mode (the BSR fast path; design in ops/pallas/bdia_spmv.py)."""
+
+    def _elasticity_bdia(self, nx=64, ny=48):
+        from trilinos_tpu.galeri import elasticity2d
+        from trilinos_tpu.ops import formats as F
+
+        a = elasticity2d(nx, ny, e_mod=1.0)
+        return a, F.csr_to_bdia(a, 2, dtype=np.float32)
+
+    def test_spmv_matches_xla(self):
+        from trilinos_tpu.ops.pallas.bdia_spmv import (
+            bdia_pallas_applicable, bdia_spmv_pallas)
+
+        a, dev = self._elasticity_bdia()
+        assert bdia_pallas_applicable(dev, 1)
+        x = padded_x(dev.n_rows_pad, dev.n_rows)
+        y_k = bdia_spmv_pallas(dev, x, interpret=True)
+        y_x = mv.spmv(dev, x, impl="xla")
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_spmm_matches_xla(self, k):
+        from trilinos_tpu.ops.pallas.bdia_spmv import (
+            bdia_pallas_applicable, bdia_spmm_pallas)
+
+        _, dev = self._elasticity_bdia()
+        assert bdia_pallas_applicable(dev, k)
+        n = dev.n_rows_pad
+        x = np.zeros((n, k), np.float32)
+        x[: dev.n_rows] = np.random.default_rng(1).standard_normal(
+            (dev.n_rows, k))
+        y_k = bdia_spmm_pallas(dev, jnp.asarray(x), interpret=True)
+        y_x = mv.spmv(dev, jnp.asarray(x), impl="xla")
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_negative_lane_offsets(self):
+        """Block offsets spanning ±(nx+1) exercise ro<0 and lo!=0 paths."""
+        from trilinos_tpu.ops.pallas.bdia_spmv import _plan
+
+        _, dev = self._elasticity_bdia(96, 32)
+        plan = _plan(dev.offsets, dev.block_size, dev.nbr_pad,
+                     len(dev.offsets), 1)
+        assert plan is not None
+
+    def test_not_applicable_small(self):
+        from trilinos_tpu.ops import formats as F
+        from trilinos_tpu.ops.pallas.bdia_spmv import bdia_pallas_applicable
+        from trilinos_tpu.galeri import elasticity2d
+
+        a = elasticity2d(6, 5, e_mod=1.0)
+        dev = F.csr_to_bdia(a, 2, dtype=np.float32)
+        assert not bdia_pallas_applicable(dev, 1)

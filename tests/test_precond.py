@@ -284,3 +284,32 @@ class TestBlockRelaxationContainers:
         assert bool(r_l.converged.all())
         assert int(r_l.iters) < 0.5 * int(r_j.iters), \
             (int(r_l.iters), int(r_j.iters))
+
+
+class TestDatabaseContainer:
+    """Ifpack2::DatabaseSchwarz analogue: identical diagonal patches share
+    one inverse (Ifpack2_DatabaseSchwarz_decl.hpp)."""
+
+    def test_matches_dense_container(self):
+        a = laplace2d(16, 8)
+        op, b, dense, n = make_problem(a)
+        common = {"partitioner: block size": 16}
+        pd = PC.create("BLOCK RELAXATION", a,
+                       {**common, "relaxation: container": "Dense"}).compute()
+        pq = PC.create("DATABASE SCHWARZ", a,
+                       {**common,
+                        "relaxation: container": "Database"}).compute()
+        r = jnp.asarray(np.random.default_rng(0).standard_normal(
+            b.shape[0]))
+        np.testing.assert_allclose(np.asarray(pq.apply(r)),
+                                   np.asarray(pd.apply(r)),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_database_is_small(self):
+        """Interior line blocks of Laplace2D are identical: far fewer
+        unique patches than blocks."""
+        a = laplace2d(16, 32)
+        pq = PC.create("BLOCK RELAXATION", a, {
+            "partitioner: block size": 16,
+            "relaxation: container": "Database"}).compute()
+        assert pq.n_patches < 32 // 2

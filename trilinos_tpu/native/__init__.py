@@ -95,6 +95,23 @@ def lib():
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.float64),
             np.ctypeslib.ndpointer(np.int64)]
+        l.tt_ilut.restype = i64
+        l.tt_ilut.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            ctypes.c_double, ctypes.c_double, i64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64)]
+        l.tt_ghost_slots.restype = i64
+        l.tt_ghost_slots.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64)]
         l.tt_splu_solve.restype = None
         l.tt_splu_solve.argtypes = [
             i64, np.ctypeslib.ndpointer(np.int64),
@@ -118,10 +135,26 @@ def lib():
 def read_mm_native(path: str):
     """Parse a MatrixMarket coordinate file. Returns (rows, cols, vals,
     shape, symm) or None when the native lib is unavailable / format
-    unsupported (array format, gz)."""
+    unsupported (array format). ``.gz`` files are decompressed (streamed
+    through zlib) to a temp file first, then parsed natively."""
     l = lib()
-    if l is None or str(path).endswith(".gz"):
+    if l is None:
         return None
+    if str(path).endswith(".gz"):
+        import gzip
+        import shutil
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".mtx", delete=False) as tmp:
+            try:
+                with gzip.open(path, "rb") as src:
+                    shutil.copyfileobj(src, tmp, length=1 << 20)
+                tmp.flush()
+                return read_mm_native(tmp.name)
+            except OSError:
+                return None
+            finally:
+                os.unlink(tmp.name)
     i64 = ctypes.c_int64
     m = i64()
     n = i64()
@@ -153,6 +186,52 @@ def ilu0_native(n: int, row_ptr: np.ndarray, cols: np.ndarray,
     l.tt_ilu0(n, np.ascontiguousarray(row_ptr, np.int64),
               np.ascontiguousarray(cols, np.int32), v)
     return v
+
+
+def ilut_native(n: int, row_ptr: np.ndarray, cols: np.ndarray,
+                vals: np.ndarray, fill: float, droptol: float):
+    """ILUT(p, τ) on sorted CSR arrays. Returns
+    (l_ptr, l_cols, l_vals, u_ptr, u_cols, u_vals) — L strict lower, U
+    rows diagonal-first — or None when the native lib is unavailable."""
+    l = lib()
+    if l is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float64)
+    nnz = int(row_ptr[-1])
+    cap = max(int(nnz * (fill + 1.0)) + 2 * n, 1024)
+    for _ in range(8):
+        l_ptr = np.zeros(n + 1, np.int64)
+        l_cols = np.zeros(cap, np.int32)
+        l_vals = np.zeros(cap, np.float64)
+        u_ptr = np.zeros(n + 1, np.int64)
+        u_cols = np.zeros(cap, np.int32)
+        u_vals = np.zeros(cap, np.float64)
+        r = l.tt_ilut(n, row_ptr, cols, vals, float(fill), float(droptol),
+                      cap, l_ptr, l_cols, l_vals, u_ptr, u_cols, u_vals)
+        if r >= 0:
+            return (l_ptr, l_cols[: l_ptr[n]], l_vals[: l_ptr[n]],
+                    u_ptr, u_cols[: u_ptr[n]], u_vals[: u_ptr[n]])
+        cap = max(int(-r) * 2, cap * 2)
+    raise RuntimeError("tt_ilut: fill capacity retry limit exceeded")
+
+
+def ghost_slots_native(bc_cols: np.ndarray):
+    """Sorted-unique ghost gids + per-entry slots for one shard's boundary
+    columns (contiguous maps: owner-major order == gid order). Returns
+    (ghost_gids, slots) or None."""
+    l = lib()
+    if l is None:
+        return None
+    bc = np.ascontiguousarray(bc_cols, np.int64)
+    nb = len(bc)
+    if nb == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    gids = np.empty(nb, np.int64)
+    slots = np.empty(nb, np.int64)
+    ng = l.tt_ghost_slots(nb, bc, gids, slots)
+    return gids[:ng], slots
 
 
 def spgemm_native(a, b):

@@ -18,10 +18,12 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
 #include <vector>
 
 extern "C" {
@@ -383,6 +385,166 @@ void tt_splu_solve(int64_t n, const int64_t* l_ptr, const int32_t* l_cols,
     for (int64_t q = lo; q < hi - 1; ++q) xv[u_cols[q]] -= u_vals[q] * xc;
   }
   for (int64_t i = 0; i < n; ++i) out[i] = xv[i];
+}
+
+// ---------------------------------------------------------------------------
+// ILUT(p, tau) — Saad dual-threshold incomplete LU, row-based.
+// Analogue of Ifpack2::ILUT numeric factorization
+// (packages/ifpack2/src/Ifpack2_ILUT_def.hpp compute()); semantics match
+// the Python reference sweep in precond/ilut.py:ilut_factor exactly (drop
+// below tau = droptol*||row||, keep the p = fill*row_len largest per
+// factor, zero-pivot guard row_norm*1e-12).
+//
+// Outputs: L rows STRICT lower (unit diagonal added by the caller),
+// U rows with the DIAGONAL FIRST then kept uppers ascending. Returns
+// total nnz written (l+u), or a negative capacity hint when cap is
+// exceeded (caller doubles and retries).
+// ---------------------------------------------------------------------------
+
+int64_t tt_ilut(int64_t n, const int64_t* a_ptr, const int32_t* a_cols,
+                const double* a_vals, double fill, double droptol,
+                int64_t cap,
+                int64_t* l_ptr, int32_t* l_cols, double* l_vals,
+                int64_t* u_ptr, int32_t* u_cols, double* u_vals) {
+  std::vector<double> w(n, 0.0);
+  std::vector<double> udiag(n, 0.0);
+  // state: 0 absent, 1 present, 2 present+queued for elimination
+  std::vector<char> state(n, 0);
+  std::priority_queue<int32_t, std::vector<int32_t>,
+                      std::greater<int32_t>> heap;
+  std::vector<int32_t> pat, cand;
+  pat.reserve(256);
+  int64_t lnnz = 0, unnz = 0;
+  l_ptr[0] = 0;
+  u_ptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    pat.clear();
+    double norm2 = 0.0;
+    for (int64_t jj = a_ptr[i]; jj < a_ptr[i + 1]; ++jj) {
+      const int32_t c = a_cols[jj];
+      const double v = a_vals[jj];
+      if (!state[c]) {
+        state[c] = 1;
+        pat.push_back(c);
+        w[c] = v;
+      } else {
+        w[c] += v;
+      }
+      norm2 += v * v;
+    }
+    double row_norm = std::sqrt(norm2);
+    if (row_norm == 0.0) row_norm = 1.0;
+    const double tau = droptol * row_norm;
+    const int64_t row_len = a_ptr[i + 1] - a_ptr[i];
+    int64_t p_keep = (int64_t)(fill * (double)row_len);
+    if (p_keep < 1) p_keep = 1;
+    for (int32_t c : pat)
+      if (c < i && state[c] == 1) {
+        state[c] = 2;
+        heap.push(c);
+      }
+    while (!heap.empty()) {
+      const int32_t k = heap.top();
+      heap.pop();
+      if (!state[k]) continue;  // dropped by an earlier elimination
+      state[k] = 1;
+      const double ukk = udiag[k];
+      if (ukk == 0.0) continue;
+      const double lik = w[k] / ukk;
+      if (std::abs(lik) < tau) {
+        state[k] = 0;
+        w[k] = 0.0;
+        continue;
+      }
+      w[k] = lik;
+      for (int64_t q = u_ptr[k]; q < u_ptr[k + 1]; ++q) {
+        const int32_t j = u_cols[q];
+        if (j <= k) continue;  // skip the leading diagonal slot
+        const double uv = u_vals[q];
+        if (!state[j]) {
+          state[j] = 1;
+          pat.push_back(j);
+          w[j] = -lik * uv;
+          if (j < i) {
+            state[j] = 2;
+            heap.push(j);
+          }
+        } else {
+          w[j] -= lik * uv;
+        }
+      }
+    }
+    // select lower entries: |w| >= tau, keep the p largest
+    cand.clear();
+    for (int32_t c : pat)
+      if (c < i && state[c] && std::abs(w[c]) >= tau) cand.push_back(c);
+    auto bigger = [&](int32_t x, int32_t y) {
+      return std::abs(w[x]) > std::abs(w[y]);
+    };
+    if ((int64_t)cand.size() > p_keep) {
+      std::nth_element(cand.begin(), cand.begin() + p_keep, cand.end(),
+                       bigger);
+      cand.resize(p_keep);
+    }
+    std::sort(cand.begin(), cand.end());
+    if (lnnz + (int64_t)cand.size() > cap ||
+        unnz + p_keep + 1 > cap)
+      return -(lnnz + unnz + 2 * (n - i) * (p_keep + 1));
+    for (int32_t c : cand) {
+      l_cols[lnnz] = c;
+      l_vals[lnnz] = w[c];
+      ++lnnz;
+    }
+    l_ptr[i + 1] = lnnz;
+    // select upper entries (excluding diagonal): |w| >= tau, p largest
+    cand.clear();
+    for (int32_t c : pat)
+      if (c > i && state[c] && std::abs(w[c]) >= tau) cand.push_back(c);
+    if ((int64_t)cand.size() > p_keep) {
+      std::nth_element(cand.begin(), cand.begin() + p_keep, cand.end(),
+                       bigger);
+      cand.resize(p_keep);
+    }
+    std::sort(cand.begin(), cand.end());
+    double dpiv = (state[i] && w[i] != 0.0) ? w[i] : row_norm * 1e-12;
+    u_cols[unnz] = (int32_t)i;  // diagonal first
+    u_vals[unnz] = dpiv;
+    ++unnz;
+    for (int32_t c : cand) {
+      u_cols[unnz] = c;
+      u_vals[unnz] = w[c];
+      ++unnz;
+    }
+    u_ptr[i + 1] = unnz;
+    udiag[i] = dpiv;
+    for (int32_t c : pat) {
+      state[c] = 0;
+      w[c] = 0.0;
+    }
+  }
+  return lnnz + unnz;
+}
+
+// ---------------------------------------------------------------------------
+// Halo-plan ghost analysis: sorted-unique ghost gids + per-entry slots.
+// Replaces the per-shard numpy unique/lexsort/argsort/searchsorted chain
+// in parallel/distmatrix.distribute (one sort, one pass — the setup hot
+// path at 10M+ rows; analogue of Tpetra makeColMap remote-GID handling,
+// packages/tpetra/core/src/Tpetra_Details_makeColMap_def.hpp). Valid for
+// CONTIGUOUS maps, where owner-major order == gid order.
+// ---------------------------------------------------------------------------
+
+int64_t tt_ghost_slots(int64_t nb, const int64_t* bc_cols,
+                       int64_t* ghost_gids, int64_t* slots) {
+  std::vector<int64_t> sorted(bc_cols, bc_cols + nb);
+  std::sort(sorted.begin(), sorted.end());
+  const int64_t ng =
+      std::unique(sorted.begin(), sorted.end()) - sorted.begin();
+  for (int64_t g = 0; g < ng; ++g) ghost_gids[g] = sorted[g];
+  for (int64_t e = 0; e < nb; ++e)
+    slots[e] = std::lower_bound(ghost_gids, ghost_gids + ng, bc_cols[e])
+               - ghost_gids;
+  return ng;
 }
 
 }  // extern "C"

@@ -1,10 +1,12 @@
 from .formats import (
+    BdiaMatrix,
     BsrMatrix,
     CsrHost,
     DiaMatrix,
     EllMatrix,
     SparseMatrix,
     choose_format,
+    csr_to_bdia,
     csr_to_bsr,
     csr_to_dia,
     csr_to_ell,
@@ -16,12 +18,14 @@ from . import fe, filters, komplex
 from . import blas
 
 __all__ = [
+    "BdiaMatrix",
     "BsrMatrix",
     "CsrHost",
     "DiaMatrix",
     "EllMatrix",
     "SparseMatrix",
     "choose_format",
+    "csr_to_bdia",
     "csr_to_bsr",
     "csr_to_dia",
     "csr_to_ell",

@@ -284,7 +284,73 @@ class BsrMatrix:
         return (self.n_rows, self.n_cols)
 
 
-SparseMatrix = EllMatrix | DiaMatrix | BsrMatrix
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BdiaMatrix:
+    """Block-diagonal (block-stencil) storage — the TPU-native BSR fast
+    path for FEM/elasticity operators whose *block* sparsity pattern is a
+    stencil (constant block-column offsets, e.g. the 9 node-neighbours of
+    a Q1 quad with ``b`` dofs per node).
+
+    Rather than gathering (b, b) blocks and running tiny matmuls (wrong
+    shape for a 128×128 MXU), the scalar vector is de-interleaved into
+    ``b`` residue planes ``xp[j, q] = x[q·b + j]`` and the apply becomes
+
+        yp[i, q] += data[d, i, j, q] * xp[j, q + offsets[d]]
+
+    — ``nd·b²`` shifted elementwise FMAs over dense planes: zero gathers,
+    exact-nnz data traffic, pure VPU, i.e. the DiaMatrix compute shape with
+    a (b × b) plane nest. Analogue of ``Tpetra::BlockCrsMatrix`` applies
+    (src/Tpetra_BlockCrsMatrix_decl.hpp:53) and the block spmv of
+    kokkos-kernels (sparse/impl/KokkosSparse_spmv_bsrmatrix_impl.hpp), with
+    the format chosen for the TPU memory system instead of warp shapes.
+
+    ``data`` is stored 3-D ``(nd·b², NBR//128, 128)`` when the padded
+    block-row count is lane-divisible — plane (d, i, j) at index
+    (d·b + i)·b + j, the SAME rank-3 layout the proven DIA kernel
+    streams (fixed at host pack time, never reshaped in-jit) — else 4-D
+    ``(nd, b, b, NBR)``. ``offsets`` are BLOCK offsets (block col −
+    block row). Out-of-range plane positions hold zeros so cyclic shifts
+    are exact; padding block rows are identity blocks.
+    """
+
+    data: jax.Array  # (nd·b², R, 128) when lane-divisible, else (nd, b, b, NBR)
+    offsets: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    block_size: int = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nbr_pad(self) -> int:
+        """Padded block-row count."""
+        if self.data.ndim == 3:
+            return self.data.shape[1] * self.data.shape[2]
+        return self.data.shape[3]
+
+    @property
+    def n_rows_pad(self) -> int:
+        return self.nbr_pad * self.block_size
+
+    @property
+    def data_flat(self) -> jax.Array:
+        """Logical (nd, b, b, NBR) view (reshape; free on CPU)."""
+        b = self.block_size
+        if self.data.ndim == 3:
+            nd = self.data.shape[0] // (b * b)
+            return self.data.reshape(nd, b, b, -1)
+        return self.data
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
+SparseMatrix = EllMatrix | DiaMatrix | BsrMatrix | BdiaMatrix
 
 
 # ---------------------------------------------------------------------------
@@ -422,11 +488,63 @@ def csr_to_bsr(a: CsrHost, block_size: int, dtype=None,
                      block_size=b, n_rows=m, n_cols=n, nnz=a.nnz)
 
 
+def csr_to_bdia(a: CsrHost, block_size: int, dtype=None,
+                nbr_pad: int | None = None,
+                max_diags: int | None = None) -> BdiaMatrix:
+    """Pack host CSR into block-diagonal (block-stencil) storage.
+
+    Scalar entry (r, c) lands in plane (d, r%b, c%b) at block row r//b,
+    where d indexes the block offset c//b − r//b. Efficient only when the
+    number of distinct block offsets is small; raises past ``max_diags``.
+    A square matrix whose dimension is not a multiple of ``block_size`` is
+    first extended with identity rows/cols.
+    """
+    b = block_size
+    m, n = a.shape
+    if m == n and m % b != 0:
+        a = pad_csr_square(a, b)
+        m, n = a.shape
+    if m % b != 0 or n % b != 0:
+        raise ValueError(f"BDIA needs dims divisible by b={b}, got {a.shape}")
+    mb = m // b
+    if nbr_pad is None:
+        nbr_pad = round_up(mb, ROW_ALIGN)
+    dtype = dtype or a.vals.dtype
+    rows_rep = np.repeat(np.arange(m), a.row_lengths())
+    brow = rows_rep // b
+    bcol = a.cols.astype(np.int64) // b
+    offs = bcol - brow
+    uniq = np.unique(offs)
+    if max_diags is not None and len(uniq) > max_diags:
+        raise ValueError(f"{len(uniq)} block offsets exceeds limit {max_diags}")
+    off_index = {int(o): i for i, o in enumerate(uniq)}
+    need_zero = m == n and 0 not in off_index
+    nd = len(uniq) + (1 if need_zero else 0)
+    if need_zero:
+        uniq = np.sort(np.append(uniq, 0))
+        off_index = {int(o): i for i, o in enumerate(uniq)}
+    data = np.zeros((nd, b, b, nbr_pad), dtype=dtype)
+    d_idx = np.array([off_index[int(o)] for o in offs], dtype=np.int64)
+    data[d_idx, rows_rep % b, a.cols % b, brow] = a.vals.astype(dtype)
+    if m == n:
+        # identity blocks on padding block rows
+        d0 = off_index[0]
+        for i in range(b):
+            data[d0, i, i, mb:nbr_pad] = 1.0
+    if nbr_pad % 128 == 0:
+        dev = jnp.asarray(data.reshape(nd * b * b, nbr_pad // 128, 128))
+    else:
+        dev = jnp.asarray(data)
+    return BdiaMatrix(data=dev, offsets=tuple(int(o) for o in uniq),
+                      block_size=b, n_rows=m, n_cols=n, nnz=a.nnz)
+
+
 def choose_format(a: CsrHost, nrhs: int = 1, block_size: int | None = None,
                   dtype=None) -> SparseMatrix:
     """fillComplete-style format selection heuristic.
 
-    * explicit ``block_size``      → BSR (MXU path)
+    * explicit ``block_size`` + few distinct BLOCK offsets and dense
+      fill → BDIA (plane-shift fast path); otherwise BSR
     * few distinct diagonals       → DIA (stencil fast path)
     * modest ELL padding blowup    → ELL
     Analogue of the reference's spmv launch-parameter heuristic
@@ -436,6 +554,12 @@ def choose_format(a: CsrHost, nrhs: int = 1, block_size: int | None = None,
     from ..utils import behavior
 
     if block_size is not None and block_size > 1:
+        b = block_size
+        rows_rep = np.repeat(np.arange(a.shape[0]), a.row_lengths())
+        boffs = np.unique(a.cols.astype(np.int64) // b - rows_rep // b)
+        stored = len(boffs) * b * b * (a.shape[0] // b + 1)
+        if len(boffs) <= 32 and a.nnz >= 0.35 * stored:
+            return csr_to_bdia(a, b, dtype=dtype)
         return csr_to_bsr(a, block_size, dtype=dtype)
     rows_rep = np.repeat(np.arange(a.shape[0]), a.row_lengths())
     n_diags = len(np.unique(a.cols.astype(np.int64) - rows_rep))
@@ -479,4 +603,16 @@ def to_dense(m: SparseMatrix) -> np.ndarray:
                 jb = bcols[ib, s]
                 out[ib * b:(ib + 1) * b, jb * b:(jb + 1) * b] += bvals[ib, s]
         return out[: m.n_rows, : m.n_cols]
+    if isinstance(m, BdiaMatrix):
+        b = m.block_size
+        out = np.zeros((m.n_rows, m.n_cols), dtype=m.dtype)
+        data = np.asarray(m.data_flat)
+        for d, off in enumerate(m.offsets):
+            for i in range(b):
+                for j in range(b):
+                    for q in range(m.n_rows // b):
+                        r, c = q * b + i, (q + off) * b + j
+                        if 0 <= r < m.n_rows and 0 <= c < m.n_cols:
+                            out[r, c] += data[d, i, j, q]
+        return out
     raise TypeError(type(m))

@@ -22,7 +22,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .formats import BsrMatrix, DiaMatrix, EllMatrix, SparseMatrix
+from .formats import (BdiaMatrix, BsrMatrix, DiaMatrix, EllMatrix,
+                      SparseMatrix)
 
 
 def _ensure_2d(x):
@@ -77,6 +78,62 @@ def bsr_spmm(a: BsrMatrix, x: jax.Array) -> jax.Array:
     return _restore(y, was_1d)
 
 
+def _bdia_planes(a: BdiaMatrix, x2: jax.Array) -> jax.Array:
+    """De-interleave (n, k) into residue planes (b, NBR, k)."""
+    b = a.block_size
+    return x2.reshape(a.nbr_pad, b, -1).transpose(1, 0, 2)
+
+
+def _bdia_unplanes(yp: jax.Array) -> jax.Array:
+    b, nbr, k = yp.shape
+    return yp.transpose(1, 0, 2).reshape(nbr * b, k)
+
+
+def bdia_spmm(a: BdiaMatrix, x: jax.Array) -> jax.Array:
+    """Block-stencil SpMM on residue planes:
+    yp[i, q] += data[d, i, j, q] * xp[j, q + off_d].
+
+    The (i, j) nest is UNROLLED into elementwise FMAs (b ≤ 4 makes the
+    contraction dims tiny): an einsum here lowers to MXU dots at default
+    (bf16) precision on TPU — measured 5e-3 relative error at k=4 —
+    while the unrolled form stays exact f32 on the VPU and fuses."""
+    x2, was_1d = _ensure_2d(x)
+    if x2.shape[0] != a.n_rows_pad:
+        raise ValueError(
+            f"BDIA spmv: x length {x2.shape[0]} != padded rows {a.n_rows_pad}")
+    b = a.block_size
+    xp = _bdia_planes(a, x2)  # (b, NBR, k)
+    data = a.data_flat  # (nd, b, b, NBR)
+    rt = jnp.result_type(a.dtype, x2.dtype)
+    accs = [jnp.zeros(xp.shape[1:], dtype=rt) for _ in range(b)]
+    for d, off in enumerate(a.offsets):
+        shifted = jnp.roll(xp, -off, axis=1) if off else xp
+        for i in range(b):
+            for j in range(b):
+                accs[i] = accs[i] + (data[d, i, j][:, None]
+                                     * shifted[j].astype(rt))
+    return _restore(_bdia_unplanes(jnp.stack(accs)), was_1d)
+
+
+def bdia_spmm_t(a: BdiaMatrix, x: jax.Array) -> jax.Array:
+    """Transpose apply: yp[j, q + off] += data[d, i, j, q] * xp[i, q].
+    Unrolled elementwise form for the same precision reason as above."""
+    x2, was_1d = _ensure_2d(x)
+    b = a.block_size
+    xp = _bdia_planes(a, x2)
+    data = a.data_flat
+    rt = jnp.result_type(a.dtype, x2.dtype)
+    accs = [jnp.zeros(xp.shape[1:], dtype=rt) for _ in range(b)]
+    for d, off in enumerate(a.offsets):
+        for j in range(b):
+            term = jnp.zeros(xp.shape[1:], dtype=rt)
+            for i in range(b):
+                term = term + data[d, i, j][:, None] * xp[i].astype(rt)
+            accs[j] = accs[j] + (jnp.roll(term, off, axis=0) if off
+                                 else term)
+    return _restore(_bdia_unplanes(jnp.stack(accs)), was_1d)
+
+
 # transpose applies ------------------------------------------------------
 
 
@@ -124,8 +181,10 @@ def bsr_spmm_t(a: BsrMatrix, x: jax.Array) -> jax.Array:
 # public dispatch
 # ---------------------------------------------------------------------------
 
-_XLA_FWD = {EllMatrix: ell_spmm, DiaMatrix: dia_spmm, BsrMatrix: bsr_spmm}
-_XLA_TRANS = {EllMatrix: ell_spmm_t, DiaMatrix: dia_spmm_t, BsrMatrix: bsr_spmm_t}
+_XLA_FWD = {EllMatrix: ell_spmm, DiaMatrix: dia_spmm, BsrMatrix: bsr_spmm,
+            BdiaMatrix: bdia_spmm}
+_XLA_TRANS = {EllMatrix: ell_spmm_t, DiaMatrix: dia_spmm_t,
+              BsrMatrix: bsr_spmm_t, BdiaMatrix: bdia_spmm_t}
 
 
 def spmv(a: SparseMatrix, x: jax.Array, transpose: bool = False,

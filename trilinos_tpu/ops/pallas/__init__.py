@@ -7,7 +7,8 @@ path for this format/shape, else None (dispatch falls back to XLA impls in
 """
 from __future__ import annotations
 
-from ..formats import BsrMatrix, DiaMatrix, EllMatrix, SparseMatrix
+from ..formats import (BdiaMatrix, BsrMatrix, DiaMatrix, EllMatrix,
+                       SparseMatrix)
 
 
 def _on_tpu() -> bool:
@@ -36,6 +37,14 @@ def maybe_pallas(a: SparseMatrix, transpose: bool, force: bool = False,
                 return dia_spmv_vmappable
             if x_ndim == 2 and dia_spmm_applicable(a, nrhs):
                 return dia_spmm_pallas
+        if isinstance(a, BdiaMatrix):
+            from .bdia_spmv import (bdia_pallas_applicable, bdia_spmm_pallas,
+                                    bdia_spmv_vmappable)
+
+            if x_ndim == 1 and bdia_pallas_applicable(a, 1):
+                return bdia_spmv_vmappable
+            if x_ndim == 2 and bdia_pallas_applicable(a, nrhs):
+                return bdia_spmm_pallas
     except ImportError:  # pragma: no cover
         return None
     return None

@@ -450,17 +450,24 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
         bc_rows = rs_g[~owned] - lo
         bc_cols = cs_g[~owned]
         bc_vals = vs_g[~owned]
-        # makeColMap ordering: remotes grouped by owner, sorted by gid
-        ghost_gids = np.unique(bc_cols)
-        owners = rmap.owner_of(ghost_gids)
-        order = np.lexsort((ghost_gids, owners))
-        ghost_gids = ghost_gids[order]
+        # makeColMap ordering: remotes grouped by owner, sorted by gid.
+        # Maps are contiguous, so owner-major order == gid order; the
+        # native one-sort kernel (tt_ghost_slots) replaces the numpy
+        # unique/lexsort/searchsorted chain on the 10M+-row setup path.
+        from ..native import ghost_slots_native
+
+        nat = ghost_slots_native(bc_cols)
+        if nat is not None:
+            ghost_gids, bc_slots = nat
+        else:
+            ghost_gids = np.unique(bc_cols)
+            owners = rmap.owner_of(ghost_gids)
+            order = np.lexsort((ghost_gids, owners))
+            ghost_gids = ghost_gids[order]
+            sort_perm = np.argsort(ghost_gids, kind="stable")
+            lookup = np.searchsorted(ghost_gids[sort_perm], bc_cols)
+            bc_slots = sort_perm[lookup]
         ghosts_of.append(ghost_gids)
-        # map each boundary col gid -> its slot in the owner-major order:
-        # sorted-position via searchsorted, then sorted-pos -> slot
-        sort_perm = np.argsort(ghost_gids, kind="stable")
-        lookup = np.searchsorted(ghost_gids[sort_perm], bc_cols)
-        bc_slots = sort_perm[lookup]
         boundary_coo.append((bc_rows, bc_slots, bc_vals))
 
     plans, sends = build_halo_plans(ghosts_of, rmap, n_shards)

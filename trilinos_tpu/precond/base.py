@@ -95,6 +95,7 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         "BLOCK RELAXATION": BlockRelaxation,
         "TRIDI": BlockRelaxation,
         "BANDED RELAXATION": BlockRelaxation,
+        "DATABASE SCHWARZ": BlockRelaxation,
         "BLOCK_JACOBI": BlockJacobi,
         "MT GAUSS-SEIDEL": MulticolorGaussSeidel,
         "GAUSS-SEIDEL": MulticolorGaussSeidel,

@@ -36,11 +36,14 @@ from .base import Preconditioner
 _SPECS = {
     "relaxation: container": Param("relaxation: container", "Dense",
                                    choices=("Dense", "TriDi", "Banded",
-                                            "SparseILU0")),
+                                            "SparseILU0", "Database")),
     "partitioner: block size": Param("partitioner: block size", 4),
     "relaxation: sweeps": Param("relaxation: sweeps", 1),
     "relaxation: damping factor": Param("relaxation: damping factor", 1.0),
     "banded: bandwidth": Param("banded: bandwidth", 1),
+    "database schwarz: patch tolerance": Param(
+        "database schwarz: patch tolerance", 1e-12,
+        doc="blocks equal entrywise within this tol share one inverse"),
     "dtype": Param("dtype", None),
 }
 
@@ -105,6 +108,29 @@ class BlockRelaxation(Preconditioner):
             du[:, :-1] = np.einsum("bii->bi", dense[:, :-1, 1:])
             self.tridi = tuple(jnp.asarray(v, dtype=dtype)
                                for v in (dl, d, du))
+        elif container == "Database":
+            # Ifpack2::DatabaseSchwarz analogue
+            # (Ifpack2_DatabaseSchwarz_decl.hpp): on structured meshes
+            # most diagonal patches are IDENTICAL — detect duplicates
+            # within the patch tolerance and invert each unique patch
+            # once. Apply gathers the shared inverses (XLA fuses the
+            # gather into the batched-matmul operand read).
+            ptol = float(p["database schwarz: patch tolerance"])
+            q = np.round(dense / max(ptol, 1e-300)).astype(np.int64)
+            _, first, idx = np.unique(
+                q.reshape(nb_pad, -1), axis=0, return_index=True,
+                return_inverse=True)
+            uniq = dense[first]
+            inv_u = np.empty_like(uniq)
+            for ib in range(len(first)):
+                blk = uniq[ib]
+                if abs(np.linalg.det(blk)) < 1e-300:
+                    blk = np.diag(np.where(np.diag(blk) != 0,
+                                           np.diag(blk), 1.0))
+                inv_u[ib] = np.linalg.inv(blk)
+            self.n_patches = len(first)
+            self.inv_unique = jnp.asarray(inv_u, dtype=dtype)
+            self.patch_idx = jnp.asarray(idx.reshape(-1), dtype=jnp.int32)
         else:
             if container == "Banded":
                 i_idx = np.arange(bs)
@@ -136,6 +162,12 @@ class BlockRelaxation(Preconditioner):
             dl, d, du = self.tridi
             yb = jax.vmap(lax.linalg.tridiagonal_solve)(
                 dl, d, du, xb.astype(d.dtype))
+        elif self.container == "Database":
+            inv = self.inv_unique.at[self.patch_idx].get(
+                mode="promise_in_bounds")
+            yb = jnp.einsum("bij,bjk->bik", inv,
+                            xb.astype(inv.dtype),
+                            preferred_element_type=inv.dtype)
         else:
             yb = jnp.einsum("bij,bjk->bik", self.inv_blocks,
                             xb.astype(self.inv_blocks.dtype),

@@ -30,8 +30,28 @@ _SPECS = {
 
 def ilut_factor(a: CsrHost, fill: float = 1.5, droptol: float = 1e-4
                 ) -> tuple[CsrHost, CsrHost]:
-    """Saad's ILUT(p, τ): returns (L unit-lower incl diag, U upper)."""
+    """Saad's ILUT(p, τ): returns (L unit-lower incl diag, U upper).
+
+    Uses the native C++ row sweep (native/src/tt_native.cpp:tt_ilut —
+    same drop/keep semantics) when the library is available; the numpy/
+    dict sweep below is the always-works fallback."""
     n = a.shape[0]
+    from ..native import ilut_native
+
+    nat = ilut_native(n, a.row_ptr, a.cols, a.vals.astype(np.float64),
+                      fill, droptol)
+    if nat is not None:
+        l_ptr, l_cols, l_vals, u_ptr, u_cols, u_vals = nat
+        l_rows_r = np.repeat(np.arange(n), np.diff(l_ptr))
+        u_rows_r = np.repeat(np.arange(n), np.diff(u_ptr))
+        l_m = CsrHost.from_coo(
+            np.concatenate([l_rows_r, np.arange(n)]),
+            np.concatenate([l_cols.astype(np.int64), np.arange(n)]),
+            np.concatenate([l_vals, np.ones(n)]), a.shape,
+            sum_duplicates=False)
+        u_m = CsrHost.from_coo(u_rows_r, u_cols.astype(np.int64), u_vals,
+                               a.shape, sum_duplicates=False)
+        return l_m, u_m
     u_rows: list[dict] = []
     l_rows: list[dict] = []
     for i in range(n):
