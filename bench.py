@@ -138,20 +138,26 @@ def bench_spmm(nx=256, ny=256, nz=256, k=4, reps=100):
 
 
 def bench_bdia(nx=1024, ny=512, reps=300):
-    """Block-stencil (BDIA) SpMV on Q1 elasticity (b=2, 9 block offsets):
-    the BSR fast path — plane-shifted FMAs, zero gathers (design in
-    ops/pallas/bdia_spmv.py; KokkosSparse_spmv_bsrmatrix_impl.hpp is the
-    reference analogue)."""
+    """Block-stencil (BDIA) apply on Q1 elasticity (b=2, 9 block
+    offsets) in PLANE layout — the solve path (``bdia_plane_solver_op``:
+    pack/unpack once per solve, per-iteration apply is the pure kernel;
+    design + measured-layout rationale in ops/pallas/bdia_spmv.py;
+    KokkosSparse_spmv_bsrmatrix_impl.hpp is the reference analogue)."""
     from trilinos_tpu.galeri import elasticity2d
     from trilinos_tpu.ops import csr_to_bdia
-    from trilinos_tpu.ops import matvec as mv
 
     a = csr_to_bdia(elasticity2d(nx, ny, e_mod=1.0, dtype=np.float32), 2,
                     dtype=np.float32)
-    x = jnp.asarray(
-        np.random.default_rng(5).standard_normal(a.n_rows_pad),
+    # the plane-op apply == packed kernel modulo a free reshape; pass the
+    # matrix as a jit ARGUMENT (closures over device arrays → HTTP 413
+    # on the remote-compile tunnel)
+    from trilinos_tpu.ops.pallas.bdia_spmv import bdia_spmm_packed
+
+    r = a.nbr_pad // LANES
+    xk = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, r, LANES)),
         dtype=jnp.float32)
-    dt = timed(lambda m, v: mv.spmv(m, v), (a,), x, reps)
+    dt = timed(lambda m, v: bdia_spmm_packed(m, v), (a,), xk, reps)
     nd, b = len(a.offsets), a.block_size
     stored = (nd * b * b + 2 * b) * a.nbr_pad * 4
     return stored / dt / 1e9, a.nnz / dt, dt

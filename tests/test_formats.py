@@ -179,14 +179,21 @@ class TestBdia:
         dense = F.to_dense(dev)
         np.testing.assert_allclose(dense[:11, :11], a.to_dense())
 
-    def test_elasticity2d_is_block_stencil(self):
+    def test_elasticity2d_choose_format(self):
+        """Q1 elasticity has ≤27 scalar diagonals: choose_format picks
+        scalar DIA (fastest for interleaved applies); explicit
+        csr_to_bdia still yields the block-stencil format for
+        plane-layout solves."""
         from trilinos_tpu.galeri import elasticity2d
 
         a = elasticity2d(6, 5)
         dev = F.choose_format(a, block_size=2)
-        assert isinstance(dev, F.BdiaMatrix)
-        assert len(dev.offsets) <= 9
+        assert isinstance(dev, F.DiaMatrix)
         _check_spmv(a, dev, 2, rtol=1e-9)
+        bdev = F.csr_to_bdia(a, 2)
+        assert isinstance(bdev, F.BdiaMatrix)
+        assert len(bdev.offsets) <= 9
+        _check_spmv(a, bdev, 2, rtol=1e-9)
 
 
 class TestChooseFormat:

@@ -206,3 +206,43 @@ class TestBdiaKernel:
         a = elasticity2d(6, 5, e_mod=1.0)
         dev = F.csr_to_bdia(a, 2, dtype=np.float32)
         assert not bdia_pallas_applicable(dev, 1)
+
+
+class TestBdiaPlaneSolverOp:
+    """Plane-layout solve adapter: the whole Krylov solve runs on packed
+    planes (pack/unpack once per solve; dots/axpys are permutation-
+    invariant)."""
+
+    def test_op_commutes_with_pack(self):
+        from trilinos_tpu.galeri import elasticity2d
+        from trilinos_tpu.ops import formats as F
+        from trilinos_tpu.ops.pallas.bdia_spmv import bdia_plane_solver_op
+
+        a = elasticity2d(10, 8, e_mod=1.0)
+        dev = F.csr_to_bdia(a, 2)
+        op, pack, unpack = bdia_plane_solver_op(dev)
+        x = np.random.default_rng(0).standard_normal(dev.n_rows_pad)
+        xj = jnp.asarray(x)
+        np.testing.assert_allclose(np.asarray(unpack(pack(xj))), x)
+        got = np.asarray(unpack(op(pack(xj))))
+        want = np.asarray(mv.spmv(dev, xj, impl="xla"))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_cg_in_plane_layout(self):
+        from trilinos_tpu.galeri import elasticity2d
+        from trilinos_tpu.ops import formats as F
+        from trilinos_tpu.ops.pallas.bdia_spmv import bdia_plane_solver_op
+        from trilinos_tpu.solvers import cg
+
+        a = elasticity2d(8, 6, e_mod=1.0)
+        dev = F.csr_to_bdia(a, 2)
+        op, pack, unpack = bdia_plane_solver_op(dev)
+        n = a.shape[0]
+        b = np.zeros(dev.n_rows_pad)
+        b[:n] = np.random.default_rng(1).standard_normal(n)
+        res = cg(op, pack(jnp.asarray(b)), rtol=1e-10, maxiter=2000)
+        assert bool(res.converged.all())
+        x = np.asarray(unpack(res.x))[:n]
+        rel = (np.linalg.norm(b[:n] - a.to_dense() @ x)
+               / np.linalg.norm(b[:n]))
+        assert rel <= 1e-8

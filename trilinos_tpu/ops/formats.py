@@ -543,8 +543,12 @@ def choose_format(a: CsrHost, nrhs: int = 1, block_size: int | None = None,
                   dtype=None) -> SparseMatrix:
     """fillComplete-style format selection heuristic.
 
-    * explicit ``block_size`` + few distinct BLOCK offsets and dense
-      fill → BDIA (plane-shift fast path); otherwise BSR
+    * explicit ``block_size``: few distinct SCALAR diagonals → DIA
+      (measured fastest for interleaved-vector applies: the de-interleave
+      transpose a BDIA apply needs costs ~8× the kernel on TPU — see
+      ops/pallas/bdia_spmv.py); else few BLOCK offsets and dense fill →
+      BDIA (use ``bdia_plane_solver_op`` to solve in plane layout at the
+      kernel's full rate); else BSR
     * few distinct diagonals       → DIA (stencil fast path)
     * modest ELL padding blowup    → ELL
     Analogue of the reference's spmv launch-parameter heuristic
@@ -556,6 +560,9 @@ def choose_format(a: CsrHost, nrhs: int = 1, block_size: int | None = None,
     if block_size is not None and block_size > 1:
         b = block_size
         rows_rep = np.repeat(np.arange(a.shape[0]), a.row_lengths())
+        n_sdiags = len(np.unique(a.cols.astype(np.int64) - rows_rep))
+        if n_sdiags <= 32:
+            return csr_to_dia(a, dtype=dtype)
         boffs = np.unique(a.cols.astype(np.int64) // b - rows_rep // b)
         stored = len(boffs) * b * b * (a.shape[0] // b + 1)
         if len(boffs) <= 32 and a.nnz >= 0.35 * stored:

@@ -227,6 +227,60 @@ def bdia_spmv_pallas(a: BdiaMatrix, x: jax.Array,
     return bdia_spmm_pallas(a, x[:, None], interpret=interpret)[:, 0]
 
 
+def bdia_plane_solver_op(a: BdiaMatrix, k: int = 1):
+    """Solve in PLANE layout: returns ``(op, pack, unpack)``.
+
+    The interleaved→plane de-interleave is a minor-dim-b transpose that
+    costs ~0.8 ms/pass on TPU at 1M rows (minor-dim-2 transposes lower
+    pathologically) — 8× the kernel itself. Krylov dots/axpys are
+    permutation-invariant, so the TPU-correct structure is to run the
+    WHOLE solve on the packed-plane vector (flattened to 1-D; the
+    (P,R,128) ↔ (n,) reshape is layout-free) and pay pack/unpack once
+    per solve, not once per iteration:
+
+        op, pack, unpack = bdia_plane_solver_op(a)
+        res = cg(op, pack(b), ...)
+        x = unpack(res.x)
+
+    Per-iteration apply is then the pure kernel (~450 GB/s measured vs
+    ~47 GB/s through per-apply repacking)."""
+    b = a.block_size
+    r = a.nbr_pad // LANES
+    p = b * k
+    from . import _on_tpu
+
+    use_kernel = _on_tpu() and bdia_pallas_applicable(a, k)
+
+    def _op_xla(v: jax.Array) -> jax.Array:
+        """Plane-space XLA apply (shape-preserving fallback)."""
+        xp = v.reshape(b, k, a.nbr_pad)
+        data = a.data_flat
+        accs = [jnp.zeros((k, a.nbr_pad), dtype=xp.dtype) for _ in range(b)]
+        for d, off in enumerate(a.offsets):
+            shifted = jnp.roll(xp, -off, axis=2) if off else xp
+            for i in range(b):
+                for j in range(b):
+                    accs[i] = accs[i] + data[d, i, j][None] * shifted[j]
+        return jnp.stack(accs).reshape(-1)
+
+    def op(v: jax.Array) -> jax.Array:
+        if use_kernel:
+            return bdia_spmm_packed(a, v.reshape(p, r, LANES)).reshape(-1)
+        return _op_xla(v)
+
+    def pack(x: jax.Array) -> jax.Array:
+        x2 = x[:, None] if x.ndim == 1 else x
+        assert x2.shape[1] == k
+        return x2.reshape(a.nbr_pad, b, k).transpose(1, 2, 0).reshape(-1)
+
+    def unpack(v: jax.Array) -> jax.Array:
+        y = v.reshape(b, k, a.nbr_pad).transpose(2, 0, 1).reshape(
+            a.n_rows_pad, k)
+        return y[:, 0] if k == 1 else y
+
+    return op, pack, unpack
+
+
 def _bdia_xla_lastaxis(a: BdiaMatrix, xp: jax.Array) -> jax.Array:
     """Plane apply with arbitrary leading batch dims on xp of shape
     (..., b·NBR) — generic fallback for batched applies."""
