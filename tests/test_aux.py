@@ -110,6 +110,100 @@ class TestPartition:
         np.testing.assert_allclose(b.to_dense()[np.ix_(inv, inv)],
                                    a.to_dense())
 
+    def test_multijagged_balanced_grid(self):
+        nx, ny = 16, 12
+        coords = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                      indexing="xy"), axis=-1).reshape(-1, 2)
+        part = P.partition_multijagged(coords, (4, 3))
+        q = np.bincount(part)
+        assert len(q) == 12
+        assert q.max() - q.min() <= 1
+        # axis-0 multisection first: parts 0..2 share the first x-slab
+        xs = coords[:, 0]
+        for p in range(12):
+            assert xs[part == p].max() - xs[part == p].min() <= nx // 4
+
+    def test_multijagged_matches_rcb_quality(self, rng):
+        a = laplace2d(16, 16)
+        coords = np.stack(np.meshgrid(np.arange(16), np.arange(16),
+                                      indexing="xy"), axis=-1).reshape(-1, 2)
+        mj = P.partition_quality(a, P.partition_multijagged(coords, (2, 2)))
+        rcb = P.partition_quality(a, P.partition_rcb(coords, 4))
+        assert mj["imbalance"] <= rcb["imbalance"] + 1e-9
+        assert mj["edge_cut"] <= 2 * rcb["edge_cut"]
+
+    def test_rcm_reduces_bandwidth(self, rng):
+        # random permutation of Laplace1D has huge bandwidth; RCM restores ~1
+        n = 60
+        a = laplace2d(n, 1)
+        perm0 = rng.permutation(n)
+        b = P.permute_csr(a, perm0)
+        rcm = P.order_rcm(b)
+        c = P.permute_csr(b, rcm)
+
+        def bandwidth(m):
+            rows = np.repeat(np.arange(m.shape[0], dtype=np.int64),
+                             m.row_lengths())
+            return int(np.abs(rows - m.cols.astype(np.int64)).max())
+
+        assert bandwidth(c) == 1
+        assert bandwidth(b) > 5
+        # permutation is a valid reordering
+        inv = np.empty(n, dtype=np.int64)
+        inv[rcm] = np.arange(n)
+        np.testing.assert_allclose(c.to_dense()[np.ix_(inv, inv)],
+                                   b.to_dense())
+
+    def test_distance2_coloring_valid(self):
+        a = laplace2d(9, 9)
+        color = P.color_distance2(a)
+        n = a.shape[0]
+        adj = [set(int(c) for c in a.row(i)[0] if c != i) for i in range(n)]
+        for i in range(n):
+            for j in adj[i]:
+                assert color[i] != color[j]
+                for k in adj[j]:
+                    if k != i:
+                        assert color[i] != color[k]
+        # 5-point stencil distance-2 chromatic number is small
+        assert color.max() + 1 <= 8
+
+    def test_line_partition_tridi_smoother(self):
+        """LinePartitioner + reorder + TriDi container: on an anisotropic
+        2-D problem, line smoothing along the strong direction beats
+        point Jacobi as a CG preconditioner."""
+        import jax.numpy as jnp
+
+        from trilinos_tpu.ops import choose_format, spmv
+        from trilinos_tpu.precond.containers import BlockRelaxation
+        from trilinos_tpu.precond.jacobi import Relaxation
+        from trilinos_tpu.solvers import cg
+        from trilinos_tpu.galeri import create_matrix
+
+        nx = ny = 16
+        # strong coupling in x: eps*dy stencil
+        a = create_matrix("Cross2D", dict(nx=nx, ny=ny, a=2.02, b=-1.0,
+                                          c=-1.0, d=-0.01, e=-0.01))
+        part = P.partition_lines(a, nx)
+        # lines follow x-rows of the grid
+        counts = np.bincount(part)
+        assert counts.max() == nx
+        perm = P.partition_to_permutation(part)
+        ap = P.permute_csr(a, perm)
+        prec = BlockRelaxation(ap, {"relaxation: container": "TriDi",
+                                    "partitioner: block size": nx}).compute()
+        dev = choose_format(ap)
+        rng = np.random.default_rng(3)
+        b = np.zeros(dev.n_rows_pad)
+        b[: nx * ny] = rng.standard_normal(nx * ny)
+        res_line = cg(lambda x: spmv(dev, x), jnp.asarray(b),
+                      prec=prec.apply, rtol=1e-8, maxiter=400)
+        jac = Relaxation(ap, {}).compute()
+        res_jac = cg(lambda x: spmv(dev, x), jnp.asarray(b),
+                     prec=jac.apply, rtol=1e-8, maxiter=400)
+        assert res_line.converged
+        assert res_line.iters < res_jac.iters
+
     def test_partition_then_distribute(self, rng):
         """Full Zoltan-style pipeline: partition by RCB on grid coords,
         permute, distribute contiguously, check SpMV."""
