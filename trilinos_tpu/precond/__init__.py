@@ -9,6 +9,7 @@ from .jacobi import BlockJacobi, Relaxation
 from .poly import GmresPoly
 from .multicolor_gs import MulticolorGaussSeidel
 from .schwarz import AdditiveSchwarz
+from .two_level_schwarz import TwoLevelSchwarz
 
 __all__ = [
     "Preconditioner",
@@ -23,6 +24,7 @@ __all__ = [
     "GmresPoly",
     "SaAmg",
     "AdditiveSchwarz",
+    "TwoLevelSchwarz",
     "MulticolorGaussSeidel",
     "BlockedOperator2x2",
     "block_diagonal_prec",

@@ -80,6 +80,7 @@ def create(name: str, a, params: ParameterList | dict | None = None,
     from .hiptmair import Hiptmair
     from .poly import GmresPoly
     from .schwarz import AdditiveSchwarz
+    from .two_level_schwarz import TwoLevelSchwarz
 
     key = name.strip().upper()
     table: dict[str, Any] = {
@@ -101,6 +102,9 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         "GAUSS-SEIDEL": MulticolorGaussSeidel,
         "SCHWARZ": AdditiveSchwarz,
         "ADDITIVE SCHWARZ": AdditiveSchwarz,
+        "TWO-LEVEL SCHWARZ": TwoLevelSchwarz,
+        "FROSCH": TwoLevelSchwarz,
+        "GDSW": TwoLevelSchwarz,
         "HIPTMAIR": Hiptmair,
         "AMESOS2": DirectPrec,
         "DIRECT": DirectPrec,

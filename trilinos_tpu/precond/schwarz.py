@@ -29,6 +29,10 @@ _SPECS = {
     "schwarz: overlap level": Param("schwarz: overlap level", 1),
     "schwarz: combine mode": Param("schwarz: combine mode", "restricted",
                                    choices=("add", "restricted")),
+    "schwarz: subdomain ids": Param(
+        "schwarz: subdomain ids", None,
+        doc="optional length-n part array from parallel.partition; "
+            "default is contiguous chunks"),
     "dtype": Param("dtype", None),
 }
 
@@ -45,11 +49,15 @@ class AdditiveSchwarz(Preconditioner):
         overlap = int(p["schwarz: overlap level"])
         dtype = p["dtype"] or self.a.vals.dtype
         n = self.a.shape[0]
-        chunk = -(-n // nd)
-        rows_rep = np.repeat(np.arange(n), self.a.row_lengths())
-        dense = None
         subsets = []
-        owners = np.minimum(np.arange(n) // chunk, nd - 1)
+        if p["schwarz: subdomain ids"] is not None:
+            owners = np.asarray(p["schwarz: subdomain ids"], dtype=np.int64)
+            if owners.shape != (n,) or owners.max() >= nd:
+                raise ValueError("subdomain ids must be length n with "
+                                 "ids < num subdomains")
+        else:
+            chunk = -(-n // nd)
+            owners = np.minimum(np.arange(n) // chunk, nd - 1)
         for d in range(nd):
             sel = np.where(owners == d)[0]
             cur = set(sel.tolist())
