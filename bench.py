@@ -125,14 +125,14 @@ def bench_stencil_op(nx=256, ny=256, nz=256, reps=300):
 def bench_spmm(nx=256, ny=256, nz=256, k=4, reps=100):
     """Packed multivector DIA SpMM (KokkosSparse_spmv.hpp:156 analogue)."""
     from trilinos_tpu.galeri import laplace3d
-    from trilinos_tpu.ops.pallas.dia_spmv import dia_spmm_packed
+    from trilinos_tpu.ops.pallas.dia_spmv import dia_spmm_packed_best
 
     a = laplace3d(nx, ny, nz, dtype=np.float32, fmt="dia")
     r = a.n_rows_pad // LANES
     xk = jnp.asarray(
         np.random.default_rng(2).standard_normal((k, r, LANES)),
         dtype=jnp.float32)
-    dt = timed(lambda m, v: dia_spmm_packed(m, v), (a,), xk, reps)
+    dt = timed(lambda m, v: dia_spmm_packed_best(m, v), (a,), xk, reps)
     agg = (a.data.shape[0] + 2 * k) * a.n_rows_pad * 4
     return agg / dt / 1e9, a.nnz * k / dt, dt
 

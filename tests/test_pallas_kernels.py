@@ -246,3 +246,92 @@ class TestBdiaPlaneSolverOp:
         rel = (np.linalg.norm(b[:n] - a.to_dense() @ x)
                / np.linalg.norm(b[:n]))
         assert rel <= 1e-8
+
+
+class TestDiaRingKernel:
+    """Ring-buffer DIA kernel (x read once) vs the XLA roll reference."""
+
+    def _make(self, n, offsets, seed=0):
+        from trilinos_tpu.ops.formats import DiaMatrix
+
+        rng = np.random.default_rng(seed)
+        nd = len(offsets)
+        data = rng.standard_normal((nd, n)).astype(np.float32)
+        rows = np.arange(n)
+        for d, o in enumerate(offsets):
+            data[d, (rows + o < 0) | (rows + o >= n)] = 0.0
+        r = n // 128
+        return DiaMatrix(data=jnp.asarray(data.reshape(nd, r, 128)),
+                         offsets=tuple(offsets), n_rows=n, n_cols=n,
+                         nnz=int((data != 0).sum()))
+
+    @pytest.mark.parametrize("k", [1, 4])
+    @pytest.mark.parametrize("offsets", [
+        (-2560, -256, -1, 0, 1, 256, 2560),   # deep ring (u=3, s=8 at br=8)
+        (-1024, -256, -1, 0, 1, 256, 1024),   # shift multiples of br
+        (-129, -3, 0, 3, 129),                # lane-carry + concat reads
+    ])
+    def test_matches_reference(self, k, offsets):
+        from trilinos_tpu.ops.pallas import dia_spmv as D
+
+        n = 64 * 128
+        a = self._make(n, offsets)
+        plan = D._plan_ring(a.offsets, n, a.data.shape[0], k)
+        assert plan is not None
+        rng = np.random.default_rng(1)
+        xk = rng.standard_normal((k, n // 128, 128)).astype(np.float32)
+        y = np.asarray(D.dia_spmm_ring(a, jnp.asarray(xk), interpret=True))
+        data = np.asarray(a.data).reshape(len(offsets), n)
+        want = np.zeros((k, n), np.float32)
+        for d, o in enumerate(offsets):
+            want += data[d] * np.roll(xk.reshape(k, n), -o, axis=1)
+        np.testing.assert_allclose(y.reshape(k, n), want, rtol=2e-5,
+                                   atol=2e-5)
+
+    def test_single_rhs_dispatch_uses_ring(self):
+        """dia_spmv_pallas prefers the ring plan when one exists."""
+        from trilinos_tpu.ops.pallas import dia_spmv as D
+
+        a = self._make(64 * 128, (-2560, -1, 0, 1, 2560))
+        assert D._plan_ring(a.offsets, a.n_rows_pad, a.data.shape[0], 1)
+        x = padded_x(a.n_rows_pad, a.n_rows, seed=3)
+        y = np.asarray(D.dia_spmv_pallas(a, x, interpret=True))
+        want = np.asarray(mv.spmv(a, x, impl="xla"))
+        np.testing.assert_allclose(y, want, rtol=2e-5, atol=2e-5)
+
+
+class TestWindowPlanInvariant:
+    """Regression for the round-2 window-plan bug: a plan with br < h makes
+    the mid-block DMA start jnp.clip(blk*br - h, ...) clamp at the edges,
+    silently shifting every read of that block (at 256^3 k=4 the old
+    planner chose br=512 < h=520 and corrupted blocks 1 and nb-2)."""
+
+    def test_planners_reject_br_lt_h(self):
+        from trilinos_tpu.ops.pallas.dia_spmv import _plan, _plan_mv
+
+        # the exact 256^3 7-point geometry that shipped the bug
+        offs = (-65536, -256, -1, 0, 1, 256, 65536)
+        n_pad = 256 ** 3
+        for k in (1, 2, 4, 8, 16):
+            plan = _plan_mv(offs, n_pad, 7, k)
+            assert plan is None or plan[0] >= plan[1]
+        plan = _plan(offs, n_pad, 7)
+        assert plan is None or plan[0] >= plan[1]
+        # sweep of synthetic reaches around the br ~ h crossover
+        for m in (60, 120, 180, 250, 400, 511):
+            offs = (-m * 128, 0, m * 128)
+            for k in (1, 4):
+                plan = _plan_mv(offs, 512 * 128, 3, k)
+                assert plan is None or plan[0] >= plan[1], (m, k, plan)
+
+    def test_stencil_plane_plan_invariant(self):
+        from trilinos_tpu.ops.pallas.stencil_op import (StencilOp,
+                                                        _plane_plan)
+
+        st = stencils.cross3d_stencil(6.0, *([-1.0] * 6))
+        for dims in ((32, 16, 8), (64, 64, 64), (128, 128, 16)):
+            op = StencilOp.create(dims, st)
+            plan = _plane_plan(op)
+            if plan is not None:
+                br, q, h, p = plan
+                assert br >= h, (dims, plan)

@@ -60,7 +60,9 @@ def _plan(offsets, b, nbr_pad, nd, k) -> tuple[int, int] | None:
     vmem_budget = 13 * 2 ** 20
     top = (min(r // 2, MAX_BR) // 8) * 8
     for cand in range(top, 7, -8):
-        if r % cand != 0 or cand + 2 * h > r:
+        # cand >= h: clipped mid-block window starts shift every read
+        # (see dia_spmv._plan)
+        if r % cand != 0 or cand + 2 * h > r or cand < h:
             continue
         need = 2 * row_bytes * (nd * b * b * cand
                                 + b * k * (cand + 2 * h) + b * k * cand)

@@ -66,7 +66,8 @@ def _fused_plan(op: StencilOp):
                          if p_rows % q == 0]:
         for m in range(r // q // 2, 0, -1):
             br = m * q
-            if r % br != 0 or br + 2 * h > r:
+            # br >= h: clipped mid-block window starts shift every read
+            if r % br != 0 or br + 2 * h > r or br < h:
                 continue
             need = row_b * (3 * 2 * (br + 2 * h)  # r,w,q windows
                             + 2 * 2 * br          # x,p pipelined

@@ -44,7 +44,12 @@ def _plan(offsets, n_rows_pad, n_diags) -> tuple[int, int] | None:
     vmem_budget = 12 * 2 ** 20
     top = (min(r // 2, MAX_BR) // 8) * 8
     for cand in range(top, 7, -8):
-        if r % cand != 0 or cand + 2 * h > r:
+        # cand >= h: the mid-block window invariant window[h] == row
+        # blk*br requires blk*br - h >= 0 for blk >= 1 (and its mirror at
+        # the tail) — a clipped start silently shifts every read (this
+        # exact bug shipped in round 2's k=4 SpMM plan: br=512 < h=520
+        # corrupted blocks 1 and nb-2 at 256^3)
+        if r % cand != 0 or cand + 2 * h > r or cand < h:
             continue
         # double-buffered: data + y via the pipeline, window via scratch
         need = 2 * row_bytes * (n_diags * cand + (cand + 2 * h) + cand)
@@ -58,7 +63,9 @@ def dia_pallas_applicable(a: DiaMatrix, x_ndim: int = 1) -> bool:
         return False
     if a.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    return _plan(a.offsets, a.n_rows_pad, a.data.shape[0]) is not None
+    return (_plan_ring(a.offsets, a.n_rows_pad, a.data.shape[0], 1)
+            is not None
+            or _plan(a.offsets, a.n_rows_pad, a.data.shape[0]) is not None)
 
 
 def _kernel(offsets, br, h, r, data_ref, x_hbm, y_ref, win, sem):
@@ -135,6 +142,159 @@ def _kernel(offsets, br, h, r, data_ref, x_hbm, y_ref, win, sem):
 
 
 # ---------------------------------------------------------------------------
+# Ring-buffer kernel: x read ONCE (no halo re-read)
+# ---------------------------------------------------------------------------
+#
+# The windowed kernels above DMA [block - halo, block + halo] per block; for
+# 3-D stencils the z-offset makes halo ~ block, so x is streamed ~3x. TPU
+# grid steps run SEQUENTIALLY and scratch persists across them — so a ring
+# of S strip-slots can keep the halo strips resident and DMA only the ONE
+# new strip per block (classic sliding-window reuse). Strip t lives in slot
+# t % S; a diagonal's br-row read at relative row offset ro splits into at
+# most two STATIC-size pieces (strip b + ro//br at sublane ro%br, then
+# strip +1), each a dynamic-slot / static-window VMEM read. Slots for
+# strips beyond either end are zeroed once (b=0) and then hold stale-but-
+# finite x values that the zero boundary coefficients annihilate (same
+# invariant as the windowed kernels). Ring capacity S = 2U + 2 (U strips
+# of history, U of future, the current strip, one DMA in flight).
+
+
+def _plan_ring(offsets, n_rows_pad, n_diags, k) -> tuple[int, int, int] | None:
+    if n_rows_pad % LANES != 0 or k < 1 or k > 16:
+        return None
+    r = n_rows_pad // LANES
+    # max relative row reach (+1 sublane for the lane-carry read)
+    reach = max((abs(o) // LANES + (1 if o % LANES else 0) + 1
+                 for o in offsets), default=1)
+    row_bytes = LANES * 4
+    # leave ~7 MB headroom below the 16 MB scoped-vmem limit: the per-
+    # diagonal two-piece reads materialize (k, br, 128) stack temporaries
+    # that the plan formula below does not count (measured OOM at 13 MB)
+    vmem_budget = 9 * 2 ** 20
+    top = (min(r // 2, MAX_BR) // 8) * 8
+    for cand in range(top, 7, -8):
+        if r % cand != 0:
+            continue
+        u = -(-reach // cand)
+        s = 2 * u + 2
+        if r // cand < s:
+            continue
+        # ring single-buffered + pipelined data/y double-buffered
+        need = row_bytes * (s * cand * k + 2 * n_diags * cand
+                            + 2 * k * cand)
+        if need <= vmem_budget:
+            return cand, u, s
+    return None
+
+
+def _kernel_ring(offsets, br, u, s, r, k,
+                 data_ref, x_hbm, y_ref, win, sems):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def strip_copy(t, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(t * br, br), :], win.at[slot], sems.at[slot])
+
+    @pl.when(b == 0)
+    def _():
+        zero = jnp.zeros((k, br, LANES), dtype=win.dtype)
+        for c in range(-u, 0):          # past-edge strips: zero slots
+            win[(c % s)] = zero
+        for t in range(u + 1):          # strips 0..u: fetch, 0..u-1 waited
+            if t < nb:
+                cp = strip_copy(t, t % s)
+                cp.start()
+                if t < u:
+                    cp.wait()
+
+    # issue the in-flight strip (b+u+1), wait for the current edge (b+u)
+    nxt = b + u + 1
+
+    @pl.when(nxt < nb)
+    def _():
+        strip_copy(nxt, lax.rem(nxt, jnp.int32(s))).start()
+
+    edge = b + u
+
+    @pl.when(edge < nb)
+    def _():
+        strip_copy(edge, lax.rem(edge, jnp.int32(s))).wait()
+
+    def read(ro):
+        """(k, br, LANES) rows [b*br + ro, b*br + ro + br)."""
+        shift, off = divmod(ro, br)
+        # +s keeps the operand nonnegative (lax.rem is a C-style remainder
+        # and would return a negative slot for b + shift < 0); shift is
+        # within [-u, u+1] and s = 2u + 2, so one +s suffices
+        slot = lax.rem(b + jnp.int32(shift + s), jnp.int32(s))
+        if off == 0:
+            return win[slot]
+        slot2 = lax.rem(b + jnp.int32(shift + 1 + s), jnp.int32(s))
+        p1 = win[slot, :, pl.ds(off, br - off)]
+        p2 = win[slot2, :, pl.ds(0, off)]
+        return jnp.concatenate([p1, p2], axis=1)
+
+    lane = lax.broadcasted_iota(jnp.int32, (k, br, LANES), 2)
+    acc = jnp.zeros((k, br, LANES), dtype=jnp.float32)
+    for d, o in enumerate(offsets):
+        ro, lo = divmod(o, LANES)
+        if lo == 0:
+            shifted = read(ro)
+        else:
+            ra = pltpu.roll(read(ro), LANES - lo, 2)
+            rb = pltpu.roll(read(ro + 1), LANES - lo, 2)
+            shifted = jnp.where(lane < LANES - lo, ra, rb)
+        acc = acc + (data_ref[d].astype(jnp.float32)[None]
+                     * shifted.astype(jnp.float32))
+    y_ref[:] = acc.astype(y_ref.dtype)
+
+
+def dia_ring_applicable(a: DiaMatrix, k: int = 1) -> bool:
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return _plan_ring(a.offsets, a.n_rows_pad, a.data.shape[0], k) is not None
+
+
+def dia_spmm_ring(a: DiaMatrix, xk: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Ring-buffer SpMM on a packed (k, R, 128) multivector (k=1 serves
+    the single-RHS path: the (R,128)<->(1,R,128) reshape is layout-free)."""
+    n = a.n_rows_pad
+    r = n // LANES
+    k = xk.shape[0]
+    plan = _plan_ring(a.offsets, n, a.data.shape[0], k)
+    if plan is None:
+        raise ValueError("dia_spmm_ring: not applicable (use window path)")
+    br, u, s = plan
+    nb = r // br
+    nd = a.data.shape[0]
+    data3 = a.data if a.data.ndim == 3 else a.data.reshape(nd, r, LANES)
+    return pl.pallas_call(
+        functools.partial(_kernel_ring, a.offsets, br, u, s, r, k),
+        out_shape=jax.ShapeDtypeStruct((k, r, LANES), xk.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((nd, br, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((k, br, LANES), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s, k, br, LANES), xk.dtype),
+            pltpu.SemaphoreType.DMA((s,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n * k,
+            bytes_accessed=(nd + 2 * k) * n * xk.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(data3, xk)
+
+
+# ---------------------------------------------------------------------------
 # Multivector (SpMM) variant: packed (k, R, 128) layout
 # ---------------------------------------------------------------------------
 #
@@ -158,7 +318,8 @@ def _plan_mv(offsets, n_rows_pad, n_diags, k) -> tuple[int, int] | None:
     vmem_budget = 13 * 2 ** 20
     top = (min(r // 2, MAX_BR) // 8) * 8
     for cand in range(top, 7, -8):
-        if r % cand != 0 or cand + 2 * h > r:
+        # cand >= h: see _plan — clipped mid-block starts corrupt reads
+        if r % cand != 0 or cand + 2 * h > r or cand < h:
             continue
         need = 2 * row_bytes * (n_diags * cand + k * (cand + 2 * h)
                                 + k * cand)
@@ -170,7 +331,20 @@ def _plan_mv(offsets, n_rows_pad, n_diags, k) -> tuple[int, int] | None:
 def dia_spmm_applicable(a: DiaMatrix, k: int) -> bool:
     if a.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    return _plan_mv(a.offsets, a.n_rows_pad, a.data.shape[0], k) is not None
+    return (_plan_ring(a.offsets, a.n_rows_pad, a.data.shape[0], k)
+            is not None
+            or _plan_mv(a.offsets, a.n_rows_pad, a.data.shape[0], k)
+            is not None)
+
+
+def dia_spmm_packed_best(a: DiaMatrix, xk: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Best packed-(k, R, 128) SpMM path: ring-buffer kernel (x read once)
+    when it plans, else the double-buffered window kernel."""
+    k = xk.shape[0]
+    if _plan_ring(a.offsets, a.n_rows_pad, a.data.shape[0], k) is not None:
+        return dia_spmm_ring(a, xk, interpret=interpret)
+    return dia_spmm_packed(a, xk, interpret=interpret)
 
 
 def _kernel_mv(offsets, br, h, r, k, data_ref, x_hbm, y_ref, win, sem):
@@ -287,7 +461,7 @@ def dia_spmm_pallas(a: DiaMatrix, x: jax.Array,
     r = n // LANES
     k = x.shape[1]
     xk = x.T.reshape(k, r, LANES)
-    out = dia_spmm_packed(a, xk, interpret=interpret)
+    out = dia_spmm_packed_best(a, xk, interpret=interpret)
     return out.reshape(k, n).T
 
 
@@ -322,7 +496,7 @@ def _dia_spmv_vmap_rule(axis_size, in_batched, a, x):
     k = x.shape[0]
     if dia_spmm_applicable(a, k):
         r = a.n_rows_pad // LANES
-        out = dia_spmm_packed(a, x.reshape(k, r, LANES))
+        out = dia_spmm_packed_best(a, x.reshape(k, r, LANES))
         return out.reshape(k, a.n_rows_pad), True
     return _dia_xla_lastaxis(a, x), True
 
@@ -331,6 +505,12 @@ def dia_spmv_pallas(a: DiaMatrix, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
     n = a.n_rows_pad
     r = n // LANES
+    # ring kernel first: reads x once (no halo re-read) — measured 606 vs
+    # 557 GB/s on the 256^3 7-point headline (and it is the only Pallas
+    # plan when the window planner's br >= h constraint can't be met)
+    if _plan_ring(a.offsets, n, a.data.shape[0], 1) is not None:
+        return dia_spmm_ring(a, x.reshape(1, r, LANES),
+                             interpret=interpret).reshape(n)
     plan = _plan(a.offsets, n, a.data.shape[0])
     if plan is None:
         raise ValueError("dia_spmv_pallas: not applicable (use XLA path)")

@@ -112,7 +112,9 @@ def _plan(op: StencilOp) -> tuple[int, int] | None:
     budget = 12 * 2 ** 20 // (2 * LANES * 4)  # window rows per buffer
     top = (min(r // 2, MAX_BR) // 8) * 8
     for cand in range(top, 7, -8):
-        if r % cand == 0 and cand + 2 * h <= min(r, budget):
+        # cand >= h keeps the mid-block window start blk*br - h in range
+        # (a clipped start silently shifts every read — see dia_spmv._plan)
+        if r % cand == 0 and cand + 2 * h <= min(r, budget) and cand >= h:
             return cand, h
     return None
 
@@ -298,7 +300,8 @@ def _plane_plan(op: StencilOp, nrhs: int = 1):
         max_m = r // q // 2  # nb >= 2
         for m in range(max_m, 0, -1):
             br = m * q
-            if r % br != 0 or br + 2 * h > r:
+            # br >= h: clipped mid-block window starts shift every read
+            if r % br != 0 or br + 2 * h > r or br < h:
                 continue
             if 2 * row_b * ((br + 2 * h) + br) <= budget:
                 return br, q, h, p_rows
