@@ -1,10 +1,13 @@
-"""Nonlinear solvers (NOX/LOCA analogue): JFNK Newton, Anderson,
-dogleg trust region, parameter continuation."""
+"""Nonlinear solvers and time integration (NOX/LOCA/Tempus analogue):
+JFNK Newton, Anderson, dogleg trust region, parameter continuation,
+implicit/explicit steppers."""
 from .base import NonlinearResult, make_jvp_operator, make_vjp_operator
 from .newton import newton_krylov
 from .anderson import anderson
 from .trust_region import newton_trust_region
 from .continuation import ContinuationResult, continuation
+from .integrators import (IntegratorResult, backward_euler, bdf2, rk4,
+                          theta_method, trapezoidal)
 
 __all__ = [
     "NonlinearResult",
@@ -15,4 +18,10 @@ __all__ = [
     "newton_trust_region",
     "continuation",
     "ContinuationResult",
+    "IntegratorResult",
+    "theta_method",
+    "backward_euler",
+    "trapezoidal",
+    "bdf2",
+    "rk4",
 ]

@@ -72,5 +72,10 @@ def make_vjp_operator(f: Residual, x: jax.Array):
     return op
 
 
+_SERIAL = SerialComm()
+
+
 def default_comm(comm: Comm | None) -> Comm:
-    return comm if comm is not None else SerialComm()
+    # singleton: the comm participates in newton._jfnk_pieces' cache key,
+    # and a fresh SerialComm per call would defeat the cross-call cache
+    return comm if comm is not None else _SERIAL

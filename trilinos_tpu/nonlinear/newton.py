@@ -55,7 +55,32 @@ def _forcing_eta(method, eta_prev, fnorm, fnorm_prev, lin_resnorm,
     return float(np.clip(eta, eta_min, eta_max))
 
 
+@functools.lru_cache(maxsize=64)
+def _jfnk_pieces(f, comm, restart, maxiter):
+    """Jitted merit + correction-solve for (f, comm, gmres sizing),
+    cached ACROSS newton_krylov calls: a time integrator or continuation
+    stepper calling Newton once per step with the same residual function
+    (fresh data through ``args``) must compile exactly once — compiles
+    are minutes on the tunneled chip."""
+    @jax.jit
+    def merit_sq(y, *ak):
+        return fnorm2(comm, f(y, *ak))
+
+    @jax.jit
+    def resid(y, *ak):
+        return f(y, *ak)
+
+    @jax.jit
+    def solve(xk, rk, eta_k, *ak):
+        fb = (lambda y: f(y, *ak)) if ak else f
+        return gmres(make_jvp_operator(fb, xk), -rk, restart=restart,
+                     maxiter=maxiter, rtol=eta_k, comm=comm)
+
+    return merit_sq, resid, solve
+
+
 def newton_krylov(f: Residual, x0: jax.Array, *,
+                  args: tuple = (),
                   jac: Callable[[jax.Array], Operator] | None = None,
                   prec_factory: Callable[[jax.Array], Operator]
                   | None = None,
@@ -78,22 +103,23 @@ def newton_krylov(f: Residual, x0: jax.Array, *,
     (NOX "Constant" forcing, default 1e-4 there; here the constant you
     pass). linesearch: "full" | "backtrack" (simple decrease, halving) |
     "polynomial" (Armijo + quadratic interpolation).
+
+    ``args``: extra arrays passed as ``f(x, *args)`` and treated as jit
+    arguments — pass per-step data (previous state, time, parameter)
+    here so repeated solves against the same ``f`` reuse one compiled
+    program (retracing per call would cost minutes on the TPU tunnel).
     """
     comm = default_comm(comm)
-    fn_sq = jax.jit(lambda y: fnorm2(comm, f(y)))
-    f_jit = jax.jit(f)
-
-    # Pure-JFNK correction solve compiles ONCE: x, r and the forcing term
-    # are jit arguments (a fresh eta per Newton step must not retrace —
-    # compiles are minutes on the tunneled chip). With a user jac/prec the
-    # operator changes identity per step, so those paths stay eager.
+    fn_sq_a, f_jit_a, solve_jit_a = _jfnk_pieces(
+        f, comm, inner_restart, inner_maxiter)
+    fn_sq = lambda y: fn_sq_a(y, *args)
+    f_jit = lambda y: f_jit_a(y, *args)
+    # Pure-JFNK correction solve compiles ONCE: x, r, args and the
+    # forcing term are jit arguments. With a user jac/prec the operator
+    # changes identity per step, so those paths stay eager.
     solve_jit = None
     if jac is None and prec_factory is None:
-        @jax.jit
-        def solve_jit(xk, rk, eta_k):
-            return gmres(make_jvp_operator(f, xk), -rk,
-                         restart=inner_restart, maxiter=inner_maxiter,
-                         rtol=eta_k, comm=comm)
+        solve_jit = lambda xk, rk, ek: solve_jit_a(xk, rk, ek, *args)
 
     x = x0
     r = f_jit(x)
@@ -118,7 +144,8 @@ def newton_krylov(f: Residual, x0: jax.Array, *,
         if solve_jit is not None:
             res = solve_jit(x, r, jnp.asarray(eta_k, x.dtype))
         else:
-            op = jac(x) if jac is not None else make_jvp_operator(f, x)
+            fb = (lambda y: f(y, *args)) if args else f
+            op = jac(x) if jac is not None else make_jvp_operator(fb, x)
             prec = (prec_factory(x) if prec_factory is not None
                     else None)
             res = gmres(op, -r, prec=prec, restart=inner_restart,
