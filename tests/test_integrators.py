@@ -13,7 +13,8 @@ import pytest
 import jax.numpy as jnp
 
 from trilinos_tpu.galeri import laplace2d
-from trilinos_tpu.nonlinear import (backward_euler, bdf2, rk4,
+from trilinos_tpu.nonlinear import (backward_euler, bdf2,
+                                    integrate_adaptive, rk4, sdirk2,
                                     trapezoidal)
 from trilinos_tpu.ops import formats as F
 from trilinos_tpu.ops import matvec as S
@@ -56,6 +57,10 @@ class TestOrders:
         p, errs = order_of(rk4, [0.2, 0.1])
         assert 3.7 <= p <= 4.3, (p, errs)
         assert errs[1] < 1e-6
+
+    def test_sdirk2_second_order(self):
+        p, errs = order_of(sdirk2, [0.1, 0.05])
+        assert 1.7 <= p <= 2.3, (p, errs)
 
 
 class TestStiffHeat:
@@ -112,6 +117,67 @@ class TestStiffHeat:
         expected = ((1 - z / 2) / (1 + z / 2)) ** nsteps
         got = (np.asarray(res.u)[:self.n] @ mode2d) / (mode2d @ mode2d)
         assert abs(got - expected) < 1e-5 * expected
+
+
+class TestLStability:
+    def test_sdirk2_damps_where_trapezoidal_rings(self):
+        """Scalar stiff decay u' = -lam u with dt*lam = 100: trapezoidal's
+        amplification (1-z/2)/(1+z/2) -> -1 (sign-flipping ringing);
+        SDIRK2's L-stability sends it to 0. One step exposes both."""
+        lam = 1000.0
+        dt = 0.1
+        rhs = lambda t, u: -lam * u
+        u0 = jnp.asarray([1.0])
+        r_tr = trapezoidal(rhs, u0, 0.0, dt, dt, rtol=1e-10, atol=1e-12)
+        r_sd = sdirk2(rhs, u0, 0.0, dt, dt, rtol=1e-10, atol=1e-12)
+        z = dt * lam
+        assert float(r_tr.u[0]) < -0.9      # ~ -(1 - 4/z) ringing
+        assert abs(float(r_sd.u[0])) < 0.06  # damped toward 0
+        # exact one-step amplification R(-z) = (1 - z(1-2g))/(1+gz)^2
+        g = 1 - 1 / np.sqrt(2)
+        rz = (1 - z * (1 - 2 * g)) / (1 + g * z) ** 2
+        assert abs(float(r_sd.u[0]) - rz) < 5e-3
+
+
+class TestAdaptive:
+    def test_tolerance_tracking_order2(self):
+        """Trapezoidal + AB2-Milne estimate on SinCos: the global error
+        lands near the requested tolerance band and t1 is hit exactly."""
+        res = integrate_adaptive(sincos_rhs, jnp.asarray([0.0, 1.0]),
+                                 0.0, 5.0, 0.5, order=2, rtol=1e-5,
+                                 atol=1e-8)
+        err = np.linalg.norm(np.asarray(res.u) - sincos_exact(5.0))
+        assert abs(res.t - 5.0) < 1e-9
+        # local control rtol=1e-5 over ~170 f32 steps: global error
+        # accumulates to the 1e-3 class; assert the band, not magic
+        assert err < 2e-3, (err, res.steps, res.rejected)
+        assert res.steps > 10
+
+    def test_controller_shrinks_then_grows(self):
+        """u' = -u + sharp gaussian forcing at t=1: the controller must
+        refine through the pulse and re-expand after (dt history spans
+        >= 8x), with at least one rejection at the pulse."""
+        def rhs(t, u):
+            return -u + 50.0 * jnp.exp(-((t - 1.0) / 0.02) ** 2)
+        res = integrate_adaptive(rhs, jnp.asarray([1.0]), 0.0, 2.0, 0.4,
+                                 order=1, rtol=1e-4, atol=1e-7,
+                                 save_every=1)
+        dts = np.diff(res.ts)
+        assert dts.min() < 0.02          # refined into the pulse
+        assert dts.max() / dts.min() >= 8.0
+        assert res.rejected >= 1
+
+    def test_order1_stiff_decay(self):
+        lam = 500.0
+        rhs = lambda t, u: -lam * u
+        res = integrate_adaptive(rhs, jnp.asarray([1.0]), 0.0, 1.0,
+                                 0.2, order=1, rtol=1e-3, atol=1e-8)
+        assert abs(float(res.u[0]) - np.exp(-lam)) < 1e-3
+
+    def test_bad_order_rejected(self):
+        with pytest.raises(ValueError):
+            integrate_adaptive(sincos_rhs, jnp.asarray([0.0, 1.0]),
+                               0.0, 1.0, 0.1, order=3)
 
 
 class TestPlumbing:

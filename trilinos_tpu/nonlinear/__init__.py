@@ -6,8 +6,9 @@ from .newton import newton_krylov
 from .anderson import anderson
 from .trust_region import newton_trust_region
 from .continuation import ContinuationResult, continuation
-from .integrators import (IntegratorResult, backward_euler, bdf2, rk4,
-                          theta_method, trapezoidal)
+from .integrators import (IntegratorResult, backward_euler, bdf2,
+                          integrate_adaptive, rk4, sdirk2, theta_method,
+                          trapezoidal)
 
 __all__ = [
     "NonlinearResult",
@@ -23,5 +24,7 @@ __all__ = [
     "backward_euler",
     "trapezoidal",
     "bdf2",
+    "sdirk2",
+    "integrate_adaptive",
     "rk4",
 ]
