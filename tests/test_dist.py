@@ -86,6 +86,49 @@ class TestDistSpmv:
         np.testing.assert_allclose(got, a.to_dense() @ x, rtol=1e-12)
 
 
+class TestDistBsr:
+    """Distributed BlockCrsMatrix analogue: blocked interior apply +
+    scalar halo (Tpetra_BlockCrsMatrix_decl.hpp:53)."""
+
+    @pytest.mark.parametrize("n_shards", [2, 4])
+    def test_bsr_apply_matches_serial(self, n_shards, rng):
+        from trilinos_tpu.galeri import elasticity2d
+        from trilinos_tpu.ops.formats import BsrMatrix
+
+        a = elasticity2d(8, 8, e_mod=1.0)   # n = 128, b = 2
+        dm = D.distribute(a, n_shards, fmt="bsr", block_size=2)
+        assert isinstance(dm.interior, BsrMatrix)
+        mesh = drv.make_mesh(n_shards)
+        x = rng.standard_normal(a.shape[0])
+        xp = jnp.asarray(dm.row_map.to_padded(x))
+        y = drv.dist_spmv(dm, xp, mesh)
+        got = dm.row_map.from_padded(np.asarray(y))
+        dense = a.to_dense() @ x
+        np.testing.assert_allclose(got, dense, rtol=1e-10,
+                                   atol=1e-10 * np.abs(dense).max())
+
+    def test_bsr_jacobi_gmres_solve(self, rng):
+        from trilinos_tpu.galeri import elasticity2d
+
+        a = elasticity2d(8, 6, e_mod=1.0)   # n = 96
+        n = a.shape[0]
+        b = rng.standard_normal(n)
+        dm = D.distribute(a, 4, fmt="bsr", block_size=2)
+        mesh = drv.make_mesh(4)
+        prec = drv.dist_jacobi(a, dm.row_map)
+        bg = jnp.asarray(dm.row_map.to_padded(b))
+        res = drv.dist_solve(gmres, dm, bg, mesh=mesh, prec=prec,
+                             rtol=1e-9, maxiter=400)
+        x = dm.row_map.from_padded(np.asarray(res.x))
+        rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
+        assert rel <= 1e-7, rel
+
+    def test_block_misalignment_rejected(self):
+        a = laplace2d(5, 5)                 # n = 25: odd shard sizes
+        with pytest.raises(ValueError):
+            D.distribute(a, 2, fmt="bsr", block_size=2)
+
+
 class TestDistSolve:
     @pytest.mark.parametrize("n_shards", [4, 8])
     def test_cg_matches_serial(self, n_shards, rng):

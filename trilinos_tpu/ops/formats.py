@@ -439,13 +439,16 @@ def pad_csr_square(a: CsrHost, multiple: int) -> CsrHost:
 
 
 def csr_to_bsr(a: CsrHost, block_size: int, dtype=None,
-               n_brows_pad: int | None = None) -> BsrMatrix:
+               n_brows_pad: int | None = None,
+               kb: int | None = None) -> BsrMatrix:
     """Pack host CSR into block-ELL with constant block size.
 
     Rows/cols are grouped into ``block_size`` chunks; any scalar nonzero
     makes its whole block present (standard BSR fill-in). A square matrix
     whose dimension is not a multiple of ``block_size`` is first extended
-    with identity rows/cols (``pad_csr_square``).
+    with identity rows/cols (``pad_csr_square``). ``kb`` forces the
+    blocks-per-row width (>= the natural width) so per-shard packs stack
+    into one uniform pytree (the distributed interior case).
     """
     b = block_size
     m, n = a.shape
@@ -467,7 +470,11 @@ def csr_to_bsr(a: CsrHost, block_size: int, dtype=None,
     ub_row = uniq_key // nb
     ub_col = uniq_key % nb
     blens = np.bincount(ub_row, minlength=mb)
-    kb = max(int(blens.max(initial=0)), 1)
+    kb_nat = max(int(blens.max(initial=0)), 1)
+    if kb is None:
+        kb = kb_nat
+    elif kb < kb_nat:
+        raise ValueError(f"kb={kb} < natural block-row width {kb_nat}")
     bcols = np.zeros((n_brows_pad, kb), dtype=np.int32)
     bvals = np.zeros((n_brows_pad, kb, b, b), dtype=dtype)
     # slot of each unique block within its row

@@ -39,8 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.formats import (CsrHost, DiaMatrix, EllMatrix, ROW_ALIGN,
-                           csr_to_dia, csr_to_ell, round_up)
+from ..ops.formats import (BsrMatrix, CsrHost, DiaMatrix, EllMatrix,
+                           ROW_ALIGN, csr_to_dia, csr_to_ell, round_up)
 from ..ops.matvec import spmv
 from .map import Map
 
@@ -84,7 +84,7 @@ class BoundaryPart:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DistMatrix:
-    interior: DiaMatrix | EllMatrix
+    interior: DiaMatrix | EllMatrix | BsrMatrix
     boundary: BoundaryPart
     plan: HaloPlan
     row_map: Map = dataclasses.field(metadata=dict(static=True))
@@ -417,13 +417,20 @@ def distribute_rect(a: CsrHost, row_map: Map, col_map: Map,
 
 
 def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
-               dtype=None, rmap: Map | None = None) -> DistMatrix:
+               dtype=None, rmap: Map | None = None,
+               block_size: int = 1) -> DistMatrix:
     """Partition a square host CSR by rows over ``n_shards`` and build the
     frozen halo plan (the fillComplete + Import-construction step).
 
     ``rmap`` overrides the default contiguous-uniform map (e.g. the
     nonuniform contiguous map of a partitioned renumbering — see
-    ``distribute_partitioned``)."""
+    ``distribute_partitioned``). ``fmt="bsr"`` stores each shard's
+    interior as block-ELL with ``block_size`` (the distributed
+    BlockCrsMatrix, src/Tpetra_BlockCrsMatrix_decl.hpp:53 — there the
+    block structure extends into the comm layer via BlockMultiVector;
+    here only the interior apply is blocked and the halo stays scalar,
+    which keeps one plan for every format); requires every shard
+    boundary and the local padding to be block-aligned."""
     n = a.shape[0]
     assert a.shape[0] == a.shape[1], "distribute() requires square A"
     rmap = rmap or Map.uniform(n, n_shards)
@@ -489,6 +496,19 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
     if fmt == "dia":
         off_union = sorted({o for ic in interior_csr
                             for o in _diag_offsets(ic)})
+    elif fmt == "bsr":
+        b = block_size
+        if b < 2:
+            raise ValueError("fmt='bsr' needs block_size >= 2")
+        for s in range(n_shards):
+            if (rmap.shard_hi(s) - rmap.shard_lo(s)) % b:
+                raise ValueError(
+                    f"shard {s} size not divisible by block_size={b}")
+        if npl % b:
+            raise ValueError(f"local padding {npl} not divisible by {b}")
+        from ..ops.formats import csr_to_bsr
+
+        kb_union = max(csr_to_bsr(ic, b).kb for ic in interior_csr)
     else:
         k_union = max(max(ic.max_row_length() for ic in interior_csr), 1)
 
@@ -498,6 +518,11 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
         if fmt == "dia":
             interiors.append(_csr_to_dia_fixed(interior_csr[s], off_union,
                                                npl, dtype))
+        elif fmt == "bsr":
+            m = csr_to_bsr(interior_csr[s], b, dtype=dtype,
+                           n_brows_pad=npl // b, kb=kb_union)
+            interiors.append(dataclasses.replace(
+                m, n_rows=npl, n_cols=npl, nnz=0))
         else:
             e = csr_to_ell(interior_csr[s], dtype=dtype, k=k_union,
                            n_rows_pad=npl)
