@@ -8,7 +8,7 @@ ICI collectives). See SURVEY.md at the repo root for the reference analysis
 and the layer-by-layer correspondence.
 """
 from . import (galeri, io, nonlinear, ops, optim, parallel, precond,
-               solvers, utils)
+               solvers, uq, utils)
 from .ops import CsrHost, choose_format, residual, spmm, spmv
 from .parallel import SerialComm
 from .solvers import cg
