@@ -138,6 +138,31 @@ class CsrHost:
             out[i, c] += v
         return out
 
+    def matvec_host(self, x: np.ndarray) -> np.ndarray:
+        """Host-side y = A x (setup/verification paths, not the hot op)."""
+        rows = np.repeat(np.arange(self.shape[0]), self.row_lengths())
+        y = np.zeros(self.shape[0],
+                     dtype=np.result_type(self.vals, np.asarray(x)))
+        np.add.at(y, rows, self.vals * np.asarray(x)[self.cols])
+        return y
+
+    def submatrix(self, row_ids: np.ndarray,
+                  col_ids: np.ndarray) -> "CsrHost":
+        """A[row_ids][:, col_ids] (host setup op, e.g. boundary-dof
+        condensation)."""
+        row_ids = np.asarray(row_ids)
+        col_ids = np.asarray(col_ids)
+        col_pos = np.full(self.shape[1], -1, dtype=np.int64)
+        col_pos[col_ids] = np.arange(len(col_ids))
+        rows_full = np.repeat(np.arange(self.shape[0]), self.row_lengths())
+        row_pos = np.full(self.shape[0], -1, dtype=np.int64)
+        row_pos[row_ids] = np.arange(len(row_ids))
+        keep = (row_pos[rows_full] >= 0) & (col_pos[self.cols] >= 0)
+        return CsrHost.from_coo(row_pos[rows_full[keep]],
+                                col_pos[self.cols[keep]],
+                                self.vals[keep],
+                                (len(row_ids), len(col_ids)))
+
     def to_scipy(self):
         import scipy.sparse as sp
 
