@@ -7,8 +7,8 @@ static-shape compilation model and TPU hardware (MXU matmuls, VPU shifts,
 ICI collectives). See SURVEY.md at the repo root for the reference analysis
 and the layer-by-layer correspondence.
 """
-from . import (fem, galeri, io, nonlinear, ops, optim, parallel, piro,
-               precond, solvers, uq, utils)
+from . import (fem, galeri, io, minitensor, nonlinear, ops, optim,
+               parallel, piro, precond, solvers, uq, utils)
 from .ops import CsrHost, choose_format, residual, spmm, spmv
 from .parallel import SerialComm
 from .solvers import cg
