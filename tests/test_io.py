@@ -226,3 +226,67 @@ class TestBinaryContainer:
         p.write_bytes(b"NOTTTBC!xxxx")
         with pytest.raises(ValueError):
             BinaryContainer.open(str(p))
+
+
+class TestVtk:
+    """Legacy VTK mesh/field I/O (the SEACAS/Exodus results-file role)."""
+
+    def test_roundtrip_quad_mesh(self, tmp_path):
+        from trilinos_tpu.fem import structured_quad_mesh
+        from trilinos_tpu.io import read_vtk, write_vtk
+
+        mesh = structured_quad_mesh(3, 2)
+        u = np.arange(mesh.coords.shape[0], dtype=np.float64)
+        vel = np.stack([u, -u], axis=1)
+        rho = np.arange(mesh.connect.shape[0], dtype=np.float64)
+        p = str(tmp_path / "m.vtk")
+        write_vtk(p, mesh, point_data={"u": u, "vel": vel},
+                  cell_data={"rho": rho})
+        name, coords, connect, pd, cd = read_vtk(p)
+        assert name == "quad4"
+        np.testing.assert_allclose(coords[:, :2], mesh.coords)
+        np.testing.assert_array_equal(connect, mesh.connect)
+        np.testing.assert_allclose(pd["u"], u)
+        np.testing.assert_allclose(pd["vel"][:, :2], vel)
+        np.testing.assert_allclose(cd["rho"], rho)
+
+    def test_roundtrip_hex_and_tet(self, tmp_path):
+        from trilinos_tpu.fem import (structured_hex_mesh,
+                                      structured_tet_mesh)
+        from trilinos_tpu.io import read_vtk, write_vtk
+
+        for make, name in [(structured_hex_mesh, "hex8"),
+                           (structured_tet_mesh, "tet4")]:
+            mesh = make(2, 2, 2)
+            p = str(tmp_path / f"{name}.vtk")
+            write_vtk(p, mesh)
+            got, coords, connect, _, _ = read_vtk(p)
+            assert got == name
+            np.testing.assert_allclose(coords, mesh.coords)
+            np.testing.assert_array_equal(connect, mesh.connect)
+
+    def test_series(self, tmp_path):
+        import json
+
+        from trilinos_tpu.fem import structured_tri_mesh
+        from trilinos_tpu.io import read_vtk, write_vtk_series
+
+        mesh = structured_tri_mesh(2, 2)
+        n = mesh.coords.shape[0]
+        steps = [({"u": np.full(n, float(i))}, None) for i in range(3)]
+        base = str(tmp_path / "run")
+        paths = write_vtk_series(base, mesh, steps, times=[0.0, 0.5, 1.0])
+        assert len(paths) == 3
+        _, _, _, pd, _ = read_vtk(paths[2])
+        np.testing.assert_allclose(pd["u"], 2.0)
+        idx = json.load(open(base + ".vtk.series"))
+        assert idx["files"][1]["time"] == 0.5
+
+    def test_field_length_mismatch(self, tmp_path):
+        from trilinos_tpu.fem import structured_quad_mesh
+        from trilinos_tpu.io import write_vtk
+
+        mesh = structured_quad_mesh(2, 2)
+        with pytest.raises(ValueError):
+            write_vtk(str(tmp_path / "bad.vtk"), mesh,
+                      point_data={"u": np.zeros(3)})
