@@ -24,6 +24,7 @@ from .mesh import Mesh, structured_hex_mesh, structured_quad_mesh, \
     structured_tet_mesh, structured_tri_mesh
 from .assembly import load_vector, mass_matrix, poisson_dirichlet, \
     stiffness_matrix
+from .phalanx import Evaluator, FieldManager, PhysicsBlock
 
 __all__ = [
     "CellTopology", "LINE2", "TRI3", "QUAD4", "TET4", "HEX8",
@@ -32,4 +33,5 @@ __all__ = [
     "hgrad_transform_grad", "Mesh", "structured_quad_mesh",
     "structured_tri_mesh", "structured_hex_mesh", "structured_tet_mesh",
     "stiffness_matrix", "mass_matrix", "load_vector", "poisson_dirichlet",
+    "Evaluator", "FieldManager", "PhysicsBlock",
 ]
