@@ -25,6 +25,8 @@ from .mesh import Mesh, structured_hex_mesh, structured_quad_mesh, \
 from .assembly import load_vector, mass_matrix, poisson_dirichlet, \
     stiffness_matrix
 from .phalanx import Evaluator, FieldManager, PhysicsBlock
+from .mortar import (interface_dofs, mortar_glue, mortar_projection_1d,
+                     mortar_saddle)
 
 __all__ = [
     "CellTopology", "LINE2", "TRI3", "QUAD4", "TET4", "HEX8",
@@ -34,4 +36,6 @@ __all__ = [
     "structured_tri_mesh", "structured_hex_mesh", "structured_tet_mesh",
     "stiffness_matrix", "mass_matrix", "load_vector", "poisson_dirichlet",
     "Evaluator", "FieldManager", "PhysicsBlock",
+    "mortar_projection_1d", "mortar_glue", "mortar_saddle",
+    "interface_dofs",
 ]
