@@ -1,0 +1,160 @@
+"""Structured multi-dimensional distributed arrays (the Domi analogue).
+
+Reference: packages/domi/src — Domi_MDComm.hpp (d-dimensional process
+grid), Domi_MDMap.hpp (global dims split per axis, communication
+padding = halo widths, periodic flags), Domi_MDVector.hpp (field data
+on an MDMap; ``updateCommPad()`` performs the ghost exchange per axis;
+``getLowerPad/getUpperPad``), Domi_Slice.hpp.
+
+TPU-first design: an MDMap is a declarative layout — global shape, the
+jax mesh axis each array axis is split over (None = local), halo width
+and periodicity per axis. The MDComm is the ``jax.sharding.Mesh``
+itself. ``updateCommPad`` becomes ``halo_pad``: a pure function used
+INSIDE ``jax.shard_map`` that grows each local block by its ghost
+slabs with one ``lax.ppermute`` pair per split axis (axis-by-axis
+padding makes corner ghosts correct, the standard dimension-sweep
+halo); non-periodic edges receive zeros (ppermute's no-source fill),
+matching Dirichlet-style padding. ``md_map_apply`` wraps a user
+stencil kernel into a jitted global function over the mesh — the
+N-dimensional generalization of the framework's 1-D row-sharded
+DistStencil interior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class MDMap:
+    """Layout descriptor for a structured distributed array.
+
+    global_shape: global extents per axis.
+    mesh_axes:    jax mesh axis name the array axis is split over, or
+                  None for a local (replicated-extent) axis.
+    halo:         ghost width per axis (used by ``halo_pad``).
+    periodic:     per-axis periodic wraparound of the ghost exchange.
+    """
+    global_shape: tuple
+    mesh_axes: tuple
+    halo: tuple = ()
+    periodic: tuple = ()
+
+    def __post_init__(self):
+        nd = len(self.global_shape)
+        if len(self.mesh_axes) != nd:
+            raise ValueError("mesh_axes length != ndim")
+        object.__setattr__(self, "halo",
+                           tuple(self.halo) or (0,) * nd)
+        object.__setattr__(self, "periodic",
+                           tuple(self.periodic) or (False,) * nd)
+        if len(self.halo) != nd or len(self.periodic) != nd:
+            raise ValueError("halo/periodic length != ndim")
+
+    def spec(self) -> PartitionSpec:
+        return PartitionSpec(*self.mesh_axes)
+
+    def sharding(self, mesh: Mesh) -> NamedSharding:
+        return NamedSharding(mesh, self.spec())
+
+    def local_shape(self, mesh: Mesh) -> tuple:
+        out = []
+        for dim, ax in zip(self.global_shape, self.mesh_axes):
+            if ax is None:
+                out.append(dim)
+            else:
+                n = mesh.shape[ax]
+                if dim % n:
+                    raise ValueError(
+                        f"global extent {dim} not divisible by mesh "
+                        f"axis {ax!r} size {n}")
+                out.append(dim // n)
+        return tuple(out)
+
+    def distribute(self, arr, mesh: Mesh):
+        """Place a host/global array onto the mesh with this layout
+        (the MDVector constructor)."""
+        arr = jnp.asarray(arr)
+        if arr.shape != tuple(self.global_shape):
+            raise ValueError(
+                f"array shape {arr.shape} != global_shape "
+                f"{tuple(self.global_shape)}")
+        self.local_shape(mesh)  # validates divisibility
+        return jax.device_put(arr, self.sharding(mesh))
+
+
+def _pad_axis(u, axis, w, mesh_axis, periodic, axis_size):
+    """Grow ``u`` (a local block inside shard_map) by w ghost cells on
+    both ends of ``axis`` via one ppermute pair (or local wrap/zero pad
+    for unsplit axes)."""
+    if w == 0:
+        return u
+    if mesh_axis is None:
+        mode = "wrap" if periodic else "constant"
+        cfg = [(0, 0)] * u.ndim
+        cfg[axis] = (w, w)
+        return jnp.pad(u, cfg, mode=mode)
+
+    lo_slab = lax.slice_in_dim(u, 0, w, axis=axis)
+    hi_slab = lax.slice_in_dim(u, u.shape[axis] - w, u.shape[axis],
+                               axis=axis)
+    if periodic:
+        fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    else:
+        fwd = [(i, i + 1) for i in range(axis_size - 1)]
+        bwd = [(i + 1, i) for i in range(axis_size - 1)]
+    # neighbor below sends its top slab -> our lower ghosts; ranks with
+    # no source receive zeros (the non-periodic boundary fill)
+    lo_ghost = lax.ppermute(hi_slab, mesh_axis, fwd)
+    hi_ghost = lax.ppermute(lo_slab, mesh_axis, bwd)
+    return jnp.concatenate([lo_ghost, u, hi_ghost], axis=axis)
+
+
+def halo_pad(u, mdmap: MDMap, mesh: Mesh):
+    """updateCommPad(): pad a LOCAL block (inside shard_map) with ghost
+    slabs on every axis with halo > 0. Axis-by-axis sweep (already-
+    padded slabs are exchanged by later axes, so corner ghosts are
+    populated correctly)."""
+    for axis in range(u.ndim):
+        ax = mdmap.mesh_axes[axis]
+        size = mesh.shape[ax] if ax is not None else 1
+        u = _pad_axis(u, axis, mdmap.halo[axis], ax,
+                      mdmap.periodic[axis], size)
+    return u
+
+
+def md_map_apply(mdmap: MDMap, mesh: Mesh, local_fn):
+    """Build a jitted global function: shard by ``mdmap``, halo-pad
+    each block, apply ``local_fn(padded_block) -> block`` (which must
+    shrink the pad back, e.g. a stencil valid-region apply), reassemble
+    the global array. The Domi MDVector compute idiom."""
+    spec = mdmap.spec()
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    def run(u):
+        return local_fn(halo_pad(u, mdmap, mesh))
+
+    return run
+
+
+def md_dot(mesh: Mesh):
+    """Global dot over MD-distributed fields (inside shard_map use
+    lax.psum; at the jit level jnp.vdot on sharded arrays already
+    inserts the collective — provided for the explicit per-shard
+    path)."""
+    axes = tuple(mesh.axis_names)
+
+    def dot(a_local, b_local):
+        return lax.psum(jnp.sum(a_local * b_local), axes)
+    return dot
