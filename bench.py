@@ -163,6 +163,24 @@ def bench_bdia(nx=1024, ny=512, reps=300):
     return stored / dt / 1e9, a.nnz / dt, dt
 
 
+def bench_cheb_fused(nx=256, ny=256, nz=256, degree=4, reps=150):
+    """Fused degree-d Chebyshev sweep (ops/pallas/stencil_poly.py):
+    one HBM pass for the whole polynomial. Reports the effective
+    per-sweep nnz rate (degree * nnz / t) — the unfused sweep costs
+    ~degree SpMV passes (Ifpack2_Details_ChebyshevKernel fuses ONE)."""
+    from trilinos_tpu.galeri import laplace3d
+    from trilinos_tpu.ops.pallas.stencil_poly import (chebyshev_stages,
+                                                      stencil_poly_apply)
+
+    op = laplace3d(nx, ny, nz, dtype=np.float32, fmt="stencil")
+    stages = chebyshev_stages(1.9, 0.06, degree, 1 / 6.0)
+    n = op.n_rows_pad
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(n),
+                    dtype=jnp.float32)
+    dt = timed(lambda v: stencil_poly_apply(op, stages, v), (), x, reps)
+    return degree * op.nnz / dt, dt
+
+
 def bench_ortho(n=2 * 1024 * 1024, k=8, reps=100):
     """Block orthogonalization throughput: CGS2 projection + CholQR2
     (belos_orthomanager_tpetra_benchmark.cpp analogue)."""
@@ -265,6 +283,7 @@ def main():
     bf_nnz_s, bf_t = _safe(bench_spmv_bf16, (0.0, float("inf")))
     mm_gbps, mm_nnz_s, mm_t = _safe(bench_spmm, (0.0, 0.0, float("inf")))
     bd_gbps, bd_nnz_s, bd_t = _safe(bench_bdia, (0.0, 0.0, float("inf")))
+    cf_nnz_s, cf_t = _safe(bench_cheb_fused, (0.0, float("inf")))
     ortho_gbps, ortho_t = _safe(bench_ortho, (0.0, float("inf")))
     cg_iters_s, cg_it_t = _safe(bench_cg, (0.0, float("inf")))
     cgf_iters_s, cgf_it_t = _safe(bench_cg_fused, (0.0, float("inf")))
@@ -277,6 +296,7 @@ def main():
                       ("stencil_gnnz", st_nnz_s / 1e9),
                       ("spmm_gbps", mm_gbps),
                       ("bdia_gbps", bd_gbps),
+                      ("cheb4_fused_gnnz", cf_nnz_s / 1e9),
                       ("ortho_gbps", ortho_gbps),
                       ("cg_iters_per_s", cg_iters_s),
                       ("cg_fused_iters_per_s", cgf_iters_s),
@@ -302,6 +322,8 @@ def main():
             "bdia_elasticity_gbps": round(bd_gbps, 1),
             "bdia_nnz_per_s_G": round(bd_nnz_s / 1e9, 2),
             "bdia_apply_ms": round(bd_t * 1e3, 3),
+            "cheb4_fused_nnz_per_s_G": round(cf_nnz_s / 1e9, 2),
+            "cheb4_fused_sweep_ms": round(cf_t * 1e3, 3),
             "ortho_gbps": round(ortho_gbps, 1),
             "cg_iters_per_s": round(cg_iters_s, 1),
             "cg_iter_ms": round(cg_it_t * 1e3, 3),

@@ -48,6 +48,20 @@ def main():
     err = float(jnp.max(jnp.abs(y_p - y_x)))
     check("DIA SpMM k=4 kernel parity", err < 1e-4, f"err={err:.1e}")
 
+    # --- fused polynomial (Chebyshev) kernel parity ----------------------
+    from trilinos_tpu.ops.pallas.stencil_poly import (
+        chebyshev_stages, stencil_poly_applicable, stencil_poly_apply,
+        stencil_poly_xla)
+
+    if stencil_poly_applicable(op, 4):
+        stages = chebyshev_stages(1.9, 0.06, 4, 1 / 6.0)
+        y_p = jax.jit(lambda v: stencil_poly_apply(op, stages, v))(x)
+        y_x = stencil_poly_xla(op, stages, x)
+        err = float(jnp.max(jnp.abs(y_p - y_x))) / float(
+            jnp.max(jnp.abs(y_x)))
+        check("fused cheb4 polynomial kernel parity", err < 1e-5,
+              f"err={err:.1e}")
+
     # --- BASELINE config 1: Laplace2D 100^2, unprec CG (pallas path) ----
     a1 = laplace2d(100, 100, dtype=np.float32)
     dev = choose_format(a1)

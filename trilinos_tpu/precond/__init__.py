@@ -2,7 +2,7 @@ from .amg import SaAmg
 from .base import Preconditioner, create
 from .block_2x2 import (BlockedOperator2x2, block_diagonal_prec,
                         block_lower_triangular_prec, simple_schur_2x2)
-from .chebyshev import Chebyshev
+from .chebyshev import Chebyshev, fused_stencil_chebyshev
 from .ilu import Ilu0, ilu0_factor
 from .ilut import Ilut, ilut_factor
 from .jacobi import BlockJacobi, Relaxation
@@ -14,7 +14,7 @@ from .two_level_schwarz import TwoLevelSchwarz
 __all__ = [
     "Preconditioner",
     "create",
-    "Chebyshev",
+    "Chebyshev", "fused_stencil_chebyshev",
     "Ilu0",
     "ilu0_factor",
     "Ilut",
