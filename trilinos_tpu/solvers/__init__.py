@@ -11,6 +11,7 @@ from .gcrodr import RecycleSpace, gcrodr
 from .rcg import CgRecycleSpace, pcpg, rcg
 from .sstep_gmres import sstep_gmres
 from .direct import SparseLu, direct_solve
+from .pliris import dense_solve, dist_dense_solve
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
 from . import ortho, status
@@ -43,6 +44,8 @@ __all__ = [
     "LinearProblem",
     "SparseLu",
     "direct_solve",
+    "dense_solve",
+    "dist_dense_solve",
     "SolverManager",
     "build",
     "create_solver",
