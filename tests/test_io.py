@@ -290,3 +290,38 @@ class TestVtk:
         with pytest.raises(ValueError):
             write_vtk(str(tmp_path / "bad.vtk"), mesh,
                       point_data={"u": np.zeros(3)})
+
+    def test_vtk_cell_orientation_valid(self, tmp_path):
+        """Written quads/hexes must be in VTK CCW order (positive
+        signed area / volume), not the fem lexicographic order."""
+        from trilinos_tpu.fem import (structured_hex_mesh,
+                                      structured_quad_mesh)
+        from trilinos_tpu.io import read_vtk, write_vtk
+
+        mesh = structured_quad_mesh(3, 3)
+        p = str(tmp_path / "q.vtk")
+        write_vtk(p, mesh)
+        # read RAW file connectivity (VTK order)
+        txt = open(p).read().split()
+        i = txt.index("CELLS")
+        ne = int(txt[i + 1])
+        raw = np.array(txt[i + 3:i + 3 + ne * 5], dtype=int)
+        conn_vtk = raw.reshape(ne, 5)[:, 1:]
+        xy = mesh.coords
+        for quad in conn_vtk:
+            pts = xy[quad]
+            area = 0.0
+            for k in range(4):
+                x0, y0 = pts[k]
+                x1, y1 = pts[(k + 1) % 4]
+                area += x0 * y1 - x1 * y0
+            assert area > 0  # CCW, non-self-intersecting
+        # and the read-back returns fem (lexicographic) order
+        _, _, conn_back, _, _ = read_vtk(p)
+        np.testing.assert_array_equal(conn_back, mesh.connect)
+
+        hexm = structured_hex_mesh(2, 2, 2)
+        ph = str(tmp_path / "h.vtk")
+        write_vtk(ph, hexm)
+        _, _, hconn, _, _ = read_vtk(ph)
+        np.testing.assert_array_equal(hconn, hexm.connect)

@@ -27,6 +27,7 @@ from .assembly import load_vector, mass_matrix, poisson_dirichlet, \
 from .phalanx import Evaluator, FieldManager, PhysicsBlock
 from .mortar import (interface_dofs, mortar_glue, mortar_projection_1d,
                      mortar_saddle)
+from .refine import refine_uniform
 
 __all__ = [
     "CellTopology", "LINE2", "TRI3", "QUAD4", "TET4", "HEX8",
@@ -37,5 +38,5 @@ __all__ = [
     "stiffness_matrix", "mass_matrix", "load_vector", "poisson_dirichlet",
     "Evaluator", "FieldManager", "PhysicsBlock",
     "mortar_projection_1d", "mortar_glue", "mortar_saddle",
-    "interface_dofs",
+    "interface_dofs", "refine_uniform",
 ]

@@ -12,9 +12,10 @@ Time series follow the Exodus convention of one results set per step:
 ``write_vtk_series`` emits ``name_0000.vtk, name_0001.vtk, …`` plus a
 ParaView ``.series`` JSON index.
 
-The fem cell topologies (fem/cells.py) already use VTK's vertex
-orderings (CCW quad/hex bottom-then-top), so connectivity passes
-through unchanged.
+The fem tensor cells (quad4/hex8) use LEXICOGRAPHIC vertex order (the
+1-D-product geometry basis); VTK wants CCW bottom-then-top. The writer
+permutes connectivity to VTK order and the reader permutes it back, so
+files are ParaView-valid and the round trip returns fem order.
 """
 
 from __future__ import annotations
@@ -32,6 +33,19 @@ _VTK_CELL_TYPE = {
     "hex8": 12,    # VTK_HEXAHEDRON
 }
 _CELL_NAME_BY_TYPE = {v: k for k, v in _VTK_CELL_TYPE.items()}
+
+# fem lexicographic -> VTK CCW vertex permutation per topology
+_TO_VTK_ORDER = {
+    "quad4": np.array([0, 2, 3, 1]),
+    "hex8": np.array([0, 4, 6, 2, 1, 5, 7, 3]),
+}
+
+
+def _perm(topo_name, inverse=False):
+    p = _TO_VTK_ORDER.get(topo_name)
+    if p is None:
+        return None
+    return np.argsort(p) if inverse else p
 
 
 def _pad3(coords):
@@ -76,6 +90,9 @@ def write_vtk(path, mesh, point_data=None, cell_data=None,
     ctype = _VTK_CELL_TYPE[topo_name]
     coords3 = _pad3(coords)
     connect = np.asarray(connect, dtype=np.int64)
+    p = _perm(topo_name)
+    if p is not None:
+        connect = connect[:, p]
     ne, nv = connect.shape
 
     with open(path, "w") as f:
@@ -154,6 +171,9 @@ def read_vtk(path):
     take(2)
     ctype = int(take(ne)[0])
     topo_name = _CELL_NAME_BY_TYPE[ctype]
+    pinv = _perm(topo_name, inverse=True)
+    if pinv is not None:
+        connect = connect[:, pinv]
 
     def read_fields(n):
         out = {}

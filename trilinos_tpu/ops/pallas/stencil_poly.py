@@ -120,11 +120,17 @@ def _make_reader(ring, slots: int, center, br: int):
 
 
 def _stage_strip(op: StencilOp, q, p_rows, plane_idx, planes_ref, br, t,
-                 coeffs_j, read_prev, read_prev2, read_x, write_chunk):
+                 coeffs_j, read_prev, read_prev2, read_x, write_chunk,
+                 z_lo, z_hi):
     """Compute one br-row strip of stage j (strip index t, traced):
     alpha*(A u_prev) + beta*u_prev + gamma*u_prev2 + zeta*x, with the
     plane-mask boundary treatment and identity passthrough on padding
-    planes (pad rows propagate u_prev unchanged)."""
+    planes (pad rows propagate u_prev unchanged).
+
+    z_lo/z_hi: traced valid-plane bounds for the z masks. For a global
+    operator they are (0, nz); a distributed z-slab shard narrows them
+    so beyond-global-boundary ghost planes stay masked at EVERY stage
+    while interior shard cuts read real halo data."""
     alpha, beta, gamma, zeta = coeffs_j
     nx, ny, nz = op.dims
     nz_total = op.n_rows // (nx * ny)
@@ -156,10 +162,12 @@ def _stage_strip(op: StencilOp, q, p_rows, plane_idx, planes_ref, br, t,
                     pslab = planes_ref[plane_idx[tt], pl.ds(poff, q)]
                     term = pslab * sf
                     if dz:
-                        zok = jnp.logical_and(iz + dz >= 0, iz + dz < nz)
+                        zok = jnp.logical_and(iz + dz >= z_lo,
+                                              iz + dz < z_hi)
                         term = jnp.where(zok, term, 0.0)
                 elif dz:
-                    zok = jnp.logical_and(iz + dz >= 0, iz + dz < nz)
+                    zok = jnp.logical_and(iz + dz >= z_lo,
+                                          iz + dz < z_hi)
                     cz = jnp.where(zok, jnp.float32(c), jnp.float32(0.0))
                     term = cz * sf
                 else:
@@ -180,8 +188,12 @@ def _stage_strip(op: StencilOp, q, p_rows, plane_idx, planes_ref, br, t,
 
 
 def _poly_kernel(op: StencilOp, br, q, u, r, stages, p_rows, plane_idx,
-                 planes_ref, x_hbm, y_ref, *scratch):
+                 static_zb, zb_ref, planes_ref, x_hbm, y_ref, *scratch):
     s = len(stages)
+    if static_zb is not None:     # compile-time bounds (global apply)
+        z_lo, z_hi = static_zb
+    else:                         # per-shard traced bounds (slab path)
+        z_lo, z_hi = zb_ref[0], zb_ref[1]
     x_ring, sems = scratch[0], scratch[-1]
     stage_rings = scratch[1:-1]              # s-1 rings (stage s -> y)
     s0 = max(s, 2) * u + 2
@@ -247,16 +259,23 @@ def _poly_kernel(op: StencilOp, br, q, u, r, stages, p_rows, plane_idx,
               read_x=read_x, write_chunk=write_chunk):
             _stage_strip(op, q, p_rows, plane_idx, planes_ref, br, t,
                          stages[j - 1], read_prev, read_prev2, read_x,
-                         write_chunk)
+                         write_chunk, z_lo, z_hi)
 
 
 def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       z_bounds=None) -> jax.Array:
     """Evaluate the recurrence chain on the stencil operator.
 
     stages: sequence of (alpha, beta, gamma, zeta) per stage j=1..s
     (floats, baked into the kernel). Returns u_s with u_0 = x.
-    gamma_1 must be 0 (there is no u_{-1})."""
+    gamma_1 must be 0 (there is no u_{-1}).
+
+    z_bounds: optional traced (2,) int32 valid-z-plane range
+    [z_lo, z_hi) for the boundary masks (default (0, nz)); used by the
+    distributed z-slab path, where a shard's extended slab includes
+    ghost planes that are real interior data (no masking at the cut)
+    or beyond the global boundary (masked at every stage)."""
     stages = tuple((float(a), float(bt), float(g), float(z))
                    for a, bt, g, z in stages)
     if stages and stages[0][2] != 0.0:
@@ -277,6 +296,10 @@ def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
     sj = 2 * u + 2
     warm = s * u
 
+    static_zb = (0, op.dims[2]) if z_bounds is None else None
+    z_bounds = jnp.asarray([0, op.dims[2]] if z_bounds is None
+                           else z_bounds, jnp.int32)
+
     scratch = [pltpu.VMEM((s0, br, LANES), jnp.float32)]
     scratch += [pltpu.VMEM((sj, br, LANES), jnp.float32)
                 for _ in range(s - 1)]
@@ -284,10 +307,11 @@ def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_poly_kernel, op, br, q, u, r, stages, p_rows,
-                          plane_idx),
+                          plane_idx, static_zb),
         out_shape=jax.ShapeDtypeStruct((r, LANES), x2.dtype),
         grid=(nb + warm,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(planes.shape, lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -303,7 +327,7 @@ def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
             bytes_accessed=2 * n * 4,
             transcendentals=0,
         ),
-    )(planes, x2)
+    )(z_bounds, planes, x2)
     return out.reshape(n)
 
 
@@ -344,17 +368,43 @@ def richardson_stages(omega: float, s: int, dinv: float):
     return tuple(stages)
 
 
-def stencil_poly_xla(op: StencilOp, stages, x: jax.Array) -> jax.Array:
+def _spmv_xla_zb(op: StencilOp, x, z_lo, z_hi):
+    """stencil_spmv_xla with traced valid-z-plane bounds."""
+    n, npad = op.n_rows, op.n_rows_pad
+    nx, ny, nz = op.dims
+    gid = jnp.arange(npad)
+    ix = gid % nx
+    iy = (gid // nx) % ny
+    iz = gid // (nx * ny)
+    y = jnp.zeros_like(x)
+    for off3, c in zip(op.offsets, op.coeffs):
+        o = op.lin_offset(off3)
+        dx, dy, dz = off3
+        valid = gid < n
+        valid &= (ix + dx >= 0) & (ix + dx < nx)
+        valid &= (iy + dy >= 0) & (iy + dy < ny)
+        valid &= (iz + dz >= z_lo) & (iz + dz < z_hi)
+        shifted = jnp.roll(x, -o, axis=0) if o else x
+        y = y + jnp.where(valid, c * shifted, 0)
+    return y
+
+
+def stencil_poly_xla(op: StencilOp, stages, x: jax.Array,
+                     z_bounds=None) -> jax.Array:
     """Reference implementation (any backend, any dtype). Padding rows
     propagate u_{j-1} unchanged, matching the kernel's identity
     convention."""
+    if z_bounds is None:
+        z_lo, z_hi = 0, op.dims[2]
+    else:
+        z_lo, z_hi = z_bounds[0], z_bounds[1]
     pad = jnp.arange(op.n_rows_pad) >= op.n_rows
     u_prev2 = jnp.zeros_like(x)
     u_prev = x
     for (a, bt, g, z) in stages:
         u = jnp.zeros_like(x)
         if a:
-            u = a * stencil_spmv_xla(op, u_prev)
+            u = a * _spmv_xla_zb(op, u_prev, z_lo, z_hi)
         if bt:
             u = u + bt * u_prev
         if g:

@@ -175,8 +175,13 @@ class DistStencil:
     depth: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
-def distribute_stencil(op, n_shards: int) -> DistStencil:
-    """Split a global StencilOp into a DistStencil over z-slabs."""
+def distribute_stencil(op, n_shards: int,
+                       depth: int | None = None) -> DistStencil:
+    """Split a global StencilOp into a DistStencil over z-slabs.
+
+    ``depth`` (in z-planes) defaults to the stencil's z-reach; the
+    communication-avoiding smoother path passes degree*reach so ONE
+    exchange feeds a whole fused polynomial sweep."""
     from ..ops.pallas.stencil_op import StencilOp
 
     nx, ny, nz = op.dims
@@ -193,8 +198,9 @@ def distribute_stencil(op, n_shards: int) -> DistStencil:
     n = op.n_rows
     rmap = Map.uniform(n, n_shards)
     assert rmap.n_local_pad == npl
-    depth = max((abs(o[2]) for o in op.offsets), default=0)
-    depth = max(depth, 1)
+    if depth is None:
+        depth = max((abs(o[2]) for o in op.offsets), default=0)
+        depth = max(depth, 1)
 
     ghosts_of = []
     for s in range(n_shards):

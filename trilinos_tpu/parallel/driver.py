@@ -204,6 +204,38 @@ class DistPrecond:
                 return x
 
             return cheb
+        if self.kind == "cheb_fused":
+            from ..ops.pallas.stencil_poly import (stencil_poly_apply,
+                                                   stencil_poly_xla)
+            from .distmatrix import exchange
+
+            stages, op_loc, npl, off = self.consts
+            axis, p_shards = comm.axis_name, comm.size
+            plan = local["plan"]
+            sel, valid, zb = local["sel"], local["valid"], local["zb"]
+            on_cpu = jax.default_backend() == "cpu"
+
+            def cheb_fused(r):
+                # ONE depth-s exchange feeds the whole fused sweep (the
+                # communication-avoiding smoother: s-deep ghosts once
+                # instead of 1-deep ghosts s times)
+                if r.ndim != 1:
+                    raise NotImplementedError(
+                        "cheb_fused: single-vector apply only")
+                ghosts = exchange(r, plan, axis, p_shards)
+                allv = jnp.concatenate([r, ghosts.astype(r.dtype)])
+                ext = jnp.where(
+                    valid, allv.at[sel].get(mode="promise_in_bounds"),
+                    0.0)
+                if on_cpu:
+                    y = stencil_poly_xla(op_loc, stages, ext,
+                                         z_bounds=zb)
+                else:
+                    y = stencil_poly_apply(op_loc, stages, ext,
+                                           z_bounds=zb)
+                return jax.lax.dynamic_slice(y, (off,), (npl,))
+
+            return cheb_fused
         raise ValueError(f"unknown DistPrecond kind {self.kind!r}")
 
 
@@ -229,6 +261,64 @@ def dist_chebyshev(a: CsrHost, rmap: Map, lmax: float, lmin: float | None = None
     lmin = lmin if lmin is not None else lmax / ratio
     return DistPrecond(arrays=base.arrays, kind="chebyshev",
                        consts=(float(lmax), float(lmin), int(degree)))
+
+
+def dist_cheb_fused(op, n_shards: int, degree: int = 4,
+                    lmax: float | None = None,
+                    lmin: float | None = None, ratio: float = 30.0,
+                    boost: float = 1.1,
+                    eig_iters: int = 10) -> DistPrecond:
+    """Communication-avoiding fused Chebyshev smoother for a global
+    matrix-free StencilOp distributed over z-slabs: ONE depth-
+    (degree*reach) ghost exchange feeds the whole degree-d polynomial
+    sweep through the fused Pallas kernel (ops/pallas/stencil_poly.py)
+    — d-1 fewer exchanges per apply AND one HBM pass instead of d.
+    The per-shard z-bounds keep beyond-global-boundary ghost planes
+    masked at every stage while interior shard cuts read real halo
+    data (validated against the global fused apply)."""
+    from ..ops.matvec import spmv
+    from ..ops.pallas.stencil_op import StencilOp
+    from ..ops.pallas.stencil_poly import chebyshev_stages
+    from .distmatrix import distribute_stencil
+
+    if not isinstance(op, StencilOp):
+        raise TypeError("dist_cheb_fused expects a global StencilOp")
+    center = [c for o3, c in zip(op.offsets, op.coeffs)
+              if o3 == (0, 0, 0)]
+    if not center or center[0] == 0.0:
+        raise ValueError("stencil has no (constant) diagonal term")
+    dinv = 1.0 / center[0]
+    if lmax is None:
+        v = jnp.asarray(np.random.default_rng(0).standard_normal(
+            op.n_rows_pad), dtype=jnp.float32)
+        v = v / jnp.linalg.norm(v)
+        lam = 1.0
+        for _ in range(eig_iters):
+            w = dinv * spmv(op, v)
+            lam = float(jnp.linalg.norm(w))
+            v = w / max(lam, 1e-30)
+        lmax = lam * boost
+    if lmin is None:
+        lmin = lmax / ratio
+    stages = chebyshev_stages(float(lmax), float(lmin), degree, dinv)
+
+    z_reach = max(max((abs(o[2]) for o in op.offsets), default=0), 1)
+    depth = degree * z_reach
+    ds = distribute_stencil(op, n_shards, depth=depth)
+    nx, ny, nz = op.dims
+    pxy = nx * ny
+    nzl = nz // n_shards
+    nz_ext = nzl + 2 * depth
+    zb = np.stack([
+        [max(0, depth - s * nzl),
+         min(nz_ext, nz - s * nzl + depth)]
+        for s in range(n_shards)]).astype(np.int32)
+    return DistPrecond(
+        arrays={"plan": ds.plan, "sel": ds.sel, "valid": ds.valid,
+                "zb": jnp.asarray(zb)},
+        kind="cheb_fused",
+        consts=(stages, ds.op_local, ds.row_map.n_local_pad,
+                depth * pxy))
 
 
 def dist_ilu0(a: CsrHost, rmap: Map, sweeps: int = 6,
