@@ -148,6 +148,51 @@ def md_map_apply(mdmap: MDMap, mesh: Mesh, local_fn):
     return run
 
 
+def md_solve(solver, mdmap: MDMap, mesh: Mesh, local_fn, b,
+             **solver_kw):
+    """Run any Krylov driver from ``trilinos_tpu.solvers`` on a field
+    sharded over the N-D process grid: the operator is
+    ``local_fn(halo_padded_block) -> block`` (a stencil valid-region
+    apply), reductions are one psum over ALL mesh axes (lax.psum takes
+    the axis-name tuple), and the whole solve is ONE jitted shard_map
+    program — the N-dimensional generalization of the 1-D row-sharded
+    ``driver.dist_solve``. Returns a SolveResult whose ``x`` is the
+    global (mdmap.global_shape) array."""
+    import dataclasses as _dc
+    import functools as _ft
+
+    from .comm import AxisComm
+
+    spec = mdmap.spec()
+    axes = tuple(mesh.axis_names)
+    n_total = int(np.prod([mesh.shape[a] for a in axes]))
+    b_sh = mdmap.distribute(b, mesh)
+    scal = PartitionSpec()
+
+    @jax.jit
+    @_ft.partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                 out_specs=_result_specs(spec, scal))
+    def run(b_loc):
+        comm = AxisComm(axes, n_total)
+        shape = b_loc.shape
+
+        def op(v):
+            return local_fn(halo_pad(v.reshape(shape), mdmap,
+                                     mesh)).reshape(-1)
+
+        res = solver(op, b_loc.reshape(-1), comm=comm, **solver_kw)
+        return _dc.replace(res, x=res.x.reshape(shape))
+
+    return run(b_sh)
+
+
+def _result_specs(vec_spec, scal_spec):
+    from ..solvers.base import SolveResult
+
+    return SolveResult(x=vec_spec, iters=scal_spec, resnorm=scal_spec,
+                       converged=scal_spec)
+
+
 def md_dot(mesh: Mesh):
     """Global dot over MD-distributed fields (inside shard_map use
     lax.psum; at the jit level jnp.vdot on sharded arrays already
