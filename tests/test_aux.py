@@ -401,6 +401,45 @@ class TestBlock2x2:
         # exact block-LU preconditioner: converges in O(1) iterations
         assert int(res.iters) <= 5
 
+    def test_lsc_schur(self, rng):
+        """Teko NS LSC: exact for F = c I (S = -c^-1 B B^T), and an
+        effective preconditioner for a Stokes-like saddle system."""
+        from trilinos_tpu.precond import (BlockedOperator2x2,
+                                          lsc_inv_schur,
+                                          simple_schur_2x2)
+        from trilinos_tpu.solvers import gmres
+
+        n0, n1, c = 40, 12, 3.0
+        bmat = rng.standard_normal((n1, n0))
+        f = c * np.eye(n0)
+        dense = np.zeros((n0 + n1, n0 + n1))
+        dense[:n0, :n0] = f
+        dense[:n0, n0:] = bmat.T
+        dense[n0:, :n0] = bmat
+        bj = jnp.asarray(bmat)
+        blk = BlockedOperator2x2(
+            a00=lambda v: c * v, a01=lambda v: bj.T @ v,
+            a10=lambda v: bj @ v, a11=lambda v: 0.0 * v, split=n0)
+        bbt_inv = jnp.asarray(np.linalg.inv(bmat @ bmat.T))
+        inv_s = lsc_inv_schur(lambda v: bbt_inv @ v,
+                              lambda v: bj @ v, lambda v: c * v,
+                              lambda v: bj.T @ v)
+        # exactness: S = -c^-1 B B^T, LSC gives exactly S^-1
+        r1 = np.asarray(rng.standard_normal(n1))
+        got = np.asarray(inv_s(jnp.asarray(r1)))
+        want = np.linalg.solve(-(1 / c) * bmat @ bmat.T, r1)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+        # end-to-end: block-LU with the LSC Schur solves in O(1) iters
+        prec = simple_schur_2x2(lambda v: v / c, blk.a01, blk.a10,
+                                inv_s, n0)
+        b = jnp.asarray(rng.standard_normal(n0 + n1))
+        res = gmres(blk, b, prec=prec, restart=40, rtol=1e-10,
+                    maxiter=100)
+        x = np.asarray(res.x)
+        assert (np.linalg.norm(np.asarray(b) - dense @ x)
+                <= 1e-8 * np.linalg.norm(np.asarray(b)))
+        assert int(res.iters) <= 5
+
 
 class TestConformanceHarness:
     """MVOPTester-analogue harness (BelosMVOPTester.hpp:86,1454)."""

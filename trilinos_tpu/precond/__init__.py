@@ -1,7 +1,8 @@
 from .amg import SaAmg
 from .base import Preconditioner, create
 from .block_2x2 import (BlockedOperator2x2, block_diagonal_prec,
-                        block_lower_triangular_prec, simple_schur_2x2)
+                        block_lower_triangular_prec, lsc_inv_schur,
+                        simple_schur_2x2)
 from .chebyshev import Chebyshev, fused_stencil_chebyshev
 from .ilu import Ilu0, ilu0_factor
 from .ilut import Ilut, ilut_factor
@@ -30,4 +31,5 @@ __all__ = [
     "block_diagonal_prec",
     "block_lower_triangular_prec",
     "simple_schur_2x2",
+    "lsc_inv_schur",
 ]

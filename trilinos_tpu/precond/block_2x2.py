@@ -79,6 +79,29 @@ def simple_schur_2x2(inv00: Op, a01: Op, a10: Op, inv_schur: Op,
     return apply
 
 
+def lsc_inv_schur(inv_bqbt: Op, b: Op, f: Op, bt: Op,
+                  qinv: Op | None = None) -> Op:
+    """Teko NS least-squares-commutator Schur inverse
+    (teko/src/NS/Teko_LSCPreconditionerFactory.hpp / Elman et al.):
+    for the saddle operator [[F, B^T], [B, 0]] with S = -B F^-1 B^T,
+
+        S^-1 ~= -(B Q^-1 B^T)^-1 (B Q^-1 F Q^-1 B^T) (B Q^-1 B^T)^-1
+
+    ``inv_bqbt`` is a solver for the pressure Poisson-like operator
+    B Q^-1 B^T (any framework solver/preconditioner — AMG is the usual
+    choice), ``qinv`` the (diagonal/lumped) velocity mass inverse
+    (identity if None). Exact when F commutes with the projection
+    (e.g. F = c I); plug the result into ``simple_schur_2x2``."""
+    qi = qinv or (lambda v: v)
+
+    def inv_schur(r):
+        y = inv_bqbt(r)
+        y = b(qi(f(qi(bt(y)))))
+        return -inv_bqbt(y)
+
+    return inv_schur
+
+
 def diag_schur_approx(a11_diag_inv: jax.Array, a10: Op, a01: Op,
                       a00_diag_inv: jax.Array):
     """Cheap Ŝ⁻¹ builder: Ŝ = diag(A11) − A10 diag(A00)⁻¹ A01 applied via
