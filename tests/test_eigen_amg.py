@@ -163,3 +163,54 @@ class TestAmgWcycle:
         rv = b[:n] - a.to_dense() @ np.asarray(v(jnp.asarray(b)))[:n]
         rw = b[:n] - a.to_dense() @ np.asarray(w(jnp.asarray(b)))[:n]
         assert np.linalg.norm(rw) <= np.linalg.norm(rv) * 1.05
+
+
+class TestMatrixFreeFineAmg:
+    """SA-AMG with a matrix-free stencil fine level (+ fused Chebyshev
+    smoothing): the dominant level-0 cost runs on the framework's
+    fastest operator."""
+
+    def _setup(self, smoother):
+        from trilinos_tpu.galeri import laplace2d
+
+        a = laplace2d(24, 24)
+        op = laplace2d(24, 24, fmt="stencil")
+        m = precond.SaAmg(a, {
+            "fine: matrix-free operator": op,
+            "smoother: type": smoother,
+        }).compute()
+        return a, op, m
+
+    def test_matches_stored_amg_jacobi(self):
+        """Same hierarchy, jacobi smoothing: the matrix-free fine level
+        reproduces the stored-matrix V-cycle."""
+        a, op, m_free = self._setup("jacobi")
+        m_stored = precond.SaAmg(a).compute()
+        n = a.shape[0]
+        rng = np.random.default_rng(6)
+        b = np.zeros(op.n_rows_pad)
+        b[:n] = rng.standard_normal(n)
+        y_free = np.asarray(m_free(jnp.asarray(b)))[:n]
+        b2 = np.zeros(m_stored.levels[0]["n_f"])
+        b2[:n] = b[:n]
+        y_stored = np.asarray(m_stored(jnp.asarray(b2)))[:n]
+        np.testing.assert_allclose(y_free, y_stored, rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_chebyshev_fine_smoother_cg(self):
+        """Fused-Chebyshev fine smoothing: CG converges at AMG speed."""
+        a, op, m = self._setup("chebyshev")
+        n = a.shape[0]
+        rng = np.random.default_rng(7)
+        b = np.zeros(op.n_rows_pad)
+        b[:n] = rng.standard_normal(n)
+        amgd = cg(lambda v: S.spmv(op, v, impl="xla"), jnp.asarray(b),
+                  prec=m, rtol=1e-8, maxiter=300)
+        assert bool(amgd.converged)
+        x = np.asarray(amgd.x)[:n]
+        rel = (np.linalg.norm(b[:n] - a.to_dense() @ x)
+               / np.linalg.norm(b[:n]))
+        assert rel <= 1.1e-8
+        plain = cg(lambda v: S.spmv(op, v, impl="xla"), jnp.asarray(b),
+                   rtol=1e-8, maxiter=3000)
+        assert int(amgd.iters) < 0.4 * int(plain.iters)

@@ -40,7 +40,11 @@ _SPECS = {
     "sa: damping factor": Param("sa: damping factor", 4.0 / 3.0),
     "smoother: sweeps": Param("smoother: sweeps", 2),
     "smoother: damping factor": Param("smoother: damping factor", 0.8),
+    "smoother: type": Param("smoother: type", "jacobi",
+                            choices=("jacobi", "chebyshev")),
     "cycle type": Param("cycle type", "V", choices=("V", "W")),
+    "fine: matrix-free operator": Param("fine: matrix-free operator",
+                                        None),
     "dtype": Param("dtype", None),
 }
 
@@ -144,14 +148,29 @@ class SaAmg(Preconditioner):
             self.a, int(p["max levels"]), int(p["coarse: max size"]),
             int(p["aggregation: min agg size"]),
             float(p["sa: damping factor"]))
-        for a_l, p_s in host_levels:
+        # matrix-free fine level: the framework's fastest operator (and
+        # the fused-polynomial Chebyshev smoother) carries the dominant
+        # level-0 cost; coarser levels stay stored (they are built by
+        # Galerkin products anyway). The stored fine matrix self.a is
+        # still used for aggregation/PtAP setup.
+        self.fine_op = p["fine: matrix-free operator"]
+        if self.fine_op is not None \
+                and self.fine_op.shape != self.a.shape:
+            raise ValueError("fine operator shape != matrix shape")
+        self._fine_cheb = None
+        for k, (a_l, p_s) in enumerate(host_levels):
             d = a_l.diagonal()
-            npad = round_up(a_l.shape[0], ROW_ALIGN)
+            if k == 0 and self.fine_op is not None:
+                npad = self.fine_op.n_rows_pad
+                a_dev = self.fine_op
+            else:
+                npad = round_up(a_l.shape[0], ROW_ALIGN)
+                a_dev = choose_format(a_l, dtype=dtype)
             dinv = np.ones(npad)
             dinv[: a_l.shape[0]] = 1.0 / np.where(d != 0, d, 1.0)
             np_c = round_up(p_s.shape[1], ROW_ALIGN)
             self.levels.append(dict(
-                a=choose_format(a_l, dtype=dtype),
+                a=a_dev,
                 dinv=jnp.asarray(dinv, dtype=dtype),
                 # P: (n_f, n_c) rectangular — ELL without identity padding
                 p=_pack_rect(p_s, dtype, npad, np_c),
@@ -169,6 +188,14 @@ class SaAmg(Preconditioner):
         self.sweeps = int(p["smoother: sweeps"])
         self.omega = float(p["smoother: damping factor"])
         self.gamma = 2 if p["cycle type"] == "W" else 1
+        if (p["smoother: type"] == "chebyshev"
+                and self.fine_op is not None):
+            from .chebyshev import fused_stencil_chebyshev
+
+            # degree = sweeps+1 Chebyshev apply at ~one SpMV's traffic
+            # (ops/pallas/stencil_poly.py)
+            self._fine_cheb = fused_stencil_chebyshev(
+                self.fine_op, degree=self.sweeps + 1)
 
     def n_levels(self) -> int:
         return len(self.levels) + 1
@@ -179,11 +206,21 @@ class SaAmg(Preconditioner):
             x = x + self.omega * dinv * (b - spmv(lvl["a"], x))
         return x
 
+    def _presmooth(self, k, lvl, b):
+        if k == 0 and self._fine_cheb is not None:
+            return self._fine_cheb(b)          # zero guess: x = p(A) b
+        return self._smooth(lvl, jnp.zeros_like(b), b)
+
+    def _postsmooth(self, k, lvl, x, b):
+        if k == 0 and self._fine_cheb is not None:
+            return x + self._fine_cheb(b - spmv(lvl["a"], x))
+        return self._smooth(lvl, x, b)
+
     def _vcycle(self, k: int, b: jax.Array) -> jax.Array:
         if k == len(self.levels):
             return self.coarse_inv @ b
         lvl = self.levels[k]
-        x = self._smooth(lvl, jnp.zeros_like(b), b)
+        x = self._presmooth(k, lvl, b)
         # gamma=1: V-cycle; gamma=2: W-cycle (MueLu Hierarchy::Iterate
         # cycle-type option, MueLu_Hierarchy_def.hpp:1081)
         for cyc in range(self.gamma):
@@ -191,7 +228,7 @@ class SaAmg(Preconditioner):
             r_c = spmv(lvl["pt"], r)
             e_c = self._vcycle(k + 1, r_c)
             x = x + spmv(lvl["p"], e_c)
-        return self._smooth(lvl, x, b)
+        return self._postsmooth(k, lvl, x, b)
 
     def _apply(self, r: jax.Array) -> jax.Array:
         return self._vcycle(0, r)
