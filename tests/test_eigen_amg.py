@@ -214,3 +214,10 @@ class TestMatrixFreeFineAmg:
         plain = cg(lambda v: S.spmv(op, v, impl="xla"), jnp.asarray(b),
                    rtol=1e-8, maxiter=3000)
         assert int(amgd.iters) < 0.4 * int(plain.iters)
+
+    def test_chebyshev_without_fine_op_rejected(self):
+        from trilinos_tpu.galeri import laplace2d
+
+        with np.testing.assert_raises(ValueError):
+            precond.SaAmg(laplace2d(8, 8),
+                          {"smoother: type": "chebyshev"}).compute()

@@ -150,3 +150,25 @@ def test_jit_grad_compose():
     # at F = I the stress is zero
     p0 = jax.grad(energy)(jnp.eye(3)[None])
     assert np.max(np.abs(np.asarray(p0))) < 1e-5
+
+
+def test_log_rotation_near_pi():
+    """Angle-pi rotations: skew(R) ~ 0, the axis must come from the
+    symmetric part (MiniTensor log_rotation_pi)."""
+    # exact pi rotations about each axis and a skew axis
+    axes = [np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
+            np.array([0, 0, 1.0]),
+            np.array([1.0, 2.0, -0.5]) / np.linalg.norm([1, 2, -0.5])]
+    for ax in axes:
+        for th in (np.pi, np.pi - 1e-6):
+            k = np.array([[0, -ax[2], ax[1]],
+                          [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            r = (np.eye(3) + np.sin(th) * k
+                 + (1 - np.cos(th)) * (k @ k))
+            rj = jnp.asarray(r, jnp.float32)[None]
+            back = np.asarray(mt.exp_skew_symmetric(mt.log_rotation(rj)))
+            assert np.allclose(back[0], r, atol=5e-4), (ax, th)
+    # identity stays zero
+    lg = np.asarray(mt.log_rotation(jnp.eye(3)[None]))
+    assert np.max(np.abs(lg)) < 1e-6

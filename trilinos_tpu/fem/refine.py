@@ -81,21 +81,19 @@ def _refine_once(mesh: Mesh) -> Mesh:
         kids = [np.stack(t, 1) for t in [
             (v0, m01, m02), (m01, v1, m12), (m02, m12, v2),
             (m01, m12, m02)]]
-        new = np.concatenate(kids)
-        return Mesh(mesh.topo, np.vstack([coords, epts]),
-                    _fix_orientation(np.vstack([coords, epts]), new, 2))
+        pts = np.vstack([coords, epts])
+        return Mesh(mesh.topo, pts,
+                    _fix_orientation(pts, np.concatenate(kids), 2))
 
     if name == "quad4":
         eid, epts = _midpoints(coords, conn, _QUAD_EDGES)
         cid, cpts = _midpoints(coords, conn, [(0, 1, 2, 3)])
         e = eid + n0
         c = cid[:, 0] + n0 + epts.shape[0]
-        # lexicographic corners: v00, v01, v10, v11
+        # lexicographic corners: v00, v01, v10, v11; edge tuples were
+        # [(0,1),(0,2),(1,3),(2,3)]: (v00,v01)=x0 edge, (v00,v10)=y0
+        # edge, (v01,v11)=y1 edge, (v10,v11)=x1 edge
         v00, v01, v10, v11 = conn.T
-        e_b, e_l, e_r, e_t = e.T  # (0,1)=left? tuples: (0,1)->x0 edge
-        # tuples were [(0,1),(0,2),(1,3),(2,3)] on lexicographic ids:
-        # (v00,v01)=x0 edge (left in y), (v00,v10)=y0 edge (bottom in x),
-        # (v01,v11)=top, (v10,v11)=right
         m_x0, m_y0, m_y1, m_x1 = e.T
         kids = [np.stack(t, 1) for t in [
             (v00, m_x0, m_y0, c), (m_x0, v01, c, m_y1),

@@ -281,13 +281,44 @@ def polar_left_logV(f):
 
 
 def log_rotation(r):
-    """Skew log of a rotation (angle-axis; MiniTensor:264)."""
+    """Skew log of a rotation (angle-axis; MiniTensor:264 +
+    log_rotation_pi :274 for angles near pi, where skew(R) ~ 0 and the
+    axis must come from the symmetric part instead)."""
     cos_th = jnp.clip(0.5 * (trace(r) - 1.0), -1.0, 1.0)
     th = jnp.arccos(cos_th)
     sk = skew(r)
-    safe = jnp.where(jnp.abs(jnp.sin(th)) > 1e-7, jnp.sin(th), 1.0)
-    scale = jnp.where(jnp.abs(jnp.sin(th)) > 1e-7, th / safe, 1.0)
-    return scale[..., None, None] * sk
+    sin_ok = jnp.abs(jnp.sin(th)) > 1e-4
+    safe = jnp.where(sin_ok, jnp.sin(th), 1.0)
+    # theta ~ 0: th/sin(th) -> 1, generic form stays correct
+    scale = jnp.where(sin_ok, th / safe, 1.0)
+    generic = scale[..., None, None] * sk
+    if r.shape[-1] != 3:
+        return generic
+    pi_case = jnp.logical_and(~sin_ok, cos_th < 0.0)
+    # near pi: axis^2 from diag((R + I)/2); signs fixed so that
+    # sign(v_i v_j) matches the off-diagonal symmetric part, anchored
+    # on the largest component (branch-free batched form)
+    b = 0.5 * (r + jnp.eye(3, dtype=r.dtype))
+    v2 = jnp.clip(jnp.diagonal(b, axis1=-2, axis2=-1), 0.0, None)
+    k = jnp.argmax(v2, axis=-1)
+    vmag = jnp.sqrt(v2)
+    # row k of the symmetric part gives v_k * v_j -> sign of v_j
+    bsym = 0.5 * (b + transpose(b))
+    k_idx = jnp.broadcast_to(k[..., None, None], k.shape + (1, 3))
+    bk = jnp.take_along_axis(bsym, k_idx, axis=-2)[..., 0, :]
+    sign = jnp.where(bk < 0, -1.0, 1.0)
+    # anchor component positive
+    anchor = jnp.take_along_axis(sign, k[..., None], axis=-1)
+    v = sign * anchor * vmag
+    v = v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    w = th[..., None] * v
+    z = jnp.zeros_like(w[..., 0])
+    pi_log = jnp.stack([
+        jnp.stack([z, -w[..., 2], w[..., 1]], axis=-1),
+        jnp.stack([w[..., 2], z, -w[..., 0]], axis=-1),
+        jnp.stack([-w[..., 1], w[..., 0], z], axis=-1)], axis=-2)
+    return jnp.where(pi_case[..., None, None], pi_log, generic)
 
 
 def cond(a):

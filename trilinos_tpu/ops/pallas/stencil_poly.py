@@ -353,6 +353,38 @@ def chebyshev_stages(lmax: float, lmin: float, degree: int,
     return tuple(stages)
 
 
+def stencil_chebyshev_setup(op: StencilOp, degree: int,
+                            lmax: float | None = None,
+                            lmin: float | None = None,
+                            ratio: float = 30.0, boost: float = 1.1,
+                            eig_iters: int = 10):
+    """Shared setup for the fused Chebyshev paths (single-chip
+    preconditioner and the distributed CA smoother): validates the
+    constant diagonal, estimates lmax of D^-1 A by a power method
+    (the Chebyshev class's default + boost), applies the lmin ratio,
+    and returns the stage coefficients."""
+    from ...ops.matvec import spmv
+
+    center = [c for o3, c in zip(op.offsets, op.coeffs)
+              if o3 == (0, 0, 0)]
+    if not center or center[0] == 0.0:
+        raise ValueError("stencil has no (constant) diagonal term")
+    dinv = 1.0 / center[0]
+    if lmax is None:
+        v = jnp.asarray(np.random.default_rng(0).standard_normal(
+            op.n_rows_pad), dtype=jnp.float32)
+        v = v / jnp.linalg.norm(v)
+        lam = 1.0
+        for _ in range(eig_iters):
+            w = dinv * spmv(op, v)
+            lam = float(jnp.linalg.norm(w))
+            v = w / max(lam, 1e-30)
+        lmax = lam * boost
+    if lmin is None:
+        lmin = lmax / ratio
+    return chebyshev_stages(float(lmax), float(lmin), degree, dinv)
+
+
 def power_stages(s: int):
     """u_s = A^s x."""
     return tuple((1.0, 0.0, 0.0, 0.0) for _ in range(s))

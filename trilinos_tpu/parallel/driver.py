@@ -205,15 +205,21 @@ class DistPrecond:
 
             return cheb
         if self.kind == "cheb_fused":
-            from ..ops.pallas.stencil_poly import (stencil_poly_apply,
-                                                   stencil_poly_xla)
+            from ..ops.pallas.stencil_poly import (
+                stencil_poly_applicable, stencil_poly_apply,
+                stencil_poly_xla)
             from .distmatrix import exchange
 
             stages, op_loc, npl, off = self.consts
             axis, p_shards = comm.axis_name, comm.size
             plan = local["plan"]
             sel, valid, zb = local["sel"], local["valid"], local["zb"]
-            on_cpu = jax.default_backend() == "cpu"
+            # Pallas path only on the chip AND when the shard-local op
+            # admits a kernel plan (small planes / non-f32 fall back to
+            # the masked-roll XLA sweep — same math, one exchange)
+            use_kernel = (jax.default_backend() != "cpu"
+                          and stencil_poly_applicable(op_loc,
+                                                      len(stages)))
 
             def cheb_fused(r):
                 # ONE depth-s exchange feeds the whole fused sweep (the
@@ -227,12 +233,12 @@ class DistPrecond:
                 ext = jnp.where(
                     valid, allv.at[sel].get(mode="promise_in_bounds"),
                     0.0)
-                if on_cpu:
-                    y = stencil_poly_xla(op_loc, stages, ext,
-                                         z_bounds=zb)
-                else:
+                if use_kernel:
                     y = stencil_poly_apply(op_loc, stages, ext,
                                            z_bounds=zb)
+                else:
+                    y = stencil_poly_xla(op_loc, stages, ext,
+                                         z_bounds=zb)
                 return jax.lax.dynamic_slice(y, (off,), (npl,))
 
             return cheb_fused
@@ -276,31 +282,14 @@ def dist_cheb_fused(op, n_shards: int, degree: int = 4,
     The per-shard z-bounds keep beyond-global-boundary ghost planes
     masked at every stage while interior shard cuts read real halo
     data (validated against the global fused apply)."""
-    from ..ops.matvec import spmv
     from ..ops.pallas.stencil_op import StencilOp
-    from ..ops.pallas.stencil_poly import chebyshev_stages
+    from ..ops.pallas.stencil_poly import stencil_chebyshev_setup
     from .distmatrix import distribute_stencil
 
     if not isinstance(op, StencilOp):
         raise TypeError("dist_cheb_fused expects a global StencilOp")
-    center = [c for o3, c in zip(op.offsets, op.coeffs)
-              if o3 == (0, 0, 0)]
-    if not center or center[0] == 0.0:
-        raise ValueError("stencil has no (constant) diagonal term")
-    dinv = 1.0 / center[0]
-    if lmax is None:
-        v = jnp.asarray(np.random.default_rng(0).standard_normal(
-            op.n_rows_pad), dtype=jnp.float32)
-        v = v / jnp.linalg.norm(v)
-        lam = 1.0
-        for _ in range(eig_iters):
-            w = dinv * spmv(op, v)
-            lam = float(jnp.linalg.norm(w))
-            v = w / max(lam, 1e-30)
-        lmax = lam * boost
-    if lmin is None:
-        lmin = lmax / ratio
-    stages = chebyshev_stages(float(lmax), float(lmin), degree, dinv)
+    stages = stencil_chebyshev_setup(op, degree, lmax, lmin, ratio,
+                                     boost, eig_iters)
 
     z_reach = max(max((abs(o[2]) for o in op.offsets), default=0), 1)
     depth = degree * z_reach

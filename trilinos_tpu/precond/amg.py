@@ -224,8 +224,13 @@ class SaAmg(Preconditioner):
         self.sweeps = int(p["smoother: sweeps"])
         self.omega = float(p["smoother: damping factor"])
         self.gamma = 2 if p["cycle type"] == "W" else 1
-        if (p["smoother: type"] == "chebyshev"
-                and self.fine_op is not None):
+        if p["smoother: type"] == "chebyshev":
+            if self.fine_op is None:
+                raise ValueError(
+                    "smoother: type 'chebyshev' requires 'fine: "
+                    "matrix-free operator' (the fused polynomial "
+                    "smoother runs on the StencilOp); use the "
+                    "CHEBYSHEV preconditioner for stored matrices")
             from .chebyshev import fused_stencil_chebyshev
 
             # degree = sweeps+1 Chebyshev apply at ~one SpMV's traffic

@@ -114,31 +114,15 @@ def fused_stencil_chebyshev(op, degree: int, lmax: float | None = None,
     use as ``prec=`` in any solver. Falls back to the unfused XLA sweep
     when the kernel plan does not apply (small grids, non-f32)."""
     from ..ops.pallas.stencil_op import StencilOp
-    from ..ops.pallas.stencil_poly import (chebyshev_stages,
+    from ..ops.pallas.stencil_poly import (stencil_chebyshev_setup,
                                            stencil_poly_applicable,
                                            stencil_poly_apply,
                                            stencil_poly_xla)
 
     if not isinstance(op, StencilOp):
         raise TypeError("fused_stencil_chebyshev expects a StencilOp")
-    center = [c for o3, c in zip(op.offsets, op.coeffs)
-              if o3 == (0, 0, 0)]
-    if not center or center[0] == 0.0:
-        raise ValueError("stencil has no (constant) diagonal term")
-    dinv = 1.0 / center[0]
-    if lmax is None:
-        v = jnp.asarray(np.random.default_rng(0).standard_normal(
-            op.n_rows_pad), dtype=jnp.float32)
-        v = v / jnp.linalg.norm(v)
-        lam = 1.0
-        for _ in range(eig_iters):
-            w = dinv * spmv(op, v)
-            lam = float(jnp.linalg.norm(w))
-            v = w / max(lam, 1e-30)
-        lmax = lam * boost
-    if lmin is None:
-        lmin = lmax / ratio
-    stages = chebyshev_stages(float(lmax), float(lmin), degree, dinv)
+    stages = stencil_chebyshev_setup(op, degree, lmax, lmin, ratio,
+                                     boost, eig_iters)
     if stencil_poly_applicable(op, degree):
         # pallas TPU kernels need interpret mode on the CPU test mesh
         # (the tunneled chip reports backend "axon", not "tpu")
