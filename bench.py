@@ -181,7 +181,7 @@ def bench_cheb_fused(nx=256, ny=256, nz=256, degree=4, reps=150):
     return degree * op.nnz / dt, dt
 
 
-def bench_amg_pcg(nx=128, ny=128, nz=128, rtol=1e-5):
+def bench_amg_pcg(nx=64, ny=64, nz=64, rtol=1e-5):
     """End-to-end AMG-preconditioned CG time-to-solution on Laplace3D:
     matrix-free stencil fine level + fused-Chebyshev smoothing (the
     KokkosSparse_pcg.cpp / MueLu-preconditioned-solve analogue).
@@ -368,7 +368,7 @@ def main():
             "cg_iter_ms": round(cg_it_t * 1e3, 3),
             "cg_fused_iters_per_s": round(cgf_iters_s, 1),
             "cg_fused_iter_ms": round(cgf_it_t * 1e3, 3),
-            "amg_pcg_iters_128^3": amg_iters,
+            "amg_pcg_iters_64^3": amg_iters,
             "amg_pcg_solve_ms": round(amg_t * 1e3, 2),
             "perf_archive": statuses,
             "timing": "big-reps min-of-3 (reps 100-300), pallas triad, "
