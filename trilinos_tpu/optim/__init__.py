@@ -8,10 +8,12 @@ from .base import OptimizeResult
 from .bounds import projected_gradient
 from .lbfgs import lbfgs
 from .trust_region import trust_region_newton
+from .auglag import augmented_lagrangian
 
 __all__ = [
     "OptimizeResult",
     "trust_region_newton",
     "lbfgs",
     "projected_gradient",
+    "augmented_lagrangian",
 ]

@@ -35,12 +35,18 @@ class OptimizeResult:
 
 @functools.lru_cache(maxsize=64)
 def _obj_fns(obj):
-    """Jitted (value+grad, hessian-vector) pair per objective."""
+    """Jitted (value+grad, hessian-vector) pair per objective.
+
+    The objective may take extra jit-traced arguments after x
+    (``obj(x, *args)`` — e.g. the multiplier/penalty state of the
+    augmented Lagrangian), so one compile serves a whole family of
+    subproblems."""
     val_grad = jax.jit(jax.value_and_grad(obj))
 
     @jax.jit
-    def hvp(x, v):
-        return jax.jvp(jax.grad(obj), (x,), (v,))[1]
+    def hvp(x, v, *args):
+        return jax.jvp(lambda xx: jax.grad(obj)(xx, *args), (x,),
+                       (v,))[1]
 
     value = jax.jit(obj)
     return val_grad, hvp, value

@@ -38,7 +38,7 @@ def _tcg(obj, maxiter: int):
     _, hvp, _ = _obj_fns(obj)
 
     @jax.jit
-    def solve(x, g, delta, tol):
+    def solve(x, g, delta, tol, *args):
         n = g.shape[0]
 
         def boundary_tau(z, p, delta):
@@ -57,7 +57,7 @@ def _tcg(obj, maxiter: int):
 
         def body(c):
             z, r, p, rr, it, done, hit = c
-            hp = hvp(x, p)
+            hp = hvp(x, p, *args)
             kappa = jnp.vdot(p, hp)
 
             # negative curvature -> walk to the boundary along p
@@ -92,18 +92,22 @@ def _tcg(obj, maxiter: int):
                 jnp.asarray(False), jnp.asarray(False))
         z, r, p, rr, it, done, hit = jax.lax.while_loop(cond, body,
                                                         init)
-        pred = -(jnp.vdot(g, z) + 0.5 * jnp.vdot(z, hvp(x, z)))
+        pred = -(jnp.vdot(g, z) + 0.5 * jnp.vdot(z, hvp(x, z, *args)))
         return z, pred, hit, it
 
     return solve
 
 
-def trust_region_newton(obj, x0, *, gtol: float = 1e-6,
+def trust_region_newton(obj, x0, *, args: tuple = (),
+                        gtol: float = 1e-6,
                         maxiter: int = 100, delta0: float = 1.0,
                         delta_max: float = 1e8,
                         cg_maxiter: int = 250) -> OptimizeResult:
-    """Minimize a smooth ``obj(x) -> scalar`` by trust-region Newton-CG
-    (ROL "Trust Region" step with the "Truncated CG" subproblem solver).
+    """Minimize a smooth ``obj(x, *args) -> scalar`` by trust-region
+    Newton-CG (ROL "Trust Region" step with the "Truncated CG"
+    subproblem solver). ``args`` are extra jit-traced objective
+    arguments (one compile serves every outer iteration of e.g. the
+    augmented-Lagrangian loop).
 
     Inexact-Newton forcing: the CG tolerance is
     min(0.5, sqrt(gnorm)) * gnorm, giving superlinear convergence
@@ -112,7 +116,7 @@ def trust_region_newton(obj, x0, *, gtol: float = 1e-6,
     tcg = _tcg(obj, cg_maxiter)
 
     x = x0
-    fx, g = val_grad(x)
+    fx, g = val_grad(x, *args)
     fx = float(fx)
     gnorm = float(jnp.linalg.norm(g))
     delta = float(delta0)
@@ -121,10 +125,10 @@ def trust_region_newton(obj, x0, *, gtol: float = 1e-6,
     while gnorm > gtol and it < maxiter:
         tol = min(0.5, np.sqrt(gnorm)) * gnorm
         d, pred, hit, cg_it = tcg(x, g, jnp.asarray(delta, x.dtype),
-                                  jnp.asarray(tol, x.dtype))
+                                  jnp.asarray(tol, x.dtype), *args)
         inner += int(cg_it)
         pred = float(pred)
-        f_new = float(value(x + d))
+        f_new = float(value(x + d, *args))
         # noise-regularized ratio (Conn-Gould-Toint §17 practice): once
         # the model decrease sinks below the floating-point noise of f,
         # the raw ratio is rounding garbage and delta would collapse
@@ -138,7 +142,7 @@ def trust_region_newton(obj, x0, *, gtol: float = 1e-6,
             delta = min(_GAMMA2 * delta, delta_max)
         if rho > _ETA0 and f_new <= fx + noise:
             x = x + d
-            fx2, g = val_grad(x)
+            fx2, g = val_grad(x, *args)
             fx = float(fx2)
             gnorm = float(jnp.linalg.norm(g))
         it += 1
