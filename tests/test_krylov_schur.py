@@ -226,3 +226,37 @@ class TestRtr:
         dense_w = np.linalg.eigvalsh(a.to_dense())
         np.testing.assert_allclose(np.sort(res.eigenvalues),
                                    dense_w[:2], rtol=1e-6)
+
+
+class TestShiftInvert:
+    """Anasazi shift-and-invert mode: interior eigenvalues via a
+    matrix-free inner Krylov solve (eigen/spectral.py)."""
+
+    def test_interior_eigs_laplace2d(self):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from trilinos_tpu.eigen import eigs_near
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.ops import choose_format, spmv
+
+        nx = 12
+        a = laplace2d(nx, nx)
+        dev = choose_format(a)
+        n, npad = a.shape[0], dev.n_rows_pad
+        dense = a.to_dense()
+        lams = np.linalg.eigvalsh(dense)
+        sigma = 3.0  # interior of [~0.13, ~7.9]
+        v0 = np.zeros(npad)
+        v0[:n] = np.random.default_rng(0).standard_normal(n)
+        lam, vecs = eigs_near(lambda v: spmv(dev, v), sigma, 4,
+                              jnp.asarray(v0), m=60)
+        want = lams[np.argsort(np.abs(lams - sigma))[:4]]
+        got = np.sort(np.asarray(lam))
+        np.testing.assert_allclose(got, np.sort(want), atol=1e-7)
+        # residual check on the nearest pair
+        x = np.asarray(vecs[:, 0])[:n]
+        l0 = float(lam[0])
+        r = dense @ x - l0 * x
+        assert np.linalg.norm(r) < 1e-6 * max(abs(l0), 1.0)

@@ -5,7 +5,8 @@ from .davidson import block_davidson
 from .gen_davidson import generalized_davidson
 from .tracemin import tracemin
 from .rtr import rtr
+from .spectral import eigs_near, shift_invert
 
 __all__ = ["arnoldi", "lanczos_eigs", "EigenResult", "lobpcg",
            "power_method", "EigsResult", "block_krylov_schur",
-           "block_davidson", "generalized_davidson", "tracemin", "rtr"]
+           "block_davidson", "generalized_davidson", "tracemin", "rtr", "shift_invert", "eigs_near"]
