@@ -193,3 +193,54 @@ class TestMDSolve:
             - a.to_dense() @ x.reshape(-1, order="F")) \
             / np.linalg.norm(b)
         assert rel < 1e-11
+
+
+class TestMDPolyApply:
+    """CA fused polynomial sweep on the N-D process grid: one s-deep
+    exchange == s chained full-exchange applies."""
+
+    @pytest.mark.parametrize("periodic", [False, True])
+    def test_matches_chained_applies(self, periodic):
+        mesh = _mesh2d()
+        nx, ny, s = 16, 32, 3
+        stages = ((0.0, 0.0, 0.0, 0.25),
+                  (-0.2, 1.0, 0.0, 0.25),
+                  (-0.2, 1.05, -0.3, 0.2))  # chebyshev-like chain
+        md_deep = MDMap((nx, ny), ("x", "y"), halo=(s, s),
+                        periodic=(periodic, periodic))
+        md_one = MDMap((nx, ny), ("x", "y"), halo=(1, 1),
+                       periodic=(periodic, periodic))
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal((nx, ny))
+
+        from trilinos_tpu.parallel.mdarray import md_poly_apply
+
+        run = md_poly_apply(md_deep, mesh, _laplace5, stages)
+        got = np.asarray(run(md_deep.distribute(b, mesh)))
+
+        # reference: chained single applies with a full exchange each
+        apply1 = md_map_apply(md_one, mesh, _laplace5)
+        u_prev2 = jnp.zeros((nx, ny))
+        u_prev = md_one.distribute(b, mesh)
+        x0 = u_prev
+        for (a, bt, g, z) in stages:
+            u = jnp.zeros((nx, ny))
+            if a:
+                u = a * apply1(u_prev)
+            if bt:
+                u = u + bt * u_prev
+            if g:
+                u = u + g * u_prev2
+            if z:
+                u = u + z * x0
+            u_prev2, u_prev = u_prev, u
+        np.testing.assert_allclose(got, np.asarray(u_prev), atol=1e-12)
+
+    def test_halo_mismatch_rejected(self):
+        from trilinos_tpu.parallel.mdarray import md_poly_apply
+
+        mesh = _mesh2d()
+        md = MDMap((16, 32), ("x", "y"), halo=(1, 1))
+        with pytest.raises(ValueError, match="halo"):
+            md_poly_apply(md, mesh, _laplace5,
+                          ((1.0, 0, 0, 0), (1.0, 0, 0, 0)))

@@ -193,6 +193,71 @@ def _result_specs(vec_spec, scal_spec):
                        converged=scal_spec)
 
 
+def _center_crop(u, widths):
+    sl = tuple(slice(w, d - w) for w, d in zip(widths, u.shape))
+    return u[sl]
+
+
+def md_poly_apply(mdmap: MDMap, mesh: Mesh, stage_apply, stages,
+                  reach: int = 1):
+    """Communication-avoiding polynomial sweep on an MD-sharded field:
+    ONE halo exchange of depth s*reach feeds the whole three-term
+    recurrence
+
+        u_0 = x;  u_j = a_j*(A u_{j-1}) + b_j*u_{j-1} + g_j*u_{j-2}
+                        + z_j*x
+
+    computed locally on progressively shrinking pads (the N-D
+    process-grid analogue of driver.dist_cheb_fused). ``stage_apply``
+    maps a padded block to one shrunk by ``reach`` cells per side
+    (a stencil valid-region apply); ``mdmap.halo`` must be
+    len(stages)*reach on every axis with halo.
+
+    Boundary treatment: a halo-padded ones-mask zeroes every
+    beyond-global-boundary cell after each stage, so ghost regions
+    beyond a non-periodic edge behave exactly like the truncated
+    operator (interior shard cuts hold real neighbor data and pass
+    through unmasked). Returns the jitted global function."""
+    s = len(stages)
+    for ax, h in enumerate(mdmap.halo):
+        if h and h != s * reach:
+            raise ValueError(
+                f"axis {ax}: halo {h} != len(stages)*reach "
+                f"{s * reach}")
+    spec = mdmap.spec()
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    def run(x):
+        ext = halo_pad(x, mdmap, mesh)
+        mask = halo_pad(jnp.ones_like(x), mdmap, mesh)
+        crop = tuple(reach if h else 0 for h in mdmap.halo)
+
+        def shrink(u, j):
+            return _center_crop(u, tuple(j * c for c in crop))
+
+        u_prev2 = jnp.zeros_like(ext)
+        u_prev = ext
+        for j, (a, b, g, z) in enumerate(stages, start=1):
+            u = jnp.zeros_like(shrink(ext, j))
+            if a:
+                u = a * stage_apply(u_prev)
+            if b:
+                u = u + b * shrink(u_prev, 1)
+            if g:
+                u = u + g * shrink(u_prev2, 2 if j > 1 else 1)
+            if z:
+                u = u + z * shrink(ext, j)
+            u = u * shrink(mask, j)
+            # keep each u_k at its natural pad (s-k)*reach: the g-term
+            # two stages later crops by exactly 2
+            u_prev2, u_prev = u_prev, u
+        return u_prev
+
+    return run
+
+
 def md_dot(mesh: Mesh):
     """Global dot over MD-distributed fields (inside shard_map use
     lax.psum; at the jit level jnp.vdot on sharded arrays already
