@@ -103,11 +103,25 @@ def reorder_filter(a: CsrHost, perm: np.ndarray) -> CsrHost:
 
 def condest(prec, n_pad: int, method: str = "cheap", iters: int = 10,
             seed: int = 0) -> float:
-    """Condition-number proxy of a preconditioner apply
+    """Condition-number proxy of a preconditioner/operator apply
     (Ifpack_Condest.h): 'cheap' = ‖M⁻¹ 1‖_inf (the reference's default),
-    'power' = power-method estimate of ‖M⁻¹‖₂."""
+    'power' = power-method estimate of ‖M⁻¹‖₂, 'lanczos' = two-sided
+    λmax/λmin from extreme Ritz values (the AztecOO AZ_*_condnum
+    companion estimate, az_aztec_defs.h:266-272 — valid for SPD
+    applies)."""
     import jax.numpy as jnp
 
+    if method == "lanczos":
+        from ..eigen import lanczos_eigs
+
+        rng = np.random.default_rng(seed)
+        v0 = jnp.asarray(rng.standard_normal(n_pad))
+        m = max(4 * iters, 40)
+        hi, _ = lanczos_eigs(prec, v0, 1, m=min(m, n_pad - 1),
+                             which="LA")
+        lo, _ = lanczos_eigs(prec, v0, 1, m=min(m, n_pad - 1),
+                             which="SA")
+        return float(hi[0] / jnp.maximum(lo[0], 1e-300))
     if method == "cheap":
         ones = jnp.ones(n_pad)
         return float(jnp.max(jnp.abs(prec(ones))))
