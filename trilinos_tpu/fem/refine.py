@@ -16,8 +16,6 @@ unchanged — the standard h-convergence-study driver.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from .mesh import Mesh
