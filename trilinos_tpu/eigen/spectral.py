@@ -24,12 +24,15 @@ from ..parallel.comm import Comm
 from .lanczos import lanczos_eigs
 
 
-def shift_invert(op, sigma: float, *, solver=None, rtol: float = 1e-10,
-                 maxiter: int = 1000, prec=None):
+def shift_invert(op, sigma: float, *, solver=None,
+                 rtol: float | None = None, maxiter: int = 1000,
+                 prec=None):
     """Return the transformed operator v -> (A - sigma I)^-1 v as a
     jittable callable (inner Krylov solve per apply). ``op`` is any
     operator callable; ``solver`` defaults to MINRES (symmetric
-    indefinite)."""
+    indefinite). ``rtol`` defaults dtype-aware at apply time: 1e-10 in
+    f64, 1e-6 in f32 (an f32 inner solve cannot reach 1e-10 and would
+    burn maxiter on every apply — see docs/PRECISION.md)."""
     if solver is None:
         from ..solvers import minres as solver
 
@@ -37,7 +40,10 @@ def shift_invert(op, sigma: float, *, solver=None, rtol: float = 1e-10,
         return op(v) - sigma * v
 
     def apply(v):
-        res = solver(shifted, v, rtol=rtol, maxiter=maxiter,
+        tol = rtol
+        if tol is None:
+            tol = 1e-10 if v.dtype == jnp.float64 else 1e-6
+        res = solver(shifted, v, rtol=tol, maxiter=maxiter,
                      **({"prec": prec} if prec is not None else {}))
         return res.x
 
@@ -45,7 +51,7 @@ def shift_invert(op, sigma: float, *, solver=None, rtol: float = 1e-10,
 
 
 def eigs_near(op, sigma: float, nev: int, v0: jax.Array, *,
-              m: int | None = None, inner_rtol: float = 1e-10,
+              m: int | None = None, inner_rtol: float | None = None,
               inner_maxiter: int = 1000, comm: Comm | None = None):
     """Eigenpairs of symmetric ``op`` nearest the shift ``sigma``
     (Anasazi shift-and-invert mode): Lanczos on (A - sigma I)^-1, then

@@ -112,16 +112,16 @@ def condest(prec, n_pad: int, method: str = "cheap", iters: int = 10,
     import jax.numpy as jnp
 
     if method == "lanczos":
-        from ..eigen import lanczos_eigs
+        from ..eigen import arnoldi
 
         rng = np.random.default_rng(seed)
         v0 = jnp.asarray(rng.standard_normal(n_pad))
-        m = max(4 * iters, 40)
-        hi, _ = lanczos_eigs(prec, v0, 1, m=min(m, n_pad - 1),
-                             which="LA")
-        lo, _ = lanczos_eigs(prec, v0, 1, m=min(m, n_pad - 1),
-                             which="SA")
-        return float(hi[0] / jnp.maximum(lo[0], 1e-300))
+        m = min(max(4 * iters, 40), n_pad - 1)
+        # ONE factorization yields both extreme Ritz values
+        _, h = arnoldi(prec, v0, m)
+        t = (h[:m, :] + h[:m, :].T) / 2
+        theta = jnp.linalg.eigvalsh(t)
+        return float(theta[-1] / jnp.maximum(theta[0], 1e-300))
     if method == "cheap":
         ones = jnp.ones(n_pad)
         return float(jnp.max(jnp.abs(prec(ones))))

@@ -42,6 +42,8 @@ def augmented_lagrangian(obj, con, x0, *, lam0=None, mu0: float = 10.0,
     omega = 1.0 / mu             # inner stationarity forcing
     inner_total = 0
     converged = False
+    it = -1
+    gl = float("inf")
 
     lag_grad = jax.jit(jax.grad(
         lambda xx, ll: obj(xx) + ll @ jnp.atleast_1d(con(xx))))

@@ -226,12 +226,42 @@ def md_poly_apply(mdmap: MDMap, mesh: Mesh, stage_apply, stages,
                 f"{s * reach}")
     spec = mdmap.spec()
 
+    local_shape = mdmap.local_shape(mesh)
+
+    def _in_domain_mask():
+        """Ones on in-domain cells of the padded ext block, zeros on
+        ghost cells beyond a non-periodic global edge — pure index
+        arithmetic from axis_index, NO communication (the data halo is
+        the sweep's single exchange)."""
+        m = None
+        for ax in range(len(local_shape)):
+            h, per = mdmap.halo[ax], mdmap.periodic[ax]
+            dim = local_shape[ax] + 2 * h
+            if h == 0 or per:
+                continue
+            name = mdmap.mesh_axes[ax]
+            if name is None:
+                gpos = jnp.arange(dim) - h
+                gdim = mdmap.global_shape[ax]
+            else:
+                gpos = (lax.axis_index(name) * local_shape[ax]
+                        + jnp.arange(dim) - h)
+                gdim = mdmap.global_shape[ax]
+            ok = jnp.logical_and(gpos >= 0, gpos < gdim)
+            shape = [1] * len(local_shape)
+            shape[ax] = dim
+            ok = ok.reshape(shape)
+            m = ok if m is None else jnp.logical_and(m, ok)
+        return m
+
     @jax.jit
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
                        out_specs=spec)
     def run(x):
         ext = halo_pad(x, mdmap, mesh)
-        mask = halo_pad(jnp.ones_like(x), mdmap, mesh)
+        dm = _in_domain_mask()
+        mask = (None if dm is None
+                else jnp.broadcast_to(dm, ext.shape).astype(x.dtype))
         crop = tuple(reach if h else 0 for h in mdmap.halo)
 
         def shrink(u, j):
@@ -249,7 +279,8 @@ def md_poly_apply(mdmap: MDMap, mesh: Mesh, stage_apply, stages,
                 u = u + g * shrink(u_prev2, 2 if j > 1 else 1)
             if z:
                 u = u + z * shrink(ext, j)
-            u = u * shrink(mask, j)
+            if mask is not None:     # fully periodic: nothing to mask
+                u = u * shrink(mask, j)
             # keep each u_k at its natural pad (s-k)*reach: the g-term
             # two stages later crops by exactly 2
             u_prev2, u_prev = u_prev, u
