@@ -56,3 +56,80 @@ def test_recycle_space_invariant():
     c = np.asarray(rec.c)
     np.testing.assert_allclose(c.T @ c, np.eye(4), atol=1e-10)
     np.testing.assert_allclose(au, c @ (c.T @ au), atol=1e-8)
+
+
+class TestBlockGcrodr:
+    """Block GCRO-DR (BelosBlockGCRODRSolMgr analogue): shared Krylov +
+    recycle space over all right-hand sides."""
+
+    def _problem(self):
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.ops import choose_format, spmv
+
+        a = laplace2d(16, 16)
+        dev = choose_format(a)
+        n, npad = a.shape[0], dev.n_rows_pad
+        rng = np.random.default_rng(1)
+        b = np.zeros((npad, 3))
+        b[:n] = rng.standard_normal((n, 3))
+        return a, (lambda v: spmv(dev, v)), n, npad, b
+
+    def test_converges_multirhs(self):
+        from trilinos_tpu.solvers.block_gcrodr import block_gcrodr
+
+        a, op, n, npad, b = self._problem()
+        res, rec = block_gcrodr(op, jnp.asarray(b), num_blocks=15,
+                                recycle_dim=6, rtol=1e-10)
+        assert bool(np.asarray(res.converged).all())
+        x = np.asarray(res.x)[:n]
+        for j in range(3):
+            want = np.linalg.solve(a.to_dense(), b[:n, j])
+            np.testing.assert_allclose(x[:, j], want, rtol=1e-7,
+                                       atol=1e-9)
+        assert rec.u is not None and rec.u.shape[1] == 6
+
+    def test_recycling_helps_second_solve(self):
+        """A second related solve with the returned recycle space takes
+        no more cycles than the cold solve (the sequence-of-systems
+        feature)."""
+        from trilinos_tpu.solvers.block_gcrodr import block_gcrodr
+
+        a, op, n, npad, b = self._problem()
+        res1, rec = block_gcrodr(op, jnp.asarray(b), num_blocks=8,
+                                 recycle_dim=8, rtol=1e-8)
+        rng = np.random.default_rng(2)
+        b2 = np.zeros((npad, 3))
+        b2[:n] = rng.standard_normal((n, 3))
+        cold, _ = block_gcrodr(op, jnp.asarray(b2), num_blocks=8,
+                               recycle_dim=8, rtol=1e-8)
+        warm, _ = block_gcrodr(op, jnp.asarray(b2), num_blocks=8,
+                               recycle_dim=8, rtol=1e-8, recycle=rec)
+        assert bool(np.asarray(warm.converged).all())
+        assert int(warm.iters) <= int(cold.iters)
+        x = np.asarray(warm.x)[:n]
+        want = np.linalg.solve(a.to_dense(), b2[:n])
+        np.testing.assert_allclose(x, want, rtol=1e-5, atol=1e-7)
+
+    def test_rejects_1d(self):
+        from trilinos_tpu.solvers.block_gcrodr import block_gcrodr
+
+        _, op, n, npad, b = self._problem()
+        with pytest.raises(ValueError):
+            block_gcrodr(op, jnp.asarray(b[:, 0]))
+
+    def test_factory_dispatch(self):
+        """'Block GCRODR' must run the BLOCK solver, not the scalar one
+        (no silent aliasing)."""
+        from trilinos_tpu import solvers as S
+        from trilinos_tpu.solvers.factory import create_solver
+        from trilinos_tpu.solvers.linear_problem import LinearProblem
+
+        a, op, n, npad, b = self._problem()
+        mgr = create_solver("Block GCRODR",
+                            {"Convergence Tolerance": 1e-8,
+                             "Num Blocks": 10})
+        prob = LinearProblem(op, jnp.asarray(b))
+        res = mgr.solve(prob)
+        assert res.x.shape == (npad, 3)
+        assert bool(np.asarray(res.converged).all())
+        assert mgr.recycle_space.u is not None

@@ -8,6 +8,7 @@ from .minres import minres
 from .tfqmr import tfqmr
 from .lsqr import fixed_point, lsqr
 from .gcrodr import RecycleSpace, gcrodr
+from .block_gcrodr import block_gcrodr
 from .rcg import CgRecycleSpace, pcpg, rcg
 from .sstep_gmres import sstep_gmres
 from .direct import SparseLu, direct_solve
@@ -36,6 +37,7 @@ __all__ = [
     "lsqr",
     "fixed_point",
     "gcrodr",
+    "block_gcrodr",
     "RecycleSpace",
     "sstep_gmres",
     "rcg",

@@ -59,7 +59,7 @@ ALIASES = {
     "RCG": "rcg",
     "PCPG": "pcpg",
     "CA-GMRES": "sstep",
-    "BLOCK GCRODR": "gcrodr",
+    "BLOCK GCRODR": "block_gcrodr",
 }
 
 _SPECS = {
@@ -192,6 +192,14 @@ class SolverManager:
             from .gcrodr import gcrodr
 
             res, self.recycle_space = gcrodr(
+                op, b, x0, num_blocks=int(p["Num Blocks"]),
+                recycle_dim=int(p["Num Recycled Blocks"]),
+                max_cycles=int(p["Maximum Restarts"]) + 1,
+                recycle=getattr(self, "recycle_space", None), **common)
+        elif self.kind == "block_gcrodr":
+            from .block_gcrodr import block_gcrodr
+
+            res, self.recycle_space = block_gcrodr(
                 op, b, x0, num_blocks=int(p["Num Blocks"]),
                 recycle_dim=int(p["Num Recycled Blocks"]),
                 max_cycles=int(p["Maximum Restarts"]) + 1,
