@@ -14,6 +14,15 @@ steady branch.
 
 Run: PYTHONPATH=. python examples/nonlinear_pde.py   (CPU or TPU)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".."))
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 import jax.numpy as jnp

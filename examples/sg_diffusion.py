@@ -12,6 +12,15 @@ the stochastic coupling is a (P,P) GEMM — the whole SG apply is a single
 fused XLA program.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".."))
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp
 
