@@ -244,3 +244,33 @@ class TestMDPolyApply:
         with pytest.raises(ValueError, match="halo"):
             md_poly_apply(md, mesh, _laplace5,
                           ((1.0, 0, 0, 0), (1.0, 0, 0, 0)))
+
+    def test_ca_smoothed_md_cg(self):
+        """md_solve + md_poly_local: CA fused Chebyshev preconditioning
+        inside the N-D-grid CG (one deep exchange per prec apply)."""
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.ops.pallas.stencil_poly import chebyshev_stages
+        from trilinos_tpu.parallel.mdarray import md_poly_local, md_solve
+        from trilinos_tpu.solvers import cg
+
+        nx, ny, deg = 16, 32, 3
+        mesh = _mesh2d()
+        md_op = MDMap((nx, ny), ("x", "y"), halo=(1, 1))
+        md_deep = MDMap((nx, ny), ("x", "y"), halo=(deg, deg))
+        stages = chebyshev_stages(1.9, 0.06, deg, 0.25)
+        prec = md_poly_local(md_deep, mesh, _laplace5, stages)
+        rng = np.random.default_rng(12)
+        b = rng.standard_normal((nx, ny))
+        res_p = md_solve(cg, md_op, mesh, _laplace5, jnp.asarray(b),
+                         prec_local=prec, rtol=1e-11, maxiter=500)
+        res_0 = md_solve(cg, md_op, mesh, _laplace5, jnp.asarray(b),
+                         rtol=1e-11, maxiter=500)
+        assert bool(res_p.converged) and bool(res_0.converged)
+        assert int(res_p.iters) < int(res_0.iters)
+        a = laplace2d(nx, ny)
+        x = np.asarray(res_p.x)
+        rel = np.linalg.norm(
+            b.reshape(-1, order="F")
+            - a.to_dense() @ x.reshape(-1, order="F")) \
+            / np.linalg.norm(b)
+        assert rel < 1e-10

@@ -149,14 +149,16 @@ def md_map_apply(mdmap: MDMap, mesh: Mesh, local_fn):
 
 
 def md_solve(solver, mdmap: MDMap, mesh: Mesh, local_fn, b,
-             **solver_kw):
+             prec_local=None, **solver_kw):
     """Run any Krylov driver from ``trilinos_tpu.solvers`` on a field
     sharded over the N-D process grid: the operator is
     ``local_fn(halo_padded_block) -> block`` (a stencil valid-region
     apply), reductions are one psum over ALL mesh axes (lax.psum takes
     the axis-name tuple), and the whole solve is ONE jitted shard_map
     program — the N-dimensional generalization of the 1-D row-sharded
-    ``driver.dist_solve``. Returns a SolveResult whose ``x`` is the
+    ``driver.dist_solve``. ``prec_local`` optionally preconditions with
+    a per-shard block->block function (e.g. ``md_poly_local`` — the CA
+    fused Chebyshev smoother). Returns a SolveResult whose ``x`` is the
     global (mdmap.global_shape) array."""
     import dataclasses as _dc
     import functools as _ft
@@ -180,7 +182,11 @@ def md_solve(solver, mdmap: MDMap, mesh: Mesh, local_fn, b,
             return local_fn(halo_pad(v.reshape(shape), mdmap,
                                      mesh)).reshape(-1)
 
-        res = solver(op, b_loc.reshape(-1), comm=comm, **solver_kw)
+        kw = dict(solver_kw)
+        if prec_local is not None:
+            kw["prec"] = lambda v: prec_local(
+                v.reshape(shape)).reshape(-1)
+        res = solver(op, b_loc.reshape(-1), comm=comm, **kw)
         return _dc.replace(res, x=res.x.reshape(shape))
 
     return run(b_sh)
@@ -218,14 +224,30 @@ def md_poly_apply(mdmap: MDMap, mesh: Mesh, stage_apply, stages,
     beyond a non-periodic edge behave exactly like the truncated
     operator (interior shard cuts hold real neighbor data and pass
     through unmasked). Returns the jitted global function."""
+    local = md_poly_local(mdmap, mesh, stage_apply, stages, reach)
+    spec = mdmap.spec()
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    def run(x):
+        return local(x)
+
+    return run
+
+
+def md_poly_local(mdmap: MDMap, mesh: Mesh, stage_apply, stages,
+                  reach: int = 1):
+    """The per-shard body of ``md_poly_apply``: a pure function on
+    LOCAL blocks for use INSIDE an enclosing shard_map (e.g. as a
+    preconditioner in ``md_solve`` — the CA fused smoother composed
+    with a distributed Krylov solve)."""
     s = len(stages)
     for ax, h in enumerate(mdmap.halo):
         if h and h != s * reach:
             raise ValueError(
                 f"axis {ax}: halo {h} != len(stages)*reach "
                 f"{s * reach}")
-    spec = mdmap.spec()
-
     local_shape = mdmap.local_shape(mesh)
 
     def _in_domain_mask():
@@ -254,9 +276,6 @@ def md_poly_apply(mdmap: MDMap, mesh: Mesh, stage_apply, stages,
             m = ok if m is None else jnp.logical_and(m, ok)
         return m
 
-    @jax.jit
-    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-                       out_specs=spec)
     def run(x):
         ext = halo_pad(x, mdmap, mesh)
         dm = _in_domain_mask()
