@@ -166,3 +166,41 @@ class TestAnalysis:
         assert res.g < 1e-12, (res.g, res.gnorm)
         np.testing.assert_allclose(np.asarray(res.p),
                                    np.asarray(p_true), atol=1e-4)
+
+
+class TestConstrainedAnalysis:
+    def test_budgeted_source_fit(self):
+        """Fit the two source strengths subject to a design budget
+        p0 + p1 = 1: the constrained optimum differs from the
+        unconstrained fit and satisfies the budget + KKT stationarity."""
+        model, x = _bratu_model()
+        n = x.shape[0]
+        p_true = jnp.array([0.6, 0.8])
+        truth = piro.solve_steady(model, jnp.zeros(n), p_true,
+                                  rtol=1e-13)
+
+        def response(u, p):
+            return 0.5 * jnp.sum((u - truth.u) ** 2)
+
+        fit = piro.Model(model.residual, response)
+
+        def budget(p):
+            return jnp.atleast_1d(jnp.sum(p) - 1.0)
+
+        res = piro.perform_analysis(fit, jnp.zeros(n),
+                                    jnp.array([0.5, 0.5]),
+                                    constraint=budget, gtol=1e-8,
+                                    ctol=1e-9, maxiter=40,
+                                    newton_kw=dict(rtol=1e-13))
+        assert res.converged
+        p = np.asarray(res.p)
+        assert abs(p.sum() - 1.0) < 1e-8   # budget held
+        # p_true sums to 1.4 -> constrained optimum must differ and
+        # the misfit must exceed the unconstrained (perfect-fit) one
+        assert res.g > 1e-8
+        # KKT: the reduced gradient is parallel to the constraint
+        # normal (1, 1): its components must be (near-)equal
+        r = piro.solve_steady(fit, jnp.zeros(n), res.p,
+                              sensitivities=True, rtol=1e-13)
+        dg = np.asarray(r.dgdp)
+        assert abs(dg[0] - dg[1]) < 1e-5 * max(1.0, np.abs(dg).max())

@@ -146,7 +146,10 @@ class AnalysisResult:
 def perform_analysis(model: Model, u0: jax.Array, p0: jax.Array, *,
                      gtol: float = 1e-6, maxiter: int = 50,
                      memory: int = 10, ls_maxsteps: int = 20,
-                     newton_kw: dict | None = None) -> AnalysisResult:
+                     newton_kw: dict | None = None,
+                     constraint=None, ctol: float = 1e-8,
+                     mu0: float = 10.0,
+                     maxouter: int = 15) -> AnalysisResult:
     """min_p g(u(p), p) s.t. f(u, p) = 0 (Piro::PerformAnalysis driving
     the reduced-space problem): L-BFGS two-loop on the host with Armijo
     backtracking — every objective evaluation is a steady PDE solve
@@ -154,18 +157,32 @@ def perform_analysis(model: Model, u0: jax.Array, p0: jax.Array, *,
     adjoint solve, exactly the reduced-gradient loop the reference runs
     through ROL (rol/src/algorithm/ROL_Algorithm.hpp). The eager outer
     loop is correct here: its per-iteration cost is PDE solves, not
-    kernel launches, so there is nothing for XLA to fuse across."""
+    kernel launches, so there is nothing for XLA to fuse across.
+
+    ``constraint``: optional design-space equality constraint h(p) = 0
+    (a jnp function of p); handled by the same LANCELOT-style augmented
+    Lagrangian as optim.augmented_lagrangian (ROL Type-E), with the
+    reduced objective/gradient inside — so constrained PDE-based design
+    problems run through one entry point. Converged then means BOTH the
+    reduced AL gradient <= gtol AND ||h(p)|| <= ctol."""
     if model.response is None:
         raise ValueError("perform_analysis needs a model response")
     nk = dict(rtol=1e-10, atol=1e-12)
     nk.update(newton_kw or {})
     state = {"u": u0}
 
-    def eval_pg(p):
+    def eval_reduced(p):
         r = solve_steady(model, state["u"], p, sensitivities=True, **nk)
         state["u"] = r.u  # warm start the next solve
         return float(r.g), np.asarray(r.dgdp)
 
+    if constraint is not None:
+        return _analysis_auglag(model, state, eval_reduced, p0,
+                                constraint, gtol=gtol, ctol=ctol,
+                                mu0=mu0, maxouter=maxouter,
+                                maxiter=maxiter, memory=memory,
+                                ls_maxsteps=ls_maxsteps, nk=nk)
+    eval_pg = eval_reduced
     p = np.asarray(p0, dtype=np.float64)
     fval, grad = eval_pg(p)
     s_hist, y_hist = [], []
@@ -213,3 +230,104 @@ def perform_analysis(model: Model, u0: jax.Array, p0: jax.Array, *,
     return AnalysisResult(p=jnp.asarray(p), g=fval,
                           gnorm=float(np.linalg.norm(grad)), iters=it,
                           converged=converged, state=final)
+
+
+def _lbfgs_loop(eval_pg, p, gtol, maxiter, memory, ls_maxsteps):
+    """The reduced-space L-BFGS body shared by the plain and the
+    augmented-Lagrangian analysis paths."""
+    fval, grad = eval_pg(p)
+    s_hist, y_hist = [], []
+    converged = False
+    it = 0
+    for it in range(1, maxiter + 1):
+        gnorm = float(np.linalg.norm(grad))
+        if gnorm <= gtol:
+            converged = True
+            break
+        q = grad.copy()
+        alphas = []
+        for s, y in reversed(list(zip(s_hist, y_hist))):
+            a = float(s @ q) / float(s @ y)
+            alphas.append(a)
+            q = q - a * y
+        if y_hist:
+            q = q * (float(s_hist[-1] @ y_hist[-1])
+                     / float(y_hist[-1] @ y_hist[-1]))
+        for (s, y), a in zip(zip(s_hist, y_hist), reversed(alphas)):
+            q = q + (a - float(y @ q) / float(s @ y)) * s
+        d = -q
+        slope = float(grad @ d)
+        if slope >= 0:
+            d, slope = -grad, -gnorm ** 2
+        step = 1.0
+        for _ in range(ls_maxsteps):
+            f_new, g_new = eval_pg(p + step * d)
+            if f_new <= fval + 1e-4 * step * slope:
+                break
+            step *= 0.5
+        s_vec = step * d
+        y_vec = g_new - grad
+        if float(s_vec @ y_vec) > 1e-10 * np.linalg.norm(s_vec) \
+                * np.linalg.norm(y_vec):
+            s_hist.append(s_vec)
+            y_hist.append(y_vec)
+            if len(s_hist) > memory:
+                s_hist.pop(0)
+                y_hist.pop(0)
+        p, fval, grad = p + step * d, f_new, g_new
+    return p, fval, grad, it, converged
+
+
+def _analysis_auglag(model, state, eval_reduced, p0, constraint, *,
+                     gtol, ctol, mu0, maxouter, maxiter, memory,
+                     ls_maxsteps, nk):
+    """Constrained analysis: LANCELOT-style augmented Lagrangian over
+    the reduced objective (mirrors optim/auglag.py with PDE solves as
+    the inner evaluations)."""
+    h_vjp = jax.jit(lambda pp: jnp.atleast_1d(constraint(pp)))
+    p = np.asarray(p0, dtype=np.float64)
+    m = int(np.atleast_1d(np.asarray(h_vjp(jnp.asarray(p)))).shape[0])
+    lam = np.zeros(m)
+    mu = float(mu0)
+    eta = 1.0 / mu ** 0.1
+    omega = 1.0 / mu
+    total_inner = 0
+    converged = False
+    fval = np.inf
+    grad = np.full_like(p, np.inf)
+    for _ in range(maxouter):
+        lam_c, mu_c = lam.copy(), mu
+
+        def eval_al(pp):
+            g, dg = eval_reduced(pp)
+            hv, pull = jax.vjp(h_vjp, jnp.asarray(pp))
+            hnp = np.asarray(hv)
+            w = lam_c + mu_c * hnp
+            g_al = g + float(lam_c @ hnp) + 0.5 * mu_c * float(hnp @ hnp)
+            dg_al = dg + np.asarray(pull(jnp.asarray(w))[0])
+            return g_al, dg_al
+
+        p, fval, grad, it_in, _ = _lbfgs_loop(
+            eval_al, p, max(omega, gtol), maxiter, memory, ls_maxsteps)
+        total_inner += it_in
+        hnp = np.asarray(h_vjp(jnp.asarray(p)))
+        cnorm = float(np.linalg.norm(hnp))
+        gnorm = float(np.linalg.norm(grad))
+        if cnorm <= max(ctol, eta):
+            if cnorm <= ctol and gnorm <= gtol:
+                lam = lam + mu * hnp
+                converged = True
+                break
+            lam = lam + mu * hnp
+            eta *= 0.5 / mu ** 0.9
+            omega = max(omega / mu, gtol)
+        else:
+            mu = min(mu * 10.0, 1e12)
+            eta = 1.0 / mu ** 0.1
+            omega = max(1.0 / mu, gtol)
+    final = solve_steady(model, state["u"], jnp.asarray(p),
+                         sensitivities=True, **nk)
+    return AnalysisResult(p=jnp.asarray(p), g=float(final.g),
+                          gnorm=float(np.linalg.norm(grad)),
+                          iters=total_inner, converged=converged,
+                          state=final)
