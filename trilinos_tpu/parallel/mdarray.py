@@ -184,6 +184,10 @@ def md_solve(solver, mdmap: MDMap, mesh: Mesh, local_fn, b,
 
         kw = dict(solver_kw)
         if prec_local is not None:
+            if "prec" in kw:
+                raise ValueError(
+                    "pass either prec_local (block form) or prec "
+                    "(flat form), not both")
             kw["prec"] = lambda v: prec_local(
                 v.reshape(shape)).reshape(-1)
         res = solver(op, b_loc.reshape(-1), comm=comm, **kw)

@@ -182,49 +182,9 @@ def perform_analysis(model: Model, u0: jax.Array, p0: jax.Array, *,
                                 mu0=mu0, maxouter=maxouter,
                                 maxiter=maxiter, memory=memory,
                                 ls_maxsteps=ls_maxsteps, nk=nk)
-    eval_pg = eval_reduced
-    p = np.asarray(p0, dtype=np.float64)
-    fval, grad = eval_pg(p)
-    s_hist, y_hist = [], []
-    converged = False
-    it = 0
-    for it in range(1, maxiter + 1):
-        gnorm = float(np.linalg.norm(grad))
-        if gnorm <= gtol:
-            converged = True
-            break
-        # two-loop recursion
-        q = grad.copy()
-        alphas = []
-        for s, y in reversed(list(zip(s_hist, y_hist))):
-            a = float(s @ q) / float(s @ y)
-            alphas.append(a)
-            q = q - a * y
-        if y_hist:
-            q = q * (float(s_hist[-1] @ y_hist[-1])
-                     / float(y_hist[-1] @ y_hist[-1]))
-        for (s, y), a in zip(zip(s_hist, y_hist), reversed(alphas)):
-            q = q + (a - float(y @ q) / float(s @ y)) * s
-        d = -q
-        slope = float(grad @ d)
-        if slope >= 0:  # safeguard: fall back to steepest descent
-            d, slope = -grad, -gnorm ** 2
-        step = 1.0
-        for _ in range(ls_maxsteps):
-            f_new, g_new = eval_pg(p + step * d)
-            if f_new <= fval + 1e-4 * step * slope:
-                break
-            step *= 0.5
-        s_vec = step * d
-        y_vec = g_new - grad
-        if float(s_vec @ y_vec) > 1e-10 * np.linalg.norm(s_vec) \
-                * np.linalg.norm(y_vec):
-            s_hist.append(s_vec)
-            y_hist.append(y_vec)
-            if len(s_hist) > memory:
-                s_hist.pop(0)
-                y_hist.pop(0)
-        p, fval, grad = p + step * d, f_new, g_new
+    p, fval, grad, it, converged = _lbfgs_loop(
+        eval_reduced, np.asarray(p0, dtype=np.float64), gtol, maxiter,
+        memory, ls_maxsteps)
     final = solve_steady(model, state["u"], jnp.asarray(p),
                          sensitivities=True, **nk)
     return AnalysisResult(p=jnp.asarray(p), g=fval,
@@ -234,7 +194,7 @@ def perform_analysis(model: Model, u0: jax.Array, p0: jax.Array, *,
 
 def _lbfgs_loop(eval_pg, p, gtol, maxiter, memory, ls_maxsteps):
     """The reduced-space L-BFGS body shared by the plain and the
-    augmented-Lagrangian analysis paths."""
+    augmented-Lagrangian analysis paths (both call it)."""
     fval, grad = eval_pg(p)
     s_hist, y_hist = [], []
     converged = False
@@ -260,11 +220,14 @@ def _lbfgs_loop(eval_pg, p, gtol, maxiter, memory, ls_maxsteps):
         if slope >= 0:
             d, slope = -grad, -gnorm ** 2
         step = 1.0
-        for _ in range(ls_maxsteps):
+        for i in range(max(ls_maxsteps, 1)):
             f_new, g_new = eval_pg(p + step * d)
             if f_new <= fval + 1e-4 * step * slope:
                 break
-            step *= 0.5
+            if i < max(ls_maxsteps, 1) - 1:
+                # only halve when another evaluation follows, so on
+                # exhaustion (f_new, g_new) belong to p + step*d
+                step *= 0.5
         s_vec = step * d
         y_vec = g_new - grad
         if float(s_vec @ y_vec) > 1e-10 * np.linalg.norm(s_vec) \

@@ -97,7 +97,10 @@ def _block_harmonic_recycle(v_np, h_np, k):
     finite = np.isfinite(theta)
     if finite.sum() < k:
         return None
-    order = [i for i in np.argsort(np.abs(theta)) if finite[i]]
+    # drop non-finite pairs up front: NaNs poison the conjugate-pair
+    # argmin bookkeeping below (a singular QZ pencil yields beta=0)
+    theta, g = theta[finite], g[:, finite]
+    order = np.argsort(np.abs(theta))
     cols, used = [], set()
     for idx in order:
         if len(cols) >= k:

@@ -197,26 +197,16 @@ class SolverManager:
                 max_cycles=int(p["Maximum Restarts"]) + 1,
                 recycle=getattr(self, "recycle_space", None), **common)
         elif self.kind == "block_gcrodr":
-            if b.ndim == 1:
-                # a single RHS: the block algorithm at nb=1 IS scalar
-                # GCRO-DR — run that implementation directly
-                from .gcrodr import gcrodr as _g
+            from .block_gcrodr import block_gcrodr
+            from .gcrodr import gcrodr as _g
 
-                res, self.recycle_space = _g(
-                    op, b, x0, num_blocks=int(p["Num Blocks"]),
-                    recycle_dim=int(p["Num Recycled Blocks"]),
-                    max_cycles=int(p["Maximum Restarts"]) + 1,
-                    recycle=getattr(self, "recycle_space", None),
-                    **common)
-            else:
-                from .block_gcrodr import block_gcrodr
-
-                res, self.recycle_space = block_gcrodr(
-                    op, b, x0, num_blocks=int(p["Num Blocks"]),
-                    recycle_dim=int(p["Num Recycled Blocks"]),
-                    max_cycles=int(p["Maximum Restarts"]) + 1,
-                    recycle=getattr(self, "recycle_space", None),
-                    **common)
+            # single RHS: the block algorithm at nb=1 IS scalar GCRO-DR
+            fn = _g if b.ndim == 1 else block_gcrodr
+            res, self.recycle_space = fn(
+                op, b, x0, num_blocks=int(p["Num Blocks"]),
+                recycle_dim=int(p["Num Recycled Blocks"]),
+                max_cycles=int(p["Maximum Restarts"]) + 1,
+                recycle=getattr(self, "recycle_space", None), **common)
         elif self.kind == "fixed_point":
             res = fixed_point(op, b, x0, prec=problem.left_prec
                               or problem.right_prec, maxiter=maxiter,
