@@ -192,3 +192,34 @@ class TestSstepGmres:
         res = sstep_gmres(op, b, s=3, t_blocks=8, max_restarts=20,
                           prec=lambda v: jnp.asarray(dinv) * v, rtol=1e-8)
         assert true_rel_res(b, dense, res.x, n) <= 1e-7
+
+    def test_fused_matrix_powers_basis(self):
+        """basis_impl='fused' (single-HBM-pass Pallas matrix-powers
+        kernel, interpreted on CPU) reproduces the loop basis: the
+        per-cycle residual trajectory is identical, so resnorm/iters
+        match exactly."""
+        from trilinos_tpu.galeri import laplace3d
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        op = laplace3d(32, 32, 8, dtype=np.float32, fmt="stencil")
+        npad = op.n_rows_pad
+        b = np.zeros(npad, np.float32)
+        b[:op.n_rows] = np.random.default_rng(5).standard_normal(
+            op.n_rows)
+        bj = jnp.asarray(b)
+        kw = dict(s=4, t_blocks=4, max_restarts=8, rtol=1e-4)
+        r_loop = sstep_gmres(op, bj, basis_impl="loop", **kw)
+        r_fused = sstep_gmres(op, bj, basis_impl="fused", **kw)
+        assert int(r_fused.iters) == int(r_loop.iters)
+        np.testing.assert_allclose(float(r_fused.resnorm),
+                                   float(r_loop.resnorm), rtol=1e-5)
+        assert float(r_fused.resnorm) <= 1e-4 * float(
+            jnp.linalg.norm(bj)) * 1.001 or not bool(r_fused.converged)
+
+    def test_fused_basis_rejects_nonstencil(self):
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        a = laplace2d(14, 14)
+        op, b, dense, n = make_problem(a)
+        with pytest.raises(ValueError, match="fused"):
+            sstep_gmres(op, b, basis_impl="fused")

@@ -10,8 +10,10 @@ import jax.numpy as jnp
 
 from trilinos_tpu.ops.pallas.stencil_op import StencilOp
 from trilinos_tpu.ops.pallas.stencil_poly import (
-    chebyshev_stages, power_stages, richardson_stages,
-    stencil_poly_applicable, stencil_poly_apply, stencil_poly_xla)
+    chebyshev_stages, monomial_stages, newton_stages, power_stages,
+    richardson_stages, stencil_poly_applicable, stencil_poly_apply,
+    stencil_poly_xla, stencil_powers_applicable, stencil_powers_apply,
+    stencil_powers_xla)
 
 ST7 = [((0, 0, 0), 6.0), ((1, 0, 0), -1.0), ((-1, 0, 0), -1.0),
        ((0, 1, 0), -1.0), ((0, -1, 0), -1.0), ((0, 0, 1), -1.0),
@@ -106,6 +108,43 @@ class TestStencilPoly:
         np.testing.assert_allclose(got[:op.n_rows],
                                    want[:op.n_rows], rtol=2e-5,
                                    atol=2e-5)
+
+    def test_matrix_powers_all_outputs(self):
+        """All-output basis kernel: every stage u_1..u_s matches the XLA
+        reference, and u_s matches the single-output kernel (same
+        wavefront, extra HBM writes only)."""
+        op = StencilOp.create((32, 32, 8), ST7)
+        x = _x(op, 11)
+        for name, stages in [
+            ("monomial", monomial_stages(4, sigma=6.0)),
+            ("newton", newton_stages([5.9, 3.1, 0.4, 2.2], sigma=6.0)),
+            ("cheb", chebyshev_stages(1.9, 0.06, 4, 1 / 6.0)),
+        ]:
+            assert stencil_powers_applicable(op, len(stages)), name
+            got = stencil_powers_apply(op, stages, x, interpret=True)
+            want = stencil_powers_xla(op, stages, x)
+            assert got.shape == (len(stages), op.n_rows_pad)
+            scale = max(1e-9, float(jnp.max(jnp.abs(want))))
+            err = float(jnp.max(jnp.abs(got - want))) / scale
+            assert err < 5e-6, (name, err)
+            last = stencil_poly_apply(op, stages, x, interpret=True)
+            np.testing.assert_allclose(np.asarray(got[-1]),
+                                       np.asarray(last), rtol=1e-6,
+                                       atol=1e-6)
+
+    def test_matrix_powers_padding_identity(self):
+        """Pad rows propagate x through every stage output."""
+        op = StencilOp.create((32, 32, 5), ST7, n_rows_pad=8192)
+        x = _x(op, 13)
+        got = stencil_powers_apply(op, power_stages(3), x,
+                                   interpret=True)
+        want = stencil_powers_xla(op, power_stages(3), x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        for j in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(got[j])[op.n_rows:],
+                np.asarray(x)[op.n_rows:])
 
     def test_fused_chebyshev_preconditions_cg(self):
         """CG + fused degree-3 Chebyshev on the stencil operator:

@@ -73,6 +73,14 @@ class StencilOp:
 
     n_cols = n_rows
 
+    def __call__(self, x):
+        """Operator-protocol apply (solvers take callables; passing the
+        StencilOp itself also lets structure-aware drivers — e.g. the
+        s-step fused matrix-powers basis — recover the stencil)."""
+        from ..matvec import spmv
+
+        return spmv(self, x)
+
     @property
     def shape(self):
         n = self.n_rows

@@ -66,9 +66,12 @@ def _pick_q(br: int, p_rows: int) -> int | None:
     return None
 
 
-def _poly_plan(op: StencilOp, n_stages: int):
+def _poly_plan(op: StencilOp, n_stages: int, n_out: int = 1):
     """(br, q, u) or None. br | r; q | gcd(br, p_rows) keeps chunks
-    z-plane-aligned; u = stencil reach in strips."""
+    z-plane-aligned; u = stencil reach in strips. ``n_out`` is the
+    number of HBM output vectors (1 for p(A)x, n_stages for the
+    matrix-powers basis) — each costs a double-buffered output window
+    in the VMEM budget."""
     p_rows = _plane_geometry(op)
     if p_rows is None or op.dtype != "float32":
         return None
@@ -89,7 +92,7 @@ def _poly_plan(op: StencilOp, n_stages: int):
         # stage 1 reads x back to strip b - 2u; zeta terms back to b - su
         s0 = max(n_stages, 2) * u + 2         # x ring slots
         sj = 2 * u + 2                        # stage ring slots
-        need = row_b * br * (s0 + (n_stages - 1) * sj + 2)
+        need = row_b * br * (s0 + (n_stages - 1) * sj + 2 * n_out)
         if need <= budget and r // br >= 2:
             best = (br, q, u)
             break
@@ -100,6 +103,12 @@ def stencil_poly_applicable(op: StencilOp, n_stages: int) -> bool:
     if not 1 <= n_stages <= 8:
         return False
     return _poly_plan(op, n_stages) is not None
+
+
+def stencil_powers_applicable(op: StencilOp, n_stages: int) -> bool:
+    if not 1 <= n_stages <= 8:
+        return False
+    return _poly_plan(op, n_stages, n_out=n_stages) is not None
 
 
 def _make_reader(ring, slots: int, center, br: int):
@@ -188,8 +197,10 @@ def _stage_strip(op: StencilOp, q, p_rows, plane_idx, planes_ref, br, t,
 
 
 def _poly_kernel(op: StencilOp, br, q, u, r, stages, p_rows, plane_idx,
-                 static_zb, zb_ref, planes_ref, x_hbm, y_ref, *scratch):
+                 static_zb, n_out, zb_ref, planes_ref, x_hbm, *rest):
     s = len(stages)
+    y_refs = rest[:n_out]         # 1 (u_s only) or s (matrix powers)
+    scratch = rest[n_out:]
     if static_zb is not None:     # compile-time bounds (global apply)
         z_lo, z_hi = static_zb
     else:                         # per-shard traced bounds (slab path)
@@ -244,14 +255,22 @@ def _poly_kernel(op: StencilOp, br, q, u, r, stages, p_rows, plane_idx,
         read_prev2 = _make_reader(prev2_ring, prev2_slots, t, br)
         read_x = _make_reader(x_ring, s0, t, br)
 
+        y_ref = None
+        if n_out == s:
+            y_ref = y_refs[j - 1]
+        elif j == s:
+            y_ref = y_refs[0]
         if j < s:
             ring = stage_rings[j - 1]
             slot = lax.rem(t + jnp.int32(2 * sj), jnp.int32(sj))
 
-            def write_chunk(rep, acc, ring=ring, slot=slot):
-                ring[slot, pl.ds(rep * q, q)] = acc.astype(ring.dtype)
+            def write_chunk(rep, acc, ring=ring, slot=slot, y_ref=y_ref):
+                blk = acc.astype(ring.dtype)
+                ring[slot, pl.ds(rep * q, q)] = blk
+                if y_ref is not None:
+                    y_ref[pl.ds(rep * q, q)] = blk.astype(y_ref.dtype)
         else:
-            def write_chunk(rep, acc):
+            def write_chunk(rep, acc, y_ref=y_ref):
                 y_ref[pl.ds(rep * q, q)] = acc.astype(y_ref.dtype)
 
         @pl.when(jnp.logical_and(t >= 0, t < nb))
@@ -262,28 +281,17 @@ def _poly_kernel(op: StencilOp, br, q, u, r, stages, p_rows, plane_idx,
                          write_chunk, z_lo, z_hi)
 
 
-def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
-                       interpret: bool = False,
-                       z_bounds=None) -> jax.Array:
-    """Evaluate the recurrence chain on the stencil operator.
-
-    stages: sequence of (alpha, beta, gamma, zeta) per stage j=1..s
-    (floats, baked into the kernel). Returns u_s with u_0 = x.
-    gamma_1 must be 0 (there is no u_{-1}).
-
-    z_bounds: optional traced (2,) int32 valid-z-plane range
-    [z_lo, z_hi) for the boundary masks (default (0, nz)); used by the
-    distributed z-slab path, where a shard's extended slab includes
-    ghost planes that are real interior data (no masking at the cut)
-    or beyond the global boundary (masked at every stage)."""
+def _poly_call(op: StencilOp, stages, x: jax.Array, interpret: bool,
+               z_bounds, all_outputs: bool):
     stages = tuple((float(a), float(bt), float(g), float(z))
                    for a, bt, g, z in stages)
     if stages and stages[0][2] != 0.0:
         raise ValueError("gamma_1 must be 0 (u_{-1} does not exist)")
     s = len(stages)
-    plan = _poly_plan(op, s)
+    n_out = s if all_outputs else 1
+    plan = _poly_plan(op, s, n_out=n_out)
     if plan is None:
-        raise ValueError("stencil_poly_apply: not applicable")
+        raise ValueError("stencil polynomial kernel: not applicable")
     br, q, u = plan
     n = op.n_rows_pad
     r = n // LANES
@@ -305,10 +313,30 @@ def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
                 for _ in range(s - 1)]
     scratch += [pltpu.SemaphoreType.DMA((s0,))]
 
+    if all_outputs:
+        # stage j's output lags the grid by j*u strips; clamp both ends
+        # so warmup writes land on block 0 and the tail stays pinned on
+        # the last block after the stage finishes (no spurious copies)
+        out_shape = [jax.ShapeDtypeStruct((r, LANES), x2.dtype)
+                     for _ in range(s)]
+        out_specs = [
+            pl.BlockSpec((br, LANES),
+                         functools.partial(
+                             lambda jj, b: (jnp.clip(b - jj * u, 0,
+                                                     nb - 1), 0), j),
+                         memory_space=pltpu.VMEM)
+            for j in range(1, s + 1)]
+    else:
+        out_shape = jax.ShapeDtypeStruct((r, LANES), x2.dtype)
+        out_specs = pl.BlockSpec(
+            (br, LANES),
+            lambda b: (jnp.maximum(b - warm, 0), 0),
+            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         functools.partial(_poly_kernel, op, br, q, u, r, stages, p_rows,
-                          plane_idx, static_zb),
-        out_shape=jax.ShapeDtypeStruct((r, LANES), x2.dtype),
+                          plane_idx, static_zb, n_out),
+        out_shape=out_shape,
         grid=(nb + warm,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -316,19 +344,50 @@ def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (br, LANES),
-            lambda b: (jnp.maximum(b - warm, 0), 0),
-            memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * len(op.offsets) * n * s,
-            bytes_accessed=2 * n * 4,
+            bytes_accessed=(1 + n_out) * n * 4,
             transcendentals=0,
         ),
     )(z_bounds, planes, x2)
+    if all_outputs:
+        return jnp.stack([o.reshape(n) for o in out])
     return out.reshape(n)
+
+
+def stencil_poly_apply(op: StencilOp, stages, x: jax.Array,
+                       interpret: bool = False,
+                       z_bounds=None) -> jax.Array:
+    """Evaluate the recurrence chain on the stencil operator.
+
+    stages: sequence of (alpha, beta, gamma, zeta) per stage j=1..s
+    (floats, baked into the kernel). Returns u_s with u_0 = x.
+    gamma_1 must be 0 (there is no u_{-1}).
+
+    z_bounds: optional traced (2,) int32 valid-z-plane range
+    [z_lo, z_hi) for the boundary masks (default (0, nz)); used by the
+    distributed z-slab path, where a shard's extended slab includes
+    ghost planes that are real interior data (no masking at the cut)
+    or beyond the global boundary (masked at every stage)."""
+    return _poly_call(op, stages, x, interpret, z_bounds,
+                      all_outputs=False)
+
+
+def stencil_powers_apply(op: StencilOp, stages, x: jax.Array,
+                         interpret: bool = False,
+                         z_bounds=None) -> jax.Array:
+    """Matrix-powers basis: ALL stage outputs [u_1; ...; u_s] as an
+    (s, n) array, in one read of x and one write per basis vector —
+    s+1 HBM vector passes versus 2s for s separate SpMV sweeps. This is
+    the communication-avoiding basis generator the reference's s-step
+    GMRES applies A repeatedly for (Belos_Tpetra_GmresSstep.hpp:305);
+    here the intermediates additionally never re-enter HBM between
+    applies. Use monomial_stages/newton_stages for Krylov bases."""
+    return _poly_call(op, stages, x, interpret, z_bounds,
+                      all_outputs=True)
 
 
 def chebyshev_stages(lmax: float, lmin: float, degree: int,
@@ -390,6 +449,22 @@ def power_stages(s: int):
     return tuple((1.0, 0.0, 0.0, 0.0) for _ in range(s))
 
 
+def monomial_stages(s: int, sigma: float = 1.0):
+    """σ-scaled monomial Krylov basis: u_j = (A u_{j-1})/σ, the basis
+    the s-step GMRES block loop builds (one norm-scale per step keeps
+    the powers from over/underflowing)."""
+    inv = 1.0 / float(sigma)
+    return tuple((inv, 0.0, 0.0, 0.0) for _ in range(s))
+
+
+def newton_stages(shifts, sigma: float = 1.0):
+    """Newton Krylov basis: u_j = (A - λ_j I) u_{j-1} / σ with Ritz-value
+    shifts λ_j — better conditioned than the monomial basis for larger s
+    (Bai/Hu/Reichel; the reference's CA-GMRES literature anchor)."""
+    inv = 1.0 / float(sigma)
+    return tuple((inv, -float(lam) * inv, 0.0, 0.0) for lam in shifts)
+
+
 def richardson_stages(omega: float, s: int, dinv: float):
     """Damped-Jacobi sweeps on Ax=b with x_0=0:
     x_{j+1} = x_j + omega D^-1 (b - A x_j)."""
@@ -426,6 +501,16 @@ def stencil_poly_xla(op: StencilOp, stages, x: jax.Array,
     """Reference implementation (any backend, any dtype). Padding rows
     propagate u_{j-1} unchanged, matching the kernel's identity
     convention."""
+    return _poly_xla(op, stages, x, z_bounds)[-1]
+
+
+def stencil_powers_xla(op: StencilOp, stages, x: jax.Array,
+                       z_bounds=None) -> jax.Array:
+    """All-output reference: (s, n) stack of u_1..u_s."""
+    return jnp.stack(_poly_xla(op, stages, x, z_bounds))
+
+
+def _poly_xla(op: StencilOp, stages, x: jax.Array, z_bounds):
     if z_bounds is None:
         z_lo, z_hi = 0, op.dims[2]
     else:
@@ -433,6 +518,7 @@ def stencil_poly_xla(op: StencilOp, stages, x: jax.Array,
     pad = jnp.arange(op.n_rows_pad) >= op.n_rows
     u_prev2 = jnp.zeros_like(x)
     u_prev = x
+    outs = []
     for (a, bt, g, z) in stages:
         u = jnp.zeros_like(x)
         if a:
@@ -445,4 +531,5 @@ def stencil_poly_xla(op: StencilOp, stages, x: jax.Array,
             u = u + z * x
         u = jnp.where(pad, u_prev, u)
         u_prev2, u_prev = u_prev, u
-    return u_prev
+        outs.append(u)
+    return outs

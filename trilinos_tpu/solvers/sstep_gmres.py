@@ -35,8 +35,16 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 s: int = 4, t_blocks: int = 8, max_restarts: int = 20,
                 rtol: float = 1e-8, atol: float = 0.0, sigma: float | None = None,
                 prec: Operator | None = None,
-                comm: Comm | None = None) -> SolveResult:
-    """Restarted s-step GMRES: m = s·t_blocks basis vectors per cycle."""
+                comm: Comm | None = None,
+                basis_impl: str = "auto") -> SolveResult:
+    """Restarted s-step GMRES: m = s·t_blocks basis vectors per cycle.
+
+    basis_impl: how the matrix-powers block W = [Aq/σ, A²q/σ², …] is
+    generated. 'loop' = s separate operator applies (any operator);
+    'fused' = the single-HBM-pass Pallas matrix-powers kernel
+    (stencil_powers_apply — requires ``op`` to be an unpreconditioned
+    StencilOp; interpreted off-TPU, for tests); 'auto' = fused when
+    applicable on a TPU backend, else loop."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -46,6 +54,34 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
     def opM(v):
         return op(M(v))
+
+    powers_fused = None
+    if basis_impl != "loop" and prec is None:
+        from ..ops import pallas as pk
+        from ..ops.pallas.stencil_op import StencilOp
+        from ..ops.pallas.stencil_poly import (monomial_stages,
+                                               stencil_powers_applicable,
+                                               stencil_powers_apply)
+
+        ok = (isinstance(op, StencilOp) and n == op.n_rows_pad
+              and dtype == jnp.float32
+              and stencil_powers_applicable(op, s))
+        if ok and (basis_impl == "fused" or pk._on_tpu()):
+            interp = not pk._on_tpu()
+            pad = (jnp.arange(n) < op.n_rows) if op.n_rows_pad > op.n_rows \
+                else None
+
+            def powers_fused(q, sig):
+                u = stencil_powers_apply(op, monomial_stages(s, sig), q,
+                                         interpret=interp)   # (s, n)
+                if pad is not None:
+                    # loop path zeroes pad rows on the first apply; the
+                    # kernel's identity convention would carry q's pads
+                    u = jnp.where(pad[None, :], u, 0.0)
+                return u.T                                    # (n, s)
+    if basis_impl == "fused" and powers_fused is None:
+        raise ValueError("basis_impl='fused' needs an unpreconditioned "
+                         "f32 StencilOp with a viable kernel plan")
 
     if sigma is None:
         # crude ‖A‖ estimate for basis scaling (host-side, few applies)
@@ -77,13 +113,18 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             q = lax.dynamic_slice(v, (0, j0), (n, 1))[:, 0]
 
             # matrix powers W (n, s), scaled by sigma each step
-            def pw(i, carry):
-                w_prev, wmat = carry
-                w = opM(w_prev) * (1.0 / sigma)
-                wmat = lax.dynamic_update_slice(wmat, w[:, None], (0, i))
-                return w, wmat
+            if powers_fused is not None:
+                wmat = powers_fused(q, sigma)
+            else:
+                def pw(i, carry):
+                    w_prev, wmat = carry
+                    w = opM(w_prev) * (1.0 / sigma)
+                    wmat = lax.dynamic_update_slice(wmat, w[:, None],
+                                                    (0, i))
+                    return w, wmat
 
-            _, wmat = lax.fori_loop(0, s, pw, (q, jnp.zeros((n, s), dtype)))
+                _, wmat = lax.fori_loop(0, s, pw,
+                                        (q, jnp.zeros((n, s), dtype)))
             # block orthogonalization: W = V C + Q R  (4 reductions total)
             w2, c_full = cgs2_project(comm, v, wmat)
             q_new, r_small, _ = cholqr2(comm, w2)
