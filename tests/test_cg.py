@@ -129,3 +129,66 @@ def test_certified_resnorm_is_true_residual():
         true_norm = np.linalg.norm(np.asarray(b)[:n] - dense @ x)
         np.testing.assert_allclose(float(res.resnorm), true_norm,
                                    rtol=1e-6, atol=1e-13)
+
+
+class TestCgCondest:
+    """Free Lanczos condition estimate from CG's own coefficients —
+    the AZ_cg_condnum output (aztecoo az_aztec_defs.h:266-272)."""
+
+    def test_matches_dense_kappa(self):
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        w = np.linalg.eigvalsh(dense)
+        true_kappa = w[-1] / w[0]
+        res = cg(op, b, rtol=1e-10, maxiter=500, condest_window=200)
+        assert bool(res.converged)
+        est = float(res.condest)
+        # Ritz interlacing: estimate <= true kappa, tight once CG has
+        # resolved both spectrum ends
+        assert est <= true_kappa * (1 + 1e-8)
+        np.testing.assert_allclose(est, true_kappa, rtol=1e-6)
+
+    def test_multivector_and_prec_invariance(self):
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a, nrhs=3)
+        res = cg(op, b, rtol=1e-10, maxiter=500, condest_window=200)
+        est = np.asarray(res.condest)
+        assert est.shape == (3,)
+        w = np.linalg.eigvalsh(dense)
+        np.testing.assert_allclose(est, w[-1] / w[0], rtol=1e-6)
+        # Jacobi prec on the constant-diagonal Laplacian rescales the
+        # operator uniformly: kappa(M A) == kappa(A)
+        op1, b1, _, _ = make_problem(a)
+        rp = cg(op1, b1, prec=lambda v: 0.25 * v, rtol=1e-10,
+                maxiter=500, condest_window=200)
+        np.testing.assert_allclose(float(rp.condest), w[-1] / w[0],
+                                   rtol=1e-6)
+
+    def test_window_smaller_than_iters(self):
+        """A truncated window still gives a sound lower-bound estimate."""
+        a = laplace2d(30, 30)
+        op, b, dense, n = make_problem(a)
+        w = np.linalg.eigvalsh(dense)
+        true_kappa = w[-1] / w[0]
+        res = cg(op, b, rtol=1e-8, maxiter=500, condest_window=20)
+        est = float(res.condest)
+        assert est <= true_kappa * (1 + 1e-8)
+        assert est >= 0.25 * true_kappa  # 20 Lanczos steps get close
+
+    def test_off_by_default(self):
+        a = laplace2d(10, 10)
+        op, b, dense, n = make_problem(a)
+        assert cg(op, b, rtol=1e-8).condest is None
+
+    def test_factory_param(self):
+        from trilinos_tpu.solvers.factory import SolverManager
+        from trilinos_tpu.solvers.linear_problem import LinearProblem
+
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        mgr = SolverManager("CG", {"Convergence Tolerance": 1e-10,
+                                   "Estimate Condition Number": 200})
+        res = mgr.solve(LinearProblem(op=op, b=b))
+        w = np.linalg.eigvalsh(dense)
+        np.testing.assert_allclose(float(res.condest), w[-1] / w[0],
+                                   rtol=1e-6)

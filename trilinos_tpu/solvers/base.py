@@ -33,6 +33,9 @@ class SolveResult:
     iters: jax.Array  # iterations performed (scalar int)
     resnorm: jax.Array  # final residual norm(s), per RHS column
     converged: jax.Array  # bool per RHS column
+    # optional κ(M·A) estimate from the solver's own recurrence
+    # coefficients (AZ_cg_condnum analogue); None unless requested
+    condest: jax.Array | None = None
 
 
 def identity_prec(x: jax.Array) -> jax.Array:
@@ -59,7 +62,8 @@ def rhs_norm_scale(bnorm: jax.Array, rtol, atol) -> jax.Array:
     return rtol * scale + atol
 
 
-def certified_solve(solve_from, op, b, x0, tol, maxiter, comm):
+def certified_solve(solve_from, op, b, x0, tol, maxiter, comm,
+                    aux0=None):
     """Run a solver loop, certify with an explicit residual, and — when
     the recurrence undershoots (f32 drift: the implicit residual crosses
     the tolerance a few percent before the true one) — RESUME with a
@@ -70,6 +74,11 @@ def certified_solve(solve_from, op, b, x0, tol, maxiter, comm):
 
     solve_from(x, tol2_loop, k0) -> (x, k) continues the iteration from
     ``x`` (k counts cumulative iterations; must not exceed maxiter).
+
+    aux0: optional auxiliary pytree threaded through the retry loop —
+    solve_from is then called as (x, tol2, k0, aux) -> (x, k, aux) and
+    the final aux is returned as a 5th result (solvers use it to record
+    recurrence coefficients, e.g. the CG Lanczos condition estimate).
 
     Tightening attempts are capped (4 passes): an UNATTAINABLE tolerance
     (e.g. rtol 1e-8 in f32) is reported as converged=False after a
@@ -85,22 +94,28 @@ def certified_solve(solve_from, op, b, x0, tol, maxiter, comm):
         return comm.psum(local_dot(r, r))
 
     def cond(s):
-        x, k, t2, rr, tries = s
+        x, k, t2, rr, tries, aux = s
         return jnp.logical_and(
             jnp.logical_and(k < maxiter, tries < 4),
             jnp.any(rr > tol2))
 
     def body(s):
-        x, k, t2, _, tries = s
-        x, k = solve_from(x, t2, k)
+        x, k, t2, _, tries, aux = s
+        if aux0 is None:
+            x, k = solve_from(x, t2, k)
+        else:
+            x, k, aux = solve_from(x, t2, k, aux)
         return (x, k, t2 * jnp.asarray(0.0625, t2.dtype), true_rr(x),
-                tries + 1)
+                tries + 1, aux)
 
     t2_0 = tol2 * jnp.ones_like(jnp.asarray(tol))
-    x, k, t2, rr, tries = lax.while_loop(
-        cond, body, (x0, 0, t2_0, jnp.full_like(t2_0, jnp.inf), 0))
+    x, k, t2, rr, tries, aux = lax.while_loop(
+        cond, body,
+        (x0, 0, t2_0, jnp.full_like(t2_0, jnp.inf), 0, aux0))
     resnorm = jnp.sqrt(rr)
-    return x, k, resnorm, resnorm <= tol
+    if aux0 is None:
+        return x, k, resnorm, resnorm <= tol
+    return x, k, resnorm, resnorm <= tol, aux
 
 
 def certify_residual(op: Operator, b: jax.Array, x: jax.Array, tol, comm):

@@ -35,18 +35,64 @@ from .base import (Operator, SolveResult, bcast_cols, certified_solve,
                    safe_divide)
 
 
+def _tridiag_condest(alphas: jax.Array, betas: jax.Array,
+                     m: jax.Array) -> jax.Array:
+    """κ estimate from CG coefficients via the CG↔Lanczos connection
+    (AztecOO's AZ_cg_condnum, az_aztec_defs.h:266): the Lanczos
+    tridiagonal of M·A has diag_j = 1/α_j + β_{j-1}/α_{j-1} and
+    offdiag_j = √β_j / α_j; its extreme eigenvalues (Ritz values of the
+    first min(iters, window) steps) give λmax/λmin. Ritz interlacing
+    makes this a (typically tight) LOWER bound on the true κ(M·A).
+
+    alphas/betas: (cw,) recorded coefficients; m: number of valid steps.
+    Unused slots are filled with the first Rayleigh quotient 1/α_0 —
+    always inside the Ritz interval, so padding never moves the extremes.
+    """
+    cw = alphas.shape[0]
+    j = jnp.arange(cw)
+    valid = jnp.logical_and(j < m, alphas != 0)
+    a_safe = jnp.where(valid, alphas, 1.0)
+    b_rec = jnp.where(valid, betas, 0.0)
+    a_prev = jnp.concatenate([jnp.ones((1,), a_safe.dtype),
+                              a_safe[:-1]])
+    b_prev = jnp.concatenate([jnp.zeros((1,), b_rec.dtype),
+                              b_rec[:-1]])
+    fill = jnp.where(valid[0], 1.0 / a_safe[0], 1.0)
+    diag = jnp.where(valid, 1.0 / a_safe + b_prev / a_prev, fill)
+    valid_next = jnp.concatenate(
+        [valid[1:], jnp.zeros((1,), jnp.bool_)])
+    off = jnp.where(jnp.logical_and(valid, valid_next),
+                    jnp.sqrt(jnp.maximum(b_rec, 0.0)) / a_safe, 0.0)
+    t = (jnp.diag(diag) + jnp.diag(off[:-1], 1)
+         + jnp.diag(off[:-1], -1))
+    w = jnp.linalg.eigvalsh(t)
+    lo = jnp.maximum(w[0], jnp.asarray(jnp.finfo(w.dtype).tiny, w.dtype))
+    return w[-1] / lo
+
+
 def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
        prec: Operator | None = None, rtol: float = 1e-8, atol: float = 0.0,
-       maxiter: int = 1000, comm: Comm | None = None) -> SolveResult:
-    """Preconditioned CG (left-preconditioned in the M-inner-product form)."""
+       maxiter: int = 1000, comm: Comm | None = None,
+       condest_window: int = 0) -> SolveResult:
+    """Preconditioned CG (left-preconditioned in the M-inner-product form).
+
+    condest_window > 0 additionally records the first ``condest_window``
+    (α, β) recurrence pairs and returns a FREE per-column condition
+    estimate κ(M·A) in ``SolveResult.condest`` — the AZ_cg_condnum
+    output of AztecOO (az_aztec_defs.h:266-272), at the cost of one
+    small host-free eigvalsh after the loop (no extra applies or
+    reductions). Coefficients recorded across a tighten-retry seam
+    (rare) slightly perturb the estimate; it remains a Ritz-interlacing
+    lower bound in exact arithmetic."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
+    cw = int(min(condest_window, maxiter))
 
     bb = comm.psum(local_dot(b, b))
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
 
-    def solve_from(x, tol2, k0):
+    def solve_from(x, tol2, k0, aux=None):
         r = b - op(x)
         z = M(r)
         p = z
@@ -54,11 +100,11 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         rz, rr = d0[0], d0[1]
 
         def cond(s):
-            x, r, z, p, rz, rr, k = s
+            rr, k = s[5], s[6]
             return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
 
         def body(s):
-            x, r, z, p, rz, rr, k = s
+            x, r, z, p, rz, rr, k = s[:7]
             active = rr > tol2
             ap = op(p)
             pap = comm.psum(local_dot(p, ap))
@@ -70,12 +116,38 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             rz_new, rr_new = d[0], d[1]
             beta = jnp.where(active, safe_divide(rz_new, rz), 0)
             p = z + bcast_cols(beta, p)
-            return (x, r, z, p, jnp.where(active, rz_new, rz),
-                    jnp.where(active, rr_new, rr), k + 1)
+            out = (x, r, z, p, jnp.where(active, rz_new, rz),
+                   jnp.where(active, rr_new, rr), k + 1)
+            if cw:
+                alphas, betas = s[7]
+                idx = jnp.minimum(k, cw - 1)
+                ok = k < cw
+                alphas = alphas.at[idx].set(
+                    jnp.where(ok, alpha, alphas[idx]))
+                betas = betas.at[idx].set(
+                    jnp.where(ok, beta, betas[idx]))
+                out = out + ((alphas, betas),)
+            return out
 
-        x, r, z, p, rz, rr, k = lax.while_loop(
-            cond, body, (x, r, z, p, rz, rr, k0))
-        return x, k
+        st = (x, r, z, p, rz, rr, k0) + ((aux,) if cw else ())
+        out = lax.while_loop(cond, body, st)
+        return (out[0], out[6]) + ((out[7],) if cw else ())
+
+    if cw:
+        rdt = jnp.real(jnp.zeros((), b.dtype)).dtype
+        cshape = () if b.ndim == 1 else (b.shape[1],)
+        aux0 = (jnp.zeros((cw,) + cshape, rdt),
+                jnp.zeros((cw,) + cshape, rdt))
+        x, k, resnorm, conv, (alphas, betas) = certified_solve(
+            solve_from, op, b, x, tol, maxiter, comm, aux0=aux0)
+        m = jnp.minimum(k, cw)
+        if b.ndim == 1:
+            ce = _tridiag_condest(alphas, betas, m)
+        else:
+            ce = jax.vmap(_tridiag_condest,
+                          in_axes=(1, 1, None))(alphas, betas, m)
+        return SolveResult(x=x, iters=k, resnorm=resnorm,
+                           converged=conv, condest=ce)
 
     x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
                                           maxiter, comm)

@@ -76,6 +76,9 @@ _SPECS = {
     "Num Recycled Blocks": Param("Num Recycled Blocks", 8),
     "Step Size": Param("Step Size", 4),
     "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
+    # AZ_cg_condnum analogue: record this many CG coefficient pairs and
+    # report the free Lanczos condition estimate in SolveResult.condest
+    "Estimate Condition Number": Param("Estimate Condition Number", 0),
 }
 
 
@@ -111,7 +114,9 @@ class SolverManager:
         ortho = str(p["Orthogonalization"])
         if self.kind == "cg":
             res = cg(op, b, x0, prec=problem.left_prec
-                     or problem.right_prec, maxiter=maxiter, **common)
+                     or problem.right_prec, maxiter=maxiter,
+                     condest_window=int(p["Estimate Condition Number"]),
+                     **common)
         elif self.kind == "cg_single_reduce":
             res = cg_single_reduce(op, b, x0, prec=problem.left_prec
                                    or problem.right_prec, maxiter=maxiter,
