@@ -281,6 +281,69 @@ class TestFemProblems:
                / np.linalg.norm(b[:n]))
         assert rel <= 1.1e-8
 
+    def test_elasticity3d_spd_and_rigid_body(self):
+        """Q1 hex elasticity (Galeri_Elasticity3DProblem analogue):
+        element annihilates all 6 rigid-body modes; assembled operator
+        is SPD after the boundary shift."""
+        from trilinos_tpu.galeri import elasticity3d
+        from trilinos_tpu.galeri.fem import _q1_elasticity3d_ke
+
+        ke = _q1_elasticity3d_ke(1.0, 0.25)
+        np.testing.assert_allclose(ke, ke.T, atol=1e-14)
+        nodes = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                          [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]],
+                         dtype=float)
+        for d in range(3):
+            m = np.zeros((8, 3))
+            m[:, d] = 1
+            assert np.abs(ke @ m.reshape(-1)).max() < 1e-12
+        for ax in range(3):
+            om = np.zeros(3)
+            om[ax] = 1
+            m = np.cross(np.broadcast_to(om, (8, 3)), nodes)
+            assert np.abs(ke @ m.reshape(-1)).max() < 1e-12
+        w = np.linalg.eigvalsh(ke)
+        assert (np.abs(w) < 1e-12).sum() == 6  # exactly the RBMs
+
+        a = elasticity3d(5, 4, 4, e_mod=1.0, nu=0.25)
+        assert a.shape == (3 * 5 * 4 * 4,) * 2
+        d = a.to_dense()
+        np.testing.assert_allclose(d, d.T, atol=1e-12)
+        assert np.linalg.eigvalsh(d).min() > 0
+
+    def test_elasticity3d_bdia_packable_and_solvable(self):
+        """Interior nodes couple to 27 neighbours -> constant-block-
+        offset (BDIA b=3) structure; CG through the plane solver op
+        reaches the tolerance."""
+        import jax.numpy as jnp
+
+        from trilinos_tpu.galeri import elasticity3d
+        from trilinos_tpu.ops import csr_to_bdia
+        from trilinos_tpu.ops.pallas.bdia_spmv import bdia_plane_solver_op
+        from trilinos_tpu.solvers import cg
+
+        a = elasticity3d(8, 7, 6, e_mod=1.0, nu=0.3, dtype=np.float32)
+        bd = csr_to_bdia(a, 3, dtype=np.float32)
+        assert bd.block_size == 3 and len(bd.offsets) == 27
+        n = a.shape[0]
+        x = np.random.default_rng(2).standard_normal(n).astype(
+            np.float32)
+        xp = np.zeros(bd.n_rows_pad, np.float32)
+        xp[:n] = x
+        y = np.asarray(S.spmv(bd, jnp.asarray(xp)))[:n]
+        y_ref = a.to_dense() @ x
+        assert (np.abs(y - y_ref).max()
+                <= 1e-5 * np.abs(y_ref).max())
+
+        op, pack, unpack = bdia_plane_solver_op(bd)
+        b = np.zeros(bd.n_rows_pad, np.float32)
+        b[:n] = np.random.default_rng(3).standard_normal(n)
+        res = cg(op, pack(jnp.asarray(b)), rtol=1e-5, maxiter=3000)
+        xs = np.asarray(unpack(res.x))[:n]
+        rel = (np.linalg.norm(b[:n] - a.to_dense() @ xs)
+               / np.linalg.norm(b[:n]))
+        assert rel <= 2e-5, rel
+
     def test_helmholtz_shift(self):
         from trilinos_tpu.galeri import helmholtz2d
         from trilinos_tpu.galeri import laplace2d

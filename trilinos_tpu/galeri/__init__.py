@@ -1,4 +1,4 @@
-from .fem import elasticity2d, helmholtz2d, uniflow2d
+from .fem import elasticity2d, elasticity3d, helmholtz2d, uniflow2d
 from .stencils import (
     big_star2d,
     brick3d,
@@ -14,6 +14,7 @@ from .stencils import (
 
 __all__ = [
     "elasticity2d",
+    "elasticity3d",
     "helmholtz2d",
     "uniflow2d",
     "big_star2d",

@@ -90,6 +90,88 @@ def elasticity2d(nx: int, ny: int, e_mod: float = 1e9, nu: float = 0.25,
     return spadd(a, d)
 
 
+def _q1_elasticity3d_ke(e_mod: float, nu: float) -> np.ndarray:
+    """24×24 Q1 hexahedral element stiffness (unit cube element),
+    2×2×2 Gauss quadrature; dof order (ux0, uy0, uz0, ux1, ...) with
+    nodes (0,0,0),(1,0,0),(1,1,0),(0,1,0) then the z=1 copies — the
+    isotropic 3-D elasticity element of Galeri_Elasticity3DProblem.hpp."""
+    lam = e_mod * nu / ((1 + nu) * (1 - 2 * nu))
+    mu = e_mod / (2 * (1 + nu))
+    d_mat = np.zeros((6, 6))
+    d_mat[:3, :3] = lam
+    d_mat[np.arange(3), np.arange(3)] = lam + 2 * mu
+    d_mat[3:, 3:] = mu * np.eye(3)
+    gp = np.array([-1, 1]) / np.sqrt(3.0)
+    base = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    ke = np.zeros((24, 24))
+    for xi in gp:
+        for eta in gp:
+            for zeta in gp:
+                s, t, u = (xi + 1) / 2, (eta + 1) / 2, (zeta + 1) / 2
+                dn = np.zeros((8, 3))
+                for a in range(8):
+                    sx, sy = base[a % 4]
+                    sz = float(a // 4)
+                    fx = sx * s + (1 - sx) * (1 - s)
+                    fy = sy * t + (1 - sy) * (1 - t)
+                    fz = sz * u + (1 - sz) * (1 - u)
+                    gx = 2 * sx - 1   # d fx / ds
+                    gy = 2 * sy - 1
+                    gz = 2 * sz - 1
+                    dn[a] = (gx * fy * fz, fx * gy * fz, fx * fy * gz)
+                b_mat = np.zeros((6, 24))
+                for a in range(8):
+                    c = 3 * a
+                    b_mat[0, c] = dn[a, 0]
+                    b_mat[1, c + 1] = dn[a, 1]
+                    b_mat[2, c + 2] = dn[a, 2]
+                    b_mat[3, c] = dn[a, 1]      # γ_xy
+                    b_mat[3, c + 1] = dn[a, 0]
+                    b_mat[4, c + 1] = dn[a, 2]  # γ_yz
+                    b_mat[4, c + 2] = dn[a, 1]
+                    b_mat[5, c] = dn[a, 2]      # γ_zx
+                    b_mat[5, c + 2] = dn[a, 0]
+                ke += 0.125 * b_mat.T @ d_mat @ b_mat  # |J| = (1/2)^3
+    return ke
+
+
+def elasticity3d(nx: int, ny: int, nz: int, e_mod: float = 1e9,
+                 nu: float = 0.25, dtype=np.float64) -> CsrHost:
+    """Isotropic 3-D elasticity on an (nx-1)×(ny-1)×(nz-1)-element Q1
+    hex grid of nx·ny·nz nodes → 3·nx·ny·nz dofs
+    (Galeri_Elasticity3DProblem.hpp). Same Galeri convention as
+    ``elasticity2d``: assembled Neumann stiffness + SPD diagonal shift
+    on boundary-node dofs. Interior nodes couple to 27 neighbours →
+    a constant-block-offset (BDIA-packable, block b=3) structure."""
+    ke = _q1_elasticity3d_ke(e_mod, nu).astype(dtype)
+    ex, ey, ez = nx - 1, ny - 1, nz - 1
+    e_i, e_j, e_k = np.meshgrid(np.arange(ex), np.arange(ey),
+                                np.arange(ez), indexing="ij")
+    n0 = (e_k * (nx * ny) + e_j * nx + e_i).reshape(-1)
+    bottom = np.stack([n0, n0 + 1, n0 + nx + 1, n0 + nx], axis=1)
+    enodes = np.concatenate([bottom, bottom + nx * ny], axis=1)
+    connect = np.empty((enodes.shape[0], 24), dtype=np.int64)
+    for c in range(3):
+        connect[:, c::3] = 3 * enodes + c
+    mats = np.broadcast_to(ke, (enodes.shape[0], 24, 24))
+    a = fe_assemble(connect, mats, 3 * nx * ny * nz)
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny),
+                             np.arange(nz), indexing="ij")
+    boundary = ((ii == 0) | (ii == nx - 1) | (jj == 0) | (jj == ny - 1)
+                | (kk == 0) | (kk == nz - 1))
+    # node id = ix + nx*(iy + ny*iz): x fastest — flatten accordingly
+    nodes_b = np.nonzero(boundary.transpose(2, 1, 0).reshape(-1))[0]
+    dofs = np.concatenate([3 * nodes_b, 3 * nodes_b + 1,
+                           3 * nodes_b + 2])
+    shift = float(e_mod)
+    from ..ops.matrix_ops import spadd
+
+    d = CsrHost.from_coo(dofs, dofs,
+                         shift * np.ones(len(dofs), dtype=dtype),
+                         a.shape, sum_duplicates=True)
+    return spadd(a, d)
+
+
 def helmholtz2d(nx: int, ny: int, k: float = 1.0, h: float | None = None,
                 dtype=np.float64, fmt: str = "csr"):
     """Shifted Laplacian Helmholtz operator: A = Laplace2D − (k·h)² I."""
