@@ -122,3 +122,46 @@ class TestDistChebFused:
         x = ds.row_map.from_padded(np.asarray(res_p.x))
         rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
         assert rel <= 5e-10
+
+
+class TestDistSstepGmres:
+    """CA-GMRES: one depth-(s*reach) exchange per matrix-powers block
+    (drv.dist_sstep_gmres). Parity across single-chip / dist-fused /
+    dist-loop bases, and true-residual correctness."""
+
+    def test_parity_and_convergence(self, rng):
+        n_shards = 4
+        op = laplace3d(16, 16, 4 * n_shards, dtype=np.float32,
+                       fmt="stencil")
+        a = laplace3d(16, 16, 4 * n_shards)
+        n = op.n_rows
+        b = np.zeros(op.n_rows_pad, np.float32)
+        b[:n] = rng.standard_normal(n)
+        bj = jnp.asarray(b)
+        mesh = drv.make_mesh(n_shards)
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        kw = dict(s=3, t_blocks=5, max_restarts=25, rtol=1e-5)
+        r_single = sstep_gmres(op, bj, basis_impl="loop", **kw)
+        r_fused = drv.dist_sstep_gmres(op, bj, mesh=mesh,
+                                       basis="fused", **kw)
+        r_loop = drv.dist_sstep_gmres(op, bj, mesh=mesh, basis="loop",
+                                      **kw)
+        # loop and fused distributed bases are the same math -> same
+        # trajectory; single-chip agrees to f32 roundoff
+        assert int(r_fused.iters) == int(r_loop.iters)
+        np.testing.assert_allclose(float(r_fused.resnorm),
+                                   float(r_loop.resnorm), rtol=1e-4)
+        assert int(r_fused.iters) == int(r_single.iters)
+        assert bool(r_fused.converged)
+        x = np.asarray(r_fused.x)[:n]
+        rel = np.linalg.norm(b[:n] - a.to_dense() @ x) / np.linalg.norm(
+            b[:n])
+        assert rel <= 2e-5, rel
+
+    def test_rejects_stored_matrix(self):
+        a = laplace3d(8, 8, 8)
+        mesh = drv.make_mesh(2)
+        with pytest.raises(TypeError, match="StencilOp"):
+            drv.dist_sstep_gmres(a, jnp.zeros(512, jnp.float32),
+                                 mesh=mesh)

@@ -36,7 +36,8 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 rtol: float = 1e-8, atol: float = 0.0, sigma: float | None = None,
                 prec: Operator | None = None,
                 comm: Comm | None = None,
-                basis_impl: str = "auto") -> SolveResult:
+                basis_impl: str = "auto",
+                powers_fn: Callable | None = None) -> SolveResult:
     """Restarted s-step GMRES: m = s·t_blocks basis vectors per cycle.
 
     basis_impl: how the matrix-powers block W = [Aq/σ, A²q/σ², …] is
@@ -44,7 +45,13 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     'fused' = the single-HBM-pass Pallas matrix-powers kernel
     (stencil_powers_apply — requires ``op`` to be an unpreconditioned
     StencilOp; interpreted off-TPU, for tests); 'auto' = fused when
-    applicable on a TPU backend, else loop."""
+    applicable on a TPU backend, else loop.
+
+    powers_fn: explicit basis generator overriding basis_impl —
+    ``powers_fn(q, sigma) -> (n, s)`` with columns w_k = (A w_{k-1})/σ,
+    w_0 = q. The distributed CA driver passes the one-exchange halo
+    matrix-powers generator here (requires ``sigma`` to be given, since
+    the host-side estimate cannot run inside shard_map)."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -55,8 +62,8 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     def opM(v):
         return op(M(v))
 
-    powers_fused = None
-    if basis_impl != "loop" and prec is None:
+    powers_fused = powers_fn
+    if powers_fused is None and basis_impl != "loop" and prec is None:
         from ..ops import pallas as pk
         from ..ops.pallas.stencil_op import StencilOp
         from ..ops.pallas.stencil_poly import (monomial_stages,
@@ -82,6 +89,10 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     if basis_impl == "fused" and powers_fused is None:
         raise ValueError("basis_impl='fused' needs an unpreconditioned "
                          "f32 StencilOp with a viable kernel plan")
+    if powers_fn is not None and sigma is None:
+        raise ValueError("powers_fn requires an explicit sigma (the "
+                         "host-side estimate cannot run inside "
+                         "shard_map)")
 
     if sigma is None:
         # crude ‖A‖ estimate for basis scaling (host-side, few applies)
@@ -123,8 +134,11 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                                                     (0, i))
                     return w, wmat
 
-                _, wmat = lax.fori_loop(0, s, pw,
-                                        (q, jnp.zeros((n, s), dtype)))
+                # init derived from q so the carry keeps q's varying
+                # manual axes under shard_map (a plain zeros would be
+                # replicated and trip the vma check)
+                wmat0 = q[:, None] * jnp.zeros((1, s), dtype)
+                _, wmat = lax.fori_loop(0, s, pw, (q, wmat0))
             # block orthogonalization: W = V C + Q R  (4 reductions total)
             w2, c_full = cgs2_project(comm, v, wmat)
             q_new, r_small, _ = cholqr2(comm, w2)
