@@ -223,3 +223,101 @@ class TestSstepGmres:
         op, b, dense, n = make_problem(a)
         with pytest.raises(ValueError, match="fused"):
             sstep_gmres(op, b, basis_impl="fused")
+
+
+def test_certified_resnorm_nonsym_family():
+    """BiCGStab/MINRES/TFQMR report explicit-residual-certified
+    convergence (the recurrence/quasi-residual values can under- or
+    over-estimate; Belos cross-checks with the ImpResNorm
+    loss-of-accuracy test, BelosStatusTestImpResNorm.hpp:47-88). In
+    particular TFQMR's tau underestimates by up to sqrt(2k+2) — the
+    certified retry loop must close that gap."""
+    from trilinos_tpu.solvers import bicgstab, minres, tfqmr
+
+    a = laplace2d(30, 30)
+    op, b, dense, n = make_problem(a)
+    for solver in (bicgstab, minres, tfqmr):
+        res = solver(op, b, rtol=1e-8, maxiter=8000)
+        assert bool(np.all(np.asarray(res.converged))), solver
+        x = np.asarray(res.x)[:n]
+        true_norm = np.linalg.norm(np.asarray(b)[:n] - dense @ x)
+        np.testing.assert_allclose(float(res.resnorm), true_norm,
+                                   rtol=1e-6, atol=1e-13)
+        assert true_norm <= 1e-8 * np.linalg.norm(np.asarray(b)[:n])
+
+
+class TestNewtonBasisSstep:
+    """Newton-basis CA-GMRES (Leja-ordered Ritz shifts; conjugate pairs
+    fused into real quadratic stages). In exact arithmetic any basis
+    spans the same Krylov space, so one f64 cycle must reproduce the
+    monomial cycle exactly — while in f32 at larger s the Newton basis
+    stays better conditioned."""
+
+    def test_single_cycle_parity_spd(self):
+        from trilinos_tpu.solvers.sstep_gmres import (ritz_shifts,
+                                                      sstep_gmres)
+
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        sh = ritz_shifts(op, b, 4)
+        assert np.abs(sh.imag).max() < 1e-10  # SPD -> real Ritz values
+        kw = dict(s=4, t_blocks=3, max_restarts=0, rtol=1e-30)
+        r_m = sstep_gmres(op, b, **kw)
+        r_n = sstep_gmres(op, b, shifts=sh, **kw)
+        np.testing.assert_allclose(np.asarray(r_n.x), np.asarray(r_m.x),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_single_cycle_parity_complex_pairs(self):
+        from trilinos_tpu.solvers.sstep_gmres import (ritz_shifts,
+                                                      sstep_gmres)
+
+        a = recirc2d(14, 14, diff=1e-2)
+        op, b, dense, n = make_problem(a)
+        sh = ritz_shifts(op, b, 4)
+        assert np.abs(sh.imag).max() > 1e-8  # exercises the pair path
+        kw = dict(s=4, t_blocks=3, max_restarts=0, rtol=1e-30)
+        r_m = sstep_gmres(op, b, **kw)
+        r_n = sstep_gmres(op, b, shifts=sh, **kw)
+        np.testing.assert_allclose(np.asarray(r_n.x), np.asarray(r_m.x),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_leja_order_pairs_adjacent(self):
+        from trilinos_tpu.solvers.sstep_gmres import leja_order
+
+        vals = np.array([1.0, 2.0 + 1.0j, 2.0 - 1.0j, -3.0, 0.5 + 2.0j,
+                         0.5 - 2.0j])
+        out = leja_order(vals)
+        assert abs(out[0]) == max(abs(vals))
+        i = 0
+        while i < len(out):
+            if abs(out[i].imag) > 1e-12:
+                assert abs(out[i + 1] - np.conj(out[i])) < 1e-12
+                i += 2
+            else:
+                i += 1
+
+    def test_newton_converges_s8(self):
+        from trilinos_tpu.solvers.sstep_gmres import (ritz_shifts,
+                                                      sstep_gmres)
+
+        a = laplace2d(20, 20)
+        op, b, dense, n = make_problem(a)
+        sh = ritz_shifts(op, b, 8)
+        res = sstep_gmres(op, b, s=8, t_blocks=5, max_restarts=30,
+                          rtol=1e-8, shifts=sh)
+        assert bool(res.converged)
+        assert true_rel_res(b, dense, res.x, n) <= 1e-7
+
+    def test_bad_shift_count_rejected(self):
+        from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+        a = laplace2d(10, 10)
+        op, b, dense, n = make_problem(a)
+        with pytest.raises(ValueError, match="shifts"):
+            sstep_gmres(op, b, s=4, shifts=[1.0, 2.0])
+
+    def test_unpaired_complex_rejected(self):
+        from trilinos_tpu.solvers.sstep_gmres import newton_basis_stages
+
+        with pytest.raises(ValueError, match="conjugate"):
+            newton_basis_stages([1.0 + 1.0j, 2.0, 3.0], 1.0)

@@ -634,7 +634,8 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
                      t_blocks: int = 8, max_restarts: int = 20,
                      rtol: float = 1e-8, atol: float = 0.0,
                      sigma: float | None = None,
-                     basis: str = "fused") -> SolveResult:
+                     basis: str = "fused",
+                     shifts=None) -> SolveResult:
     """Communication-avoiding distributed s-step GMRES on a global
     matrix-free StencilOp over z-slabs — the full CA-GMRES kernel
     (Hoemmen/Demmel): the matrix-powers block W = [Aq/σ … A^s q/σ^s] is
@@ -661,7 +662,7 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
                                            stencil_powers_applicable,
                                            stencil_powers_apply,
                                            stencil_powers_xla)
-    from ..solvers.sstep_gmres import sstep_gmres
+    from ..solvers.sstep_gmres import newton_basis_stages, sstep_gmres
     from .distmatrix import distribute_stencil, exchange
 
     if not isinstance(op, StencilOp):
@@ -693,7 +694,11 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
         [[max(0, depth - sh * nzl),
           min(nz_ext, nz - sh * nzl + depth)]
          for sh in range(n_shards)]).astype(np.int32))
-    stages = monomial_stages(s, sigma)
+    if shifts is not None:
+        stages = tuple((a, bt, g, 0.0)
+                       for a, bt, g in newton_basis_stages(shifts, sigma))
+    else:
+        stages = monomial_stages(s, sigma)
     off = depth * pxy
     npl = ds.row_map.n_local_pad
     use_kernel = (jax.default_backend() != "cpu"
@@ -730,7 +735,7 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
         return sstep_gmres(
             op_loc, b_loc, s=s, t_blocks=t_blocks,
             max_restarts=max_restarts, rtol=rtol, atol=atol,
-            sigma=sigma, comm=comm,
+            sigma=sigma, comm=comm, shifts=shifts,
             powers_fn=None if basis == "loop" else powers_fn,
             basis_impl="loop")
 

@@ -14,7 +14,8 @@ from jax import lax
 
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm
-from .base import Operator, SolveResult, bcast_cols, identity_prec, rhs_norm_scale, safe_divide
+from .base import (Operator, SolveResult, bcast_cols, certified_solve,
+                   identity_prec, rhs_norm_scale, safe_divide)
 
 
 def minres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
@@ -25,12 +26,26 @@ def minres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
 
+    bb = comm.psum(local_dot(b, b))
+    tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
+    return _minres_certified(op, M, b, x, tol, maxiter, comm)
+
+
+def _minres_certified(op, M, b, x0, tol, maxiter, comm):
+    def solve_from(x, tol2, k0):
+        return _minres_loop(op, M, b, x, tol2, maxiter, comm, k0)
+
+    x, k, resnorm, conv = certified_solve(solve_from, op, b, x0, tol,
+                                          maxiter, comm)
+    return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)
+
+
+def _minres_loop(op, M, b, x, tol2, maxiter, comm, k0):
+    loop_tol = jnp.sqrt(tol2)  # phibar is a norm, not a squared norm
     r1 = b - op(x)
     y = M(r1)
-    d0 = comm.psum(jnp.stack([local_dot(r1, y), local_dot(b, b)]))
-    beta1_sq, bb = d0[0], d0[1]
+    beta1_sq = comm.psum(local_dot(r1, y))
     beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
-    tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
 
     zero = jnp.zeros_like(beta1)
     one = jnp.ones_like(beta1)
@@ -39,13 +54,14 @@ def minres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
         beta=beta1, beta1=beta1, phibar=beta1,
         oldb=zero, dbar=zero, epsln=zero,
-        cs=-one, sn=zero, phi=beta1, k=jnp.asarray(0))
+        cs=-one, sn=zero, phi=beta1, k=jnp.asarray(k0))
 
     def cond(s):
-        return jnp.logical_and(s["k"] < maxiter, jnp.any(s["phibar"] > tol))
+        return jnp.logical_and(s["k"] < maxiter,
+                               jnp.any(s["phibar"] > loop_tol))
 
     def body(s):
-        active = s["phibar"] > tol
+        active = s["phibar"] > loop_tol
         v = bcast_cols(safe_divide(one, s["beta"]), s["y"])
         yv = op(v)
         # single fused reduction point for alfa; beta needs the updated r
@@ -85,6 +101,4 @@ def minres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             cs=cs, sn=sn, phi=phi, k=s["k"] + 1)
 
     out = lax.while_loop(cond, body, state)
-    res = out["phibar"]
-    return SolveResult(x=out["x"], iters=out["k"], resnorm=res,
-                       converged=res <= tol)
+    return out["x"], out["k"]

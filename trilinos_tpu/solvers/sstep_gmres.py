@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -31,27 +33,107 @@ from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_div
 from .ortho import cgs2_project, cholqr2
 
 
+def leja_order(vals) -> np.ndarray:
+    """Modified Leja ordering (host-side): start at max modulus, then
+    greedily maximize Π|z - chosen| (via Σ log to avoid overflow);
+    a complex value is immediately followed by its conjugate so the
+    Newton basis can fuse the pair into a real quadratic stage.
+    (Bai/Hu/Reichel; Hoemmen's CA-GMRES uses exactly this ordering.)"""
+    remaining = list(np.asarray(vals, complex))
+    out: list[complex] = []
+    while remaining:
+        if not out:
+            idx = int(np.argmax(np.abs(remaining)))
+        else:
+            chosen = np.asarray(out)
+            score = [float(np.sum(np.log(
+                np.maximum(np.abs(chosen - z), 1e-300))))
+                for z in remaining]
+            idx = int(np.argmax(score))
+        z = remaining.pop(idx)
+        out.append(z)
+        if abs(z.imag) > 1e-12 * max(1.0, abs(z)) and remaining:
+            d = [abs(w - np.conj(z)) for w in remaining]
+            j = int(np.argmin(d))
+            if d[j] <= 1e-8 * max(1.0, abs(z)):
+                out.append(remaining.pop(j))
+    return np.asarray(out)
+
+
+def ritz_shifts(op: Operator, b: jax.Array, s: int,
+                comm: Comm | None = None) -> np.ndarray:
+    """s Leja-ordered Ritz values from an s-step Arnoldi on b — the
+    Newton-basis shifts for CA-GMRES (host-side setup; the reference's
+    GmresSstep sticks to the σ-scaled monomial basis, which loses
+    linear independence for larger s — Newton shifts are the standard
+    fix from the CA-Krylov literature)."""
+    from ..eigen.lanczos import arnoldi
+
+    v, h = arnoldi(op, b, s, comm=comm)
+    hm = np.asarray(h)[:s, :s]
+    return leja_order(np.linalg.eigvals(hm))
+
+
+def newton_basis_stages(shifts, sigma: float):
+    """(alpha, beta, gamma) per stage for the σ-scaled Newton basis
+    w_k = (A - λ_k) w_{k-1} / σ. Adjacent conjugate pairs (as produced
+    by leja_order) are fused into a REAL quadratic: the pair's second
+    stage computes w_{k+1} = ((A - a) w_k + (b²/σ) w_{k-1})/σ so that
+    σ² w_{k+1} = ((A - a)² + b²) w_{k-1} = (A - λ)(A - λ̄) w_{k-1}."""
+    inv = 1.0 / float(sigma)
+    shifts = np.asarray(shifts, complex)
+    out: list[tuple[float, float, float]] = []
+    i = 0
+    while i < len(shifts):
+        z = shifts[i]
+        if abs(z.imag) <= 1e-12 * max(1.0, abs(z)):
+            out.append((inv, -z.real * inv, 0.0))
+            i += 1
+            continue
+        if (i + 1 >= len(shifts)
+                or abs(shifts[i + 1] - np.conj(z))
+                > 1e-8 * max(1.0, abs(z))):
+            raise ValueError(
+                "complex shifts must come in adjacent conjugate pairs "
+                "(order them with leja_order)")
+        a, bb = z.real, abs(z.imag)
+        out.append((inv, -a * inv, 0.0))
+        out.append((inv, -a * inv, (bb * bb) * inv * inv))
+        i += 2
+    return out
+
+
 def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 s: int = 4, t_blocks: int = 8, max_restarts: int = 20,
                 rtol: float = 1e-8, atol: float = 0.0, sigma: float | None = None,
                 prec: Operator | None = None,
                 comm: Comm | None = None,
                 basis_impl: str = "auto",
-                powers_fn: Callable | None = None) -> SolveResult:
+                powers_fn: Callable | None = None,
+                shifts=None) -> SolveResult:
     """Restarted s-step GMRES: m = s·t_blocks basis vectors per cycle.
 
-    basis_impl: how the matrix-powers block W = [Aq/σ, A²q/σ², …] is
-    generated. 'loop' = s separate operator applies (any operator);
-    'fused' = the single-HBM-pass Pallas matrix-powers kernel
-    (stencil_powers_apply — requires ``op`` to be an unpreconditioned
-    StencilOp; interpreted off-TPU, for tests); 'auto' = fused when
-    applicable on a TPU backend, else loop.
+    basis_impl: how the matrix-powers block W is generated. 'loop' = s
+    separate operator applies (any operator); 'fused' = the
+    single-HBM-pass Pallas matrix-powers kernel (stencil_powers_apply —
+    requires ``op`` to be an unpreconditioned StencilOp; interpreted
+    off-TPU, for tests); 'auto' = fused when applicable on a TPU
+    backend, else loop.
+
+    shifts: optional length-s Newton-basis shifts (use ``ritz_shifts``
+    for Leja-ordered Ritz values): w_k = (A - λ_k) w_{k-1}/σ instead of
+    the monomial w_k = A w_{k-1}/σ — much better basis conditioning for
+    larger s. Complex shifts must come in adjacent conjugate pairs
+    (fused into real quadratic stages). The small-matrix bookkeeping is
+    basis-generic: A·[w_0..w_{s-1}] = [w_0..w_s]·B with B read off the
+    recurrence coefficients.
 
     powers_fn: explicit basis generator overriding basis_impl —
-    ``powers_fn(q, sigma) -> (n, s)`` with columns w_k = (A w_{k-1})/σ,
-    w_0 = q. The distributed CA driver passes the one-exchange halo
-    matrix-powers generator here (requires ``sigma`` to be given, since
-    the host-side estimate cannot run inside shard_map)."""
+    ``powers_fn(q, sigma) -> (n, s)`` producing the SAME recurrence as
+    the loop basis (monomial, or Newton when ``shifts`` is given). The
+    distributed CA driver passes the one-exchange halo matrix-powers
+    generator here (requires ``sigma`` to be given, since the host-side
+    estimate cannot run inside shard_map)."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -62,33 +144,6 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     def opM(v):
         return op(M(v))
 
-    powers_fused = powers_fn
-    if powers_fused is None and basis_impl != "loop" and prec is None:
-        from ..ops import pallas as pk
-        from ..ops.pallas.stencil_op import StencilOp
-        from ..ops.pallas.stencil_poly import (monomial_stages,
-                                               stencil_powers_applicable,
-                                               stencil_powers_apply)
-
-        ok = (isinstance(op, StencilOp) and n == op.n_rows_pad
-              and dtype == jnp.float32
-              and stencil_powers_applicable(op, s))
-        if ok and (basis_impl == "fused" or pk._on_tpu()):
-            interp = not pk._on_tpu()
-            pad = (jnp.arange(n) < op.n_rows) if op.n_rows_pad > op.n_rows \
-                else None
-
-            def powers_fused(q, sig):
-                u = stencil_powers_apply(op, monomial_stages(s, sig), q,
-                                         interpret=interp)   # (s, n)
-                if pad is not None:
-                    # loop path zeroes pad rows on the first apply; the
-                    # kernel's identity convention would carry q's pads
-                    u = jnp.where(pad[None, :], u, 0.0)
-                return u.T                                    # (n, s)
-    if basis_impl == "fused" and powers_fused is None:
-        raise ValueError("basis_impl='fused' needs an unpreconditioned "
-                         "f32 StencilOp with a viable kernel plan")
     if powers_fn is not None and sigma is None:
         raise ValueError("powers_fn requires an explicit sigma (the "
                          "host-side estimate cannot run inside "
@@ -96,8 +151,6 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
     if sigma is None:
         # crude ‖A‖ estimate for basis scaling (host-side, few applies)
-        import numpy as np
-
         v = jnp.asarray(np.random.default_rng(0).standard_normal(n),
                         dtype=dtype)
         v = v / norm2(comm, v)
@@ -107,6 +160,49 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             v = safe_divide(w, sig)
         sigma = float(sig)
         sigma = max(sigma, 1e-30)
+
+    if shifts is not None:
+        stage_coeffs = newton_basis_stages(shifts, sigma)
+        if len(stage_coeffs) != s:
+            raise ValueError(f"need exactly s={s} shifts")
+    else:
+        stage_coeffs = [(1.0 / sigma, 0.0, 0.0)] * s
+
+    powers_fused = powers_fn
+    if powers_fused is None and basis_impl != "loop" and prec is None:
+        from ..ops import pallas as pk
+        from ..ops.pallas.stencil_op import StencilOp
+        from ..ops.pallas.stencil_poly import (stencil_powers_applicable,
+                                               stencil_powers_apply)
+
+        ok = (isinstance(op, StencilOp) and n == op.n_rows_pad
+              and dtype == jnp.float32
+              and stencil_powers_applicable(op, s))
+        if ok and (basis_impl == "fused" or pk._on_tpu()):
+            interp = not pk._on_tpu()
+            pad = (jnp.arange(n) < op.n_rows) if op.n_rows_pad > op.n_rows \
+                else None
+            stages4 = tuple((a, bt, g, 0.0) for a, bt, g in stage_coeffs)
+
+            def powers_fused(q, sig):
+                u = stencil_powers_apply(op, stages4, q,
+                                         interpret=interp)   # (s, n)
+                if pad is not None:
+                    # loop path zeroes pad rows on the first apply; the
+                    # kernel's identity convention would carry q's pads
+                    u = jnp.where(pad[None, :], u, 0.0)
+                return u.T                                    # (n, s)
+    if basis_impl == "fused" and powers_fused is None:
+        raise ValueError("basis_impl='fused' needs an unpreconditioned "
+                         "f32 StencilOp with a viable kernel plan")
+
+    # recurrence coefficients as device constants (loop basis + the
+    # basis-change bookkeeping below)
+    alphas_c = jnp.asarray([a for a, _, _ in stage_coeffs], dtype)
+    betas_c = jnp.asarray([bt for _, bt, _ in stage_coeffs], dtype)
+    gammas_c = jnp.asarray([g for _, _, g in stage_coeffs], dtype)
+    inv_alpha_c = jnp.asarray([1.0 / a for a, _, _ in stage_coeffs],
+                              dtype)
 
     bnorm = norm2(comm, b)
     tol = rhs_norm_scale(bnorm, rtol, atol)
@@ -123,22 +219,25 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             j0 = blk * s
             q = lax.dynamic_slice(v, (0, j0), (n, 1))[:, 0]
 
-            # matrix powers W (n, s), scaled by sigma each step
+            # matrix powers W (n, s): w_k = α_k A w_{k-1} + β_k w_{k-1}
+            # + γ_k w_{k-2} (monomial: α=1/σ, β=γ=0)
             if powers_fused is not None:
                 wmat = powers_fused(q, sigma)
             else:
                 def pw(i, carry):
-                    w_prev, wmat = carry
-                    w = opM(w_prev) * (1.0 / sigma)
+                    w_prev, w_prev2, wmat = carry
+                    w = (alphas_c[i] * opM(w_prev)
+                         + betas_c[i] * w_prev + gammas_c[i] * w_prev2)
                     wmat = lax.dynamic_update_slice(wmat, w[:, None],
                                                     (0, i))
-                    return w, wmat
+                    return w, w_prev, wmat
 
-                # init derived from q so the carry keeps q's varying
-                # manual axes under shard_map (a plain zeros would be
+                # inits derived from q so the carry keeps q's varying
+                # manual axes under shard_map (plain zeros would be
                 # replicated and trip the vma check)
                 wmat0 = q[:, None] * jnp.zeros((1, s), dtype)
-                _, wmat = lax.fori_loop(0, s, pw, (q, wmat0))
+                _, _, wmat = lax.fori_loop(0, s, pw,
+                                           (q, q * 0.0, wmat0))
             # block orthogonalization: W = V C + Q R  (4 reductions total)
             w2, c_full = cgs2_project(comm, v, wmat)
             q_new, r_small, _ = cholqr2(comm, w2)
@@ -151,8 +250,17 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             e_col = jnp.zeros((m + 1, 1), dtype).at[j0, 0].set(1.0)
             x_blk = jnp.concatenate([e_col, g[:, : s - 1]], axis=1)
             ex = lax.dynamic_update_slice(ex, x_blk, (0, j0))
-            # Y columns: A X = sigma * [g_1 .. g_s]
-            fy = lax.dynamic_update_slice(fy, sigma * g, (0, j0))
+            # Y columns from the recurrence read backwards:
+            # A w_{k-1} = (w_k - β_k w_{k-1} - γ_k w_{k-2}) / α_k
+            # (monomial: fy = σ·[g_1 .. g_s])
+            g_prev1 = x_blk                     # [g_0 .. g_{s-1}]
+            g_prev2 = jnp.concatenate(
+                [jnp.zeros((m + 1, 1), dtype), x_blk[:, : s - 1]],
+                axis=1)                         # [0, g_0 .. g_{s-2}]
+            fy_blk = ((g - g_prev1 * betas_c[None, :]
+                       - g_prev2 * gammas_c[None, :])
+                      * inv_alpha_c[None, :])
+            fy = lax.dynamic_update_slice(fy, fy_blk, (0, j0))
             return v, ex, fy
 
         v, ex, fy = lax.fori_loop(0, t_blocks, blk_body, (v, ex, fy))
