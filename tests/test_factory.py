@@ -165,3 +165,26 @@ class TestMvopTester:
         from trilinos_tpu.testing import validate_comm
 
         assert validate_comm(SerialComm()) == []
+
+
+class TestStepBasis:
+    def test_newton_basis_via_manager(self):
+        """'Step Basis': 'Newton' computes Leja-ordered Ritz shifts
+        before the solve and converges like the monomial basis."""
+        from trilinos_tpu.solvers import create_solver
+
+        a = laplace2d(16, 16)
+        op, op_t, b, dense, n = make_problem(a)
+        for basis in ("Monomial", "Newton"):
+            mgr = create_solver("CA-GMRES", {
+                "Convergence Tolerance": 1e-8,
+                "Step Size": 4, "Num Blocks": 24,
+                "Maximum Restarts": 30, "Step Basis": basis})
+            res = mgr.solve(LinearProblem(op=op, b=b))
+            assert rel_res(b, dense, res.x, n) <= 1e-7, basis
+
+    def test_invalid_basis_rejected(self):
+        from trilinos_tpu.solvers import create_solver
+
+        with pytest.raises(ValueError):
+            create_solver("CA-GMRES", {"Step Basis": "Chebyshev"})

@@ -75,6 +75,11 @@ _SPECS = {
     "Damping": Param("Damping", 0.0),
     "Num Recycled Blocks": Param("Num Recycled Blocks", 8),
     "Step Size": Param("Step Size", 4),
+    # s-step basis: Newton computes Leja-ordered Ritz shifts from an
+    # s-step Arnoldi on b before the solve (better conditioned for
+    # larger Step Size)
+    "Step Basis": Param("Step Basis", "Monomial",
+                        choices=("Monomial", "Newton")),
     "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
     # AZ_cg_condnum analogue: record this many CG coefficient pairs and
     # report the free Lanczos condition estimate in SolveResult.condest
@@ -188,10 +193,15 @@ class SolverManager:
             from .sstep_gmres import sstep_gmres
 
             sstep = int(p["Step Size"])
+            shifts = None
+            if str(p["Step Basis"]).lower() == "newton":
+                from .sstep_gmres import ritz_shifts
+
+                shifts = ritz_shifts(op, b, sstep, comm=self.comm)
             res = sstep_gmres(
                 op, b, x0, s=sstep,
                 t_blocks=max(int(p["Num Blocks"]) // sstep, 1),
-                max_restarts=int(p["Maximum Restarts"]),
+                max_restarts=int(p["Maximum Restarts"]), shifts=shifts,
                 prec=problem.right_prec or problem.left_prec, **common)
         elif self.kind == "gcrodr":
             from .gcrodr import gcrodr
