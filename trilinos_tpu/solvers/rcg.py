@@ -25,7 +25,8 @@ from jax import lax
 
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm
-from .base import Operator, SolveResult, bcast_cols, identity_prec, rhs_norm_scale, safe_divide
+from .base import (Operator, SolveResult, bcast_cols, certified_solve,
+                   identity_prec, rhs_norm_scale, safe_divide)
 
 
 class CgRecycleSpace:
@@ -71,36 +72,41 @@ def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         v ← v − U (UᵀAU)⁻¹ (AU)ᵀ v  — keeps search directions p ⊥_A U."""
         return v - u @ (utau_inv @ comm.psum(au.T @ v))
 
-    # exact solve in span(U): x += U (UᵀAU)⁻¹ Uᵀ r
-    r = b - op(x)
-    x = x + u @ (utau_inv @ comm.psum(u.T @ r))
-    r = b - op(x)
     bnorm = jnp.sqrt(comm.psum(local_dot(b, b)))
     tol = rhs_norm_scale(bnorm, rtol, atol)
-    tol2 = tol * tol
 
-    rr = comm.psum(local_dot(r, r))
-    p = deflate(r)
+    def solve_from(x, tol2, k0):
+        # exact solve in span(U): x += U (UᵀAU)⁻¹ Uᵀ r (idempotent, so
+        # repeating it on a certified tighten-retry segment is safe)
+        r = b - op(x)
+        x = x + u @ (utau_inv @ comm.psum(u.T @ r))
+        r = b - op(x)
+        rr = comm.psum(local_dot(r, r))
+        p = deflate(r)
 
-    def cond(s):
-        x, r, p, rr, k = s
-        return jnp.logical_and(k < maxiter, rr > tol2)
+        def cond(s):
+            x, r, p, rr, k = s
+            return jnp.logical_and(k < maxiter, rr > tol2)
 
-    def body(s):
-        x, r, p, rr, k = s
-        ap = op(p)
-        pap = comm.psum(local_dot(p, ap))
-        alpha = safe_divide(rr, pap)
-        x = x + alpha * p
-        r = r - alpha * ap
-        rr_new = comm.psum(local_dot(r, r))
-        beta = safe_divide(rr_new, rr)
-        p = deflate(r) + beta * p
-        return x, r, p, rr_new, k + 1
+        def body(s):
+            x, r, p, rr, k = s
+            ap = op(p)
+            pap = comm.psum(local_dot(p, ap))
+            alpha = safe_divide(rr, pap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rr_new = comm.psum(local_dot(r, r))
+            beta = safe_divide(rr_new, rr)
+            p = deflate(r) + beta * p
+            return x, r, p, rr_new, k + 1
 
-    x, r, p, rr, k = lax.while_loop(cond, body, (x, r, p, rr, 0))
-    return (SolveResult(x=x, iters=k, resnorm=jnp.sqrt(rr),
-                        converged=rr <= tol2), recycle)
+        x, r, p, rr, k = lax.while_loop(cond, body, (x, r, p, rr, k0))
+        return x, k
+
+    x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
+                                          maxiter, comm)
+    return (SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv),
+            recycle)
 
 
 def pcpg(op: Operator, b: jax.Array, constraint_basis: jax.Array,
