@@ -62,6 +62,20 @@ def main():
         check("fused cheb4 polynomial kernel parity", err < 1e-5,
               f"err={err:.1e}")
 
+    # --- all-output matrix-powers kernel (CA-GMRES basis) ----------------
+    from trilinos_tpu.ops.pallas.stencil_poly import (
+        monomial_stages, stencil_powers_applicable, stencil_powers_apply,
+        stencil_powers_xla)
+
+    if stencil_powers_applicable(op, 4):
+        pst = monomial_stages(4, sigma=12.0)
+        u_p = jax.jit(lambda v: stencil_powers_apply(op, pst, v))(x)
+        u_x = stencil_powers_xla(op, pst, x)
+        err = float(jnp.max(jnp.abs(u_p - u_x))) / float(
+            jnp.max(jnp.abs(u_x)))
+        check("matrix-powers (all-output) kernel parity", err < 1e-5,
+              f"err={err:.1e}")
+
     # --- BASELINE config 1: Laplace2D 100^2, unprec CG (pallas path) ----
     a1 = laplace2d(100, 100, dtype=np.float32)
     dev = choose_format(a1)
