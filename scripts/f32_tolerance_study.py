@@ -63,15 +63,15 @@ def run_case(a, name, fn, kw, dtype):
     bj = jnp.asarray(b)
     dense = a.to_dense()
     op = lambda x: S.spmv(dev, x, impl="xla")
+    import inspect
+
+    takes_maxiter = "maxiter" in inspect.signature(fn).parameters
     tightest = None
     true_rel_at = {}
     for rtol in RTOLS:
-        try:
-            if "max_restarts" in kw or name.startswith("gmres"):
-                res = fn(op, bj, rtol=rtol, **kw)
-            else:
-                res = fn(op, bj, rtol=rtol, maxiter=20000, **kw)
-        except TypeError:
+        if takes_maxiter and "max_restarts" not in kw:
+            res = fn(op, bj, rtol=rtol, maxiter=20000, **kw)
+        else:
             res = fn(op, bj, rtol=rtol, **kw)
         x = np.asarray(res.x)[:n].astype(np.float64)
         rel = (np.linalg.norm(b[:n].astype(np.float64) - dense @ x)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from trilinos_tpu.ops.pallas.stencil_op import StencilOp
 from trilinos_tpu.ops.pallas.stencil_poly import (
-    chebyshev_stages, monomial_stages, newton_stages, power_stages,
+    chebyshev_stages, monomial_stages, power_stages,
     richardson_stages, stencil_poly_applicable, stencil_poly_apply,
     stencil_poly_xla, stencil_powers_applicable, stencil_powers_apply,
     stencil_powers_xla)
@@ -20,6 +20,15 @@ ST7 = [((0, 0, 0), 6.0), ((1, 0, 0), -1.0), ((-1, 0, 0), -1.0),
        ((0, 0, -1), -1.0)]
 ST5 = [((0, 0), 4.0), ((1, 0), -1.0), ((-1, 0), -1.0),
        ((0, 1), -1.0), ((0, -1), -1.0)]
+
+
+def _newton4():
+    """Newton-basis stage tuples (via the canonical builder in
+    solvers.sstep_gmres) with zeta=0 appended for the kernel."""
+    from trilinos_tpu.solvers.sstep_gmres import newton_basis_stages
+
+    return tuple((a, bt, g, 0.0) for a, bt, g in
+                 newton_basis_stages([5.9, 3.1, 0.4, 2.2], 6.0))
 
 
 def _x(op, seed=0):
@@ -117,7 +126,7 @@ class TestStencilPoly:
         x = _x(op, 11)
         for name, stages in [
             ("monomial", monomial_stages(4, sigma=6.0)),
-            ("newton", newton_stages([5.9, 3.1, 0.4, 2.2], sigma=6.0)),
+            ("newton", _newton4()),
             ("cheb", chebyshev_stages(1.9, 0.06, 4, 1 / 6.0)),
         ]:
             assert stencil_powers_applicable(op, len(stages)), name

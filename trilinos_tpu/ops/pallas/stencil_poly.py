@@ -385,7 +385,8 @@ def stencil_powers_apply(op: StencilOp, stages, x: jax.Array,
     the communication-avoiding basis generator the reference's s-step
     GMRES applies A repeatedly for (Belos_Tpetra_GmresSstep.hpp:305);
     here the intermediates additionally never re-enter HBM between
-    applies. Use monomial_stages/newton_stages for Krylov bases."""
+    applies. Use monomial_stages (or solvers.sstep_gmres.
+    newton_basis_stages + a 0.0 zeta) for Krylov bases."""
     return _poly_call(op, stages, x, interpret, z_bounds,
                       all_outputs=True)
 
@@ -457,12 +458,9 @@ def monomial_stages(s: int, sigma: float = 1.0):
     return tuple((inv, 0.0, 0.0, 0.0) for _ in range(s))
 
 
-def newton_stages(shifts, sigma: float = 1.0):
-    """Newton Krylov basis: u_j = (A - λ_j I) u_{j-1} / σ with Ritz-value
-    shifts λ_j — better conditioned than the monomial basis for larger s
-    (Bai/Hu/Reichel; the reference's CA-GMRES literature anchor)."""
-    inv = 1.0 / float(sigma)
-    return tuple((inv, -float(lam) * inv, 0.0, 0.0) for lam in shifts)
+# Newton-basis stages (with conjugate-pair fusion) live with their
+# consumer: solvers.sstep_gmres.newton_basis_stages — append a 0.0 zeta
+# to feed them to this kernel.
 
 
 def richardson_stages(omega: float, s: int, dinv: float):

@@ -237,6 +237,37 @@ def distribute_stencil(op, n_shards: int,
         depth=depth)
 
 
+def gather_extended(ds_sel, ds_valid, plan: HaloPlan, x: jax.Array,
+                    axis_name: str, n_shards: int) -> jax.Array:
+    """Per-shard (inside shard_map): exchange ghosts and assemble the
+    EXTENDED-slab vector — owned rows + halo planes in extended-row
+    order, off-grid rows zeroed. Shared by the DistStencil apply and
+    the CA paths (fused Chebyshev smoother, matrix-powers basis)."""
+    ghosts = exchange(x, plan, axis_name, n_shards)
+    was_1d = x.ndim == 1
+    x2 = x[:, None] if was_1d else x
+    g2 = ghosts[:, None] if was_1d else ghosts
+    allv = jnp.concatenate([x2, g2.astype(x2.dtype)], axis=0)
+    ext = jnp.where(ds_valid[:, None],
+                    allv.at[ds_sel].get(mode="promise_in_bounds"), 0)
+    return ext[:, 0] if was_1d else ext
+
+
+def zslab_bounds(op, n_shards: int, depth: int) -> np.ndarray:
+    """Per-shard valid-z-plane range [lo, hi) in EXTENDED-slab plane
+    coordinates: beyond-global-boundary ghost planes must stay masked
+    at every polynomial stage, while interior shard cuts read real halo
+    data (the invariant shared by dist_cheb_fused and
+    dist_sstep_gmres). Shape (n_shards, 2) int32."""
+    nz = op.dims[2]
+    nzl = nz // n_shards
+    nz_ext = nzl + 2 * depth
+    return np.stack([
+        [max(0, depth - s * nzl),
+         min(nz_ext, nz - s * nzl + depth)]
+        for s in range(n_shards)]).astype(np.int32)
+
+
 def apply_local_stencil(ds_sel, ds_valid, op_loc, depth, plan: HaloPlan,
                         x: jax.Array, axis_name: str,
                         n_shards: int) -> jax.Array:
@@ -246,14 +277,7 @@ def apply_local_stencil(ds_sel, ds_valid, op_loc, depth, plan: HaloPlan,
     nx, ny, _ = op_loc.dims
     pxy = nx * ny
     npl = x.shape[0]
-    ghosts = exchange(x, plan, axis_name, n_shards)
-    was_1d = x.ndim == 1
-    x2 = x[:, None] if was_1d else x
-    g2 = ghosts[:, None] if was_1d else ghosts
-    allv = jnp.concatenate([x2, g2.astype(x2.dtype)], axis=0)
-    ext = jnp.where(ds_valid[:, None],
-                    allv.at[ds_sel].get(mode="promise_in_bounds"), 0)
-    ext = ext[:, 0] if was_1d else ext
+    ext = gather_extended(ds_sel, ds_valid, plan, x, axis_name, n_shards)
     y = spmv(op_loc, ext)
     y_own = y[depth * pxy: depth * pxy + npl]
     return y_own

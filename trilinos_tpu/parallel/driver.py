@@ -205,10 +205,11 @@ class DistPrecond:
 
             return cheb
         if self.kind == "cheb_fused":
+            from ..ops import pallas as pk
             from ..ops.pallas.stencil_poly import (
                 stencil_poly_applicable, stencil_poly_apply,
                 stencil_poly_xla)
-            from .distmatrix import exchange
+            from .distmatrix import gather_extended
 
             stages, op_loc, npl, off = self.consts
             axis, p_shards = comm.axis_name, comm.size
@@ -217,7 +218,7 @@ class DistPrecond:
             # Pallas path only on the chip AND when the shard-local op
             # admits a kernel plan (small planes / non-f32 fall back to
             # the masked-roll XLA sweep — same math, one exchange)
-            use_kernel = (jax.default_backend() != "cpu"
+            use_kernel = (pk._on_tpu()
                           and stencil_poly_applicable(op_loc,
                                                       len(stages)))
 
@@ -228,11 +229,8 @@ class DistPrecond:
                 if r.ndim != 1:
                     raise NotImplementedError(
                         "cheb_fused: single-vector apply only")
-                ghosts = exchange(r, plan, axis, p_shards)
-                allv = jnp.concatenate([r, ghosts.astype(r.dtype)])
-                ext = jnp.where(
-                    valid, allv.at[sel].get(mode="promise_in_bounds"),
-                    0.0)
+                ext = gather_extended(sel, valid, plan, r, axis,
+                                      p_shards)
                 if use_kernel:
                     y = stencil_poly_apply(op_loc, stages, ext,
                                            z_bounds=zb)
@@ -284,7 +282,7 @@ def dist_cheb_fused(op, n_shards: int, degree: int = 4,
     data (validated against the global fused apply)."""
     from ..ops.pallas.stencil_op import StencilOp
     from ..ops.pallas.stencil_poly import stencil_chebyshev_setup
-    from .distmatrix import distribute_stencil
+    from .distmatrix import distribute_stencil, zslab_bounds
 
     if not isinstance(op, StencilOp):
         raise TypeError("dist_cheb_fused expects a global StencilOp")
@@ -294,14 +292,8 @@ def dist_cheb_fused(op, n_shards: int, degree: int = 4,
     z_reach = max(max((abs(o[2]) for o in op.offsets), default=0), 1)
     depth = degree * z_reach
     ds = distribute_stencil(op, n_shards, depth=depth)
-    nx, ny, nz = op.dims
-    pxy = nx * ny
-    nzl = nz // n_shards
-    nz_ext = nzl + 2 * depth
-    zb = np.stack([
-        [max(0, depth - s * nzl),
-         min(nz_ext, nz - s * nzl + depth)]
-        for s in range(n_shards)]).astype(np.int32)
+    pxy = op.dims[0] * op.dims[1]
+    zb = zslab_bounds(op, n_shards, depth)
     return DistPrecond(
         arrays={"plan": ds.plan, "sel": ds.sel, "valid": ds.valid,
                 "zb": jnp.asarray(zb)},
@@ -656,44 +648,34 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
     off-TPU — same math, still one exchange); basis='loop' is the
     baseline with one exchange per apply.
     """
+    from ..ops import pallas as pk
     from ..ops.matvec import spmv as _spmv
     from ..ops.pallas.stencil_op import StencilOp
     from ..ops.pallas.stencil_poly import (monomial_stages,
                                            stencil_powers_applicable,
                                            stencil_powers_apply,
                                            stencil_powers_xla)
-    from ..solvers.sstep_gmres import newton_basis_stages, sstep_gmres
-    from .distmatrix import distribute_stencil, exchange
+    from ..solvers.sstep_gmres import (estimate_opnorm,
+                                       newton_basis_stages, sstep_gmres)
+    from .distmatrix import (distribute_stencil, gather_extended,
+                             zslab_bounds)
 
     if not isinstance(op, StencilOp):
         raise TypeError("dist_sstep_gmres expects a global StencilOp")
     n_shards = int(mesh.devices.size)
 
     if sigma is None:
-        # host-side ‖A‖ estimate (matches sstep_gmres's own estimator
-        # so iteration counts are comparable across drivers)
-        v = jnp.asarray(
-            np.random.default_rng(0).standard_normal(op.n_rows_pad),
-            dtype=b.dtype)
-        v = v / jnp.linalg.norm(v)
-        sig = 1.0
-        for _ in range(3):
-            w = _spmv(op, v)
-            sig = float(jnp.linalg.norm(w))
-            v = w / max(sig, 1e-30)
-        sigma = max(sig, 1e-30)
+        # host-side ‖A‖ estimate on the global operator — the SAME
+        # estimator sstep_gmres uses, so iteration counts are
+        # comparable across drivers
+        sigma = estimate_opnorm(lambda v: _spmv(op, v), op.n_rows_pad,
+                                b.dtype)
 
     z_reach = max(max((abs(o[2]) for o in op.offsets), default=0), 1)
     depth = s * z_reach
     ds = distribute_stencil(op, n_shards, depth=depth)
-    nx, ny, nz = op.dims
-    pxy = nx * ny
-    nzl = nz // n_shards
-    nz_ext = nzl + 2 * depth
-    zb = jnp.asarray(np.stack(
-        [[max(0, depth - sh * nzl),
-          min(nz_ext, nz - sh * nzl + depth)]
-         for sh in range(n_shards)]).astype(np.int32))
+    pxy = op.dims[0] * op.dims[1]
+    zb = jnp.asarray(zslab_bounds(op, n_shards, depth))
     if shifts is not None:
         stages = tuple((a, bt, g, 0.0)
                        for a, bt, g in newton_basis_stages(shifts, sigma))
@@ -701,7 +683,7 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
         stages = monomial_stages(s, sigma)
     off = depth * pxy
     npl = ds.row_map.n_local_pad
-    use_kernel = (jax.default_backend() != "cpu"
+    use_kernel = (pk._on_tpu()
                   and stencil_powers_applicable(ds.op_local, s))
     vec_spec = P(AXIS)
     scal_spec = P()
@@ -719,11 +701,8 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
         op_loc = _local_op(al, n_shards)
 
         def powers_fn(q, sig):
-            ghosts = exchange(q, al.plan, AXIS, n_shards)
-            allv = jnp.concatenate([q, ghosts.astype(q.dtype)])
-            ext = jnp.where(
-                al.valid, allv.at[al.sel].get(mode="promise_in_bounds"),
-                0.0)
+            ext = gather_extended(al.sel, al.valid, al.plan, q, AXIS,
+                                  n_shards)
             if use_kernel:
                 u = stencil_powers_apply(al.op_local, stages, ext,
                                          z_bounds=zbl)

@@ -194,15 +194,20 @@ class SolverManager:
 
             sstep = int(p["Step Size"])
             shifts = None
+            sstep_prec = problem.right_prec or problem.left_prec
             if str(p["Step Basis"]).lower() == "newton":
                 from .sstep_gmres import ritz_shifts
 
-                shifts = ritz_shifts(op, b, sstep, comm=self.comm)
+                # shifts must target the spectrum of the SAME operator
+                # the basis recurrence applies (op∘M when preconditioned)
+                op_m = (op if sstep_prec is None
+                        else (lambda v: op(sstep_prec(v))))
+                shifts = ritz_shifts(op_m, b, sstep, comm=self.comm)
             res = sstep_gmres(
                 op, b, x0, s=sstep,
                 t_blocks=max(int(p["Num Blocks"]) // sstep, 1),
                 max_restarts=int(p["Maximum Restarts"]), shifts=shifts,
-                prec=problem.right_prec or problem.left_prec, **common)
+                prec=sstep_prec, **common)
         elif self.kind == "gcrodr":
             from .gcrodr import gcrodr
 

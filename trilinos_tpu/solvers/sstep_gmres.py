@@ -74,6 +74,24 @@ def ritz_shifts(op: Operator, b: jax.Array, s: int,
     return leja_order(np.linalg.eigvals(hm))
 
 
+def estimate_opnorm(apply, n: int, dtype, comm: Comm | None = None,
+                    iters: int = 3, seed: int = 0) -> float:
+    """Crude ‖A‖₂ estimate by a few power iterations (host-side setup).
+    The single-chip and distributed s-step drivers both use THIS
+    function so their σ basis scalings — and hence iteration counts —
+    are comparable."""
+    comm = comm or SerialComm()
+    v = jnp.asarray(np.random.default_rng(seed).standard_normal(n),
+                    dtype=dtype)
+    v = v / norm2(comm, v)
+    sig = 1.0
+    for _ in range(iters):
+        w = apply(v)
+        sig = norm2(comm, w)
+        v = safe_divide(w, sig)
+    return max(float(sig), 1e-30)
+
+
 def newton_basis_stages(shifts, sigma: float):
     """(alpha, beta, gamma) per stage for the σ-scaled Newton basis
     w_k = (A - λ_k) w_{k-1} / σ. Adjacent conjugate pairs (as produced
@@ -148,18 +166,12 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         raise ValueError("powers_fn requires an explicit sigma (the "
                          "host-side estimate cannot run inside "
                          "shard_map)")
+    if powers_fn is not None and prec is not None:
+        raise ValueError("powers_fn generates an unpreconditioned "
+                         "basis; prec cannot be combined with it")
 
     if sigma is None:
-        # crude ‖A‖ estimate for basis scaling (host-side, few applies)
-        v = jnp.asarray(np.random.default_rng(0).standard_normal(n),
-                        dtype=dtype)
-        v = v / norm2(comm, v)
-        for _ in range(3):
-            w = opM(v)
-            sig = norm2(comm, w)
-            v = safe_divide(w, sig)
-        sigma = float(sig)
-        sigma = max(sigma, 1e-30)
+        sigma = estimate_opnorm(opM, n, dtype, comm)
 
     if shifts is not None:
         stage_coeffs = newton_basis_stages(shifts, sigma)
