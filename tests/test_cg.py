@@ -16,8 +16,9 @@ from trilinos_tpu.ops import matvec as S
 from trilinos_tpu.solvers import cg, cg_pipeline, cg_single_reduce
 
 
-def make_problem(a_csr, nrhs=0, seed=3, fmt="dia"):
-    dev = F.csr_to_dia(a_csr) if fmt == "dia" else F.csr_to_ell(a_csr)
+def make_problem(a_csr, nrhs=0, seed=3, fmt="dia", dtype=None):
+    dev = (F.csr_to_dia(a_csr, dtype=dtype) if fmt == "dia"
+           else F.csr_to_ell(a_csr, dtype=dtype))
     n = a_csr.shape[0]
     npad = dev.n_rows_pad
     rng = np.random.default_rng(seed)
@@ -25,7 +26,8 @@ def make_problem(a_csr, nrhs=0, seed=3, fmt="dia"):
     b = np.zeros(shape)
     b[:n] = rng.standard_normal((n,) if nrhs == 0 else (n, nrhs))
     op = lambda x: S.spmv(dev, x, impl="xla")
-    return op, jnp.asarray(b), a_csr.to_dense(), n
+    bj = jnp.asarray(b, dtype=dtype) if dtype is not None else jnp.asarray(b)
+    return op, bj, a_csr.to_dense(), n
 
 
 @pytest.mark.parametrize("solver", [cg, cg_single_reduce, cg_pipeline])
@@ -174,6 +176,24 @@ class TestCgCondest:
         est = float(res.condest)
         assert est <= true_kappa * (1 + 1e-8)
         assert est >= 0.25 * true_kappa  # 20 Lanczos steps get close
+
+    def test_seam_retry_lower_bound(self):
+        """Across certified_solve tighten-retries the recorded T must be
+        the direct sum of genuine Lanczos blocks (seam beta zeroed) —
+        otherwise spurious coupling pushes Ritz values OUTSIDE the
+        spectrum (observed +11-13% over true kappa pre-fix). f32 with an
+        unattainable rtol forces all 4 retry passes."""
+        a = laplace2d(48, 48)
+        op, b32, dense, n = make_problem(a, dtype=jnp.float32)
+        w = np.linalg.eigvalsh(dense)
+        true_kappa = w[-1] / w[0]
+        res = cg(op, b32, rtol=3e-7, maxiter=4000, condest_window=400)
+        assert not bool(res.converged)  # retries exhausted (f32 floor)
+        est = float(res.condest)
+        # f32 coefficient roundoff gives ~1e-5 slack; 1e-3 is the
+        # regression margin against the pre-fix 1.11x overshoot
+        assert est <= true_kappa * (1 + 1e-3)
+        assert est >= 0.9 * true_kappa
 
     def test_off_by_default(self):
         a = laplace2d(10, 10)

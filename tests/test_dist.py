@@ -150,6 +150,28 @@ class TestDistSolve:
         assert rel <= 1.1e-10
         assert abs(int(res.iters) - int(serial.iters)) <= 2
 
+    def test_cg_condest_dist(self, rng):
+        """dist_solve threads the replicated condest leaf through the
+        shard_map out_specs; the distributed estimate must match the
+        serial AZ_cg_condnum value (coefficients are psum'd, identical
+        per shard)."""
+        a = laplace2d(20, 20)
+        n = a.shape[0]
+        b = rng.standard_normal(n)
+        dev = F.csr_to_dia(a)
+        bp = np.zeros(dev.n_rows_pad)
+        bp[:n] = b
+        serial = cg(lambda v: S.spmv(dev, v), jnp.asarray(bp),
+                    rtol=1e-10, condest_window=200)
+        dm = D.distribute(a, 4)
+        mesh = drv.make_mesh(4)
+        bg = jnp.asarray(dm.row_map.to_padded(b))
+        res = drv.dist_solve(cg, dm, bg, mesh=mesh, rtol=1e-10,
+                             condest_window=200)
+        assert res.condest is not None
+        np.testing.assert_allclose(float(res.condest),
+                                   float(serial.condest), rtol=1e-8)
+
     def test_pipelined_cg_dist(self, rng):
         a = laplace3d(8, 8, 8)
         n = a.shape[0]

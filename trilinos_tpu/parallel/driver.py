@@ -604,12 +604,16 @@ def dist_solve(solver: Callable, a: DistMatrix, b: jax.Array,
     vec_spec = P(AXIS) if b.ndim == 1 else P(AXIS, None)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     scal_spec = P()
+    # cg(condest_window=N) adds a replicated condest leaf to the result
+    # pytree (computed from psum'd coefficients — identical per shard)
+    ce_spec = scal_spec if solver_kw.get("condest_window") else None
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), vec_spec, vec_spec, P(AXIS)),
         out_specs=SolveResult(x=vec_spec, iters=scal_spec,
-                              resnorm=scal_spec, converged=scal_spec))
+                              resnorm=scal_spec, converged=scal_spec,
+                              condest=ce_spec))
     def run(a_sh, b_loc, x0_loc, prec_sh):
         al = unstack_local(a_sh)
         comm = AxisComm(AXIS, n_shards)
@@ -672,7 +676,10 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
                                 b.dtype)
 
     z_reach = max(max((abs(o[2]) for o in op.offsets), default=0), 1)
-    depth = s * z_reach
+    # the loop baseline exchanges once PER APPLY, so it only needs
+    # single-apply halo depth — a depth-(s·reach) plan would inflate its
+    # per-exchange bytes s-fold and overstate the fused path's advantage
+    depth = (s * z_reach) if basis != "loop" else z_reach
     ds = distribute_stencil(op, n_shards, depth=depth)
     pxy = op.dims[0] * op.dims[1]
     zb = jnp.asarray(zslab_bounds(op, n_shards, depth))

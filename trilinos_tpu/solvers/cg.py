@@ -81,9 +81,10 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     estimate κ(M·A) in ``SolveResult.condest`` — the AZ_cg_condnum
     output of AztecOO (az_aztec_defs.h:266-272), at the cost of one
     small host-free eigvalsh after the loop (no extra applies or
-    reductions). Coefficients recorded across a tighten-retry seam
-    (rare) slightly perturb the estimate; it remains a Ritz-interlacing
-    lower bound in exact arithmetic."""
+    reductions). A tighten-retry resumption starts a fresh Lanczos
+    process; the recorded beta at the seam is zeroed so T is the direct
+    sum of genuine Lanczos blocks and the Ritz-interlacing lower-bound
+    property survives retries."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -126,6 +127,17 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                     jnp.where(ok, alpha, alphas[idx]))
                 betas = betas.at[idx].set(
                     jnp.where(ok, beta, betas[idx]))
+                # a tighten-retry resumption (k0 > 0) starts a FRESH
+                # Lanczos process: sever the spurious coupling to the
+                # previous segment by zeroing the recorded beta at the
+                # seam — T becomes block-diagonal, the direct sum of
+                # genuine Lanczos blocks, so its extreme Ritz values
+                # stay inside [λmin, λmax]
+                pidx = jnp.minimum(jnp.maximum(k0 - 1, 0), cw - 1)
+                seam = jnp.logical_and(jnp.logical_and(k == k0, k0 > 0),
+                                       k0 - 1 < cw)
+                betas = betas.at[pidx].set(
+                    jnp.where(seam, 0.0, betas[pidx]))
                 out = out + ((alphas, betas),)
             return out
 
