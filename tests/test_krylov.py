@@ -94,6 +94,70 @@ class TestGmres:
         assert true_rel_res(b, dense, res.x, n) <= 1.1e-8
 
 
+class TestGmresCondest:
+    """Free κ₂ estimate from the Arnoldi Hessenberg — the AZ_condnum
+    output of AztecOO's AZ_pgmres_condnum (az_gmres_condnum.c). Here
+    computed from the RECTANGULAR H̄ whose singular values provably lie
+    inside [σmin, σmax] of the preconditioned operator, so the estimate
+    is a lower bound on κ₂ even for nonsymmetric matrices."""
+
+    def test_spd_matches_kappa2(self):
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        k2 = np.linalg.cond(dense, 2)
+        res = gmres(op, b, rtol=1e-10, restart=80, maxiter=400,
+                    condest=True)
+        assert bool(res.converged)
+        est = float(res.condest)
+        assert est <= k2 * (1 + 1e-8)
+        np.testing.assert_allclose(est, k2, rtol=0.05)
+
+    def test_restarted_keeps_widest_bracket(self):
+        """Across restart cycles the running max-σmax/min-σmin bracket
+        stays a sound (and tightening) lower bound."""
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        k2 = np.linalg.cond(dense, 2)
+        res = gmres(op, b, rtol=1e-10, restart=20, maxiter=600,
+                    condest=True)
+        est = float(res.condest)
+        assert est <= k2 * (1 + 1e-8)
+        assert est >= 0.9 * k2
+
+    def test_nonsym_lower_bound(self):
+        a = recirc2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        k2 = np.linalg.cond(dense, 2)
+        res = gmres(op, b, rtol=1e-10, restart=60, maxiter=600,
+                    condest=True)
+        est = float(res.condest)
+        assert est <= k2 * (1 + 1e-8)
+        assert est >= 0.5 * k2
+
+    def test_multivector_and_default_off(self):
+        a = laplace2d(12, 12)
+        op, b, dense, n = make_problem(a, nrhs=2)
+        res = gmres(op, b, rtol=1e-9, restart=40, condest=True)
+        est = np.asarray(res.condest)
+        assert est.shape == (2,)
+        k2 = np.linalg.cond(dense, 2)
+        np.testing.assert_allclose(est, k2, rtol=0.05)
+        assert gmres(op, b, rtol=1e-9, restart=40).condest is None
+
+    def test_factory_param(self):
+        from trilinos_tpu.solvers.factory import SolverManager
+        from trilinos_tpu.solvers.linear_problem import LinearProblem
+
+        a = laplace2d(12, 12)
+        op, b, dense, n = make_problem(a)
+        mgr = SolverManager("GMRES", {"Convergence Tolerance": 1e-9,
+                                      "Num Blocks": 40,
+                                      "Estimate Condition Number": 1})
+        res = mgr.solve(LinearProblem(op, b))
+        k2 = np.linalg.cond(dense, 2)
+        np.testing.assert_allclose(float(res.condest), k2, rtol=0.05)
+
+
 class TestBicgstab:
     def test_laplace2d(self):
         a = laplace2d(20, 20)

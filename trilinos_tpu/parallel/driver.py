@@ -604,9 +604,11 @@ def dist_solve(solver: Callable, a: DistMatrix, b: jax.Array,
     vec_spec = P(AXIS) if b.ndim == 1 else P(AXIS, None)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     scal_spec = P()
-    # cg(condest_window=N) adds a replicated condest leaf to the result
-    # pytree (computed from psum'd coefficients — identical per shard)
-    ce_spec = scal_spec if solver_kw.get("condest_window") else None
+    # cg(condest_window=N) / gmres(condest=True) add a replicated
+    # condest leaf to the result pytree (computed from psum'd
+    # coefficients — identical per shard)
+    ce_spec = (scal_spec if solver_kw.get("condest_window")
+               or solver_kw.get("condest") else None)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -81,8 +81,10 @@ _SPECS = {
     "Step Basis": Param("Step Basis", "Monomial",
                         choices=("Monomial", "Newton")),
     "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
-    # AZ_cg_condnum analogue: record this many CG coefficient pairs and
-    # report the free Lanczos condition estimate in SolveResult.condest
+    # AZ_cg_condnum / AZ_condnum analogue: CG records this many
+    # coefficient pairs for the free Lanczos condition estimate; GMRES
+    # treats any nonzero value as "report the Hessenberg singular-range
+    # estimate". Both land in SolveResult.condest.
     "Estimate Condition Number": Param("Estimate Condition Number", 0),
 }
 
@@ -145,7 +147,9 @@ class SolverManager:
             fn = fgmres if self.kind == "fgmres" else gmres
             res = fn(op, b, x0, prec=problem.right_prec or problem.left_prec,
                      restart=int(p["Num Blocks"]), maxiter=maxiter,
-                     ortho=ortho, **common)
+                     ortho=ortho,
+                     condest=bool(int(p["Estimate Condition Number"])),
+                     **common)
         elif self.kind == "block_gmres":
             bb = b[:, None] if b.ndim == 1 else b
             xx = x0[:, None] if (x0 is not None and x0.ndim == 1) else x0

@@ -47,10 +47,38 @@ def _givens_apply(cs, sn, h, j):
     return lax.fori_loop(0, m, body, h)
 
 
+def _hbar_sv_range(h_raw: jax.Array, j: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Extreme squared singular values of the rectangular Arnoldi
+    Hessenberg H̄_j ((j+1)×j, zero-padded to (m+1, m)).
+
+    Since A'V_j = V_{j+1}H̄_j with orthonormal V, every singular value of
+    H̄_j lies inside [σmin(A'), σmax(A')] — so σmax(H̄)/σmin(H̄) is a
+    PROVABLE lower bound on κ₂ of the preconditioned operator even for
+    nonsymmetric A' (the reference's AZ_pgmres_condnum uses the square
+    projection V_jᵀA'V_j instead, aztecoo/src/az_gmres_condnum.c:754-838,
+    which can overshoot for non-normal operators). Computed as the
+    extreme eigenvalues of the masked Gram matrix H̄ᵀH̄, with unused
+    diagonal slots filled by the first column's squared norm — a value
+    inside [σmin², σmax²] (any column norm is), so padding never moves
+    the extremes. j == 0 returns (1, 1) → condest 1."""
+    m = h_raw.shape[1]
+    idx = jnp.arange(m)
+    colv = idx < j
+    rowv = jnp.arange(m + 1) <= j
+    hm = jnp.where(colv[None, :] & rowv[:, None], h_raw, 0.0)
+    gram = hm.T @ hm
+    fill = jnp.where(j > 0, gram[0, 0], 1.0)
+    outer = colv[None, :] & colv[:, None]
+    gm = jnp.where(outer, gram, fill * jnp.eye(m, dtype=gram.dtype))
+    w = jnp.linalg.eigvalsh(gm)
+    tiny = jnp.asarray(jnp.finfo(w.dtype).tiny, w.dtype)
+    return w[-1], jnp.maximum(w[0], tiny)
+
+
 def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
                   prec: Operator, flexible: bool, restart: int,
                   maxiter: int, rtol: float, atol: float, comm: Comm,
-                  ortho: str):
+                  ortho: str, condest: bool = False):
     """Restarted right-preconditioned GMRES for ONE RHS column (n,)."""
     m = restart
     n = b.shape[0]
@@ -67,16 +95,17 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
         v = v.at[:, 0].set(safe_divide(r0, beta))
         z = jnp.zeros((n, m), dtype) if flexible else None
         h_rot = jnp.zeros((m + 1, m), dtype)  # rotated Hessenberg (R factor)
+        h_raw = jnp.zeros((m + 1, m), dtype) if condest else None
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
         def cond(s):
-            v, z, h_rot, cs, sn, g, j = s
+            v, z, h_rot, h_raw, cs, sn, g, j = s
             return jnp.logical_and(j < m, jnp.abs(g[j]) > tol)
 
         def body(s):
-            v, z, h_rot, cs, sn, g, j = s
+            v, z, h_rot, h_raw, cs, sn, g, j = s
             vj = lax.dynamic_slice_in_dim(v, j, 1, axis=1)[:, 0]
             zj = prec(vj)
             if flexible:
@@ -87,6 +116,8 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             w2 = w2[:, 0]
             hnorm = norm2(comm, w2)
             h = hcol[:, 0].at[j + 1].set(hnorm)
+            if condest:
+                h_raw = lax.dynamic_update_slice(h_raw, h[:, None], (0, j))
             v = lax.dynamic_update_slice(
                 v, safe_divide(w2, hnorm)[:, None], (0, j + 1))
             # Givens: rotate new column, create rotation j, update g
@@ -101,10 +132,10 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             g = g.at[j + 1].set(-s_new * g[j])
             g = g.at[j].set(c_new * g[j])
             h_rot = lax.dynamic_update_slice(h_rot, h[:, None], (0, j))
-            return (v, z, h_rot, cs, sn, g, j + 1)
+            return (v, z, h_rot, h_raw, cs, sn, g, j + 1)
 
-        state = (v, z, h_rot, cs, sn, g, 0)
-        v, z, h_rot, cs, sn, g, j = lax.while_loop(cond, body, state)
+        state = (v, z, h_rot, h_raw, cs, sn, g, 0)
+        v, z, h_rot, h_raw, cs, sn, g, j = lax.while_loop(cond, body, state)
 
         # masked back-substitution: y = R⁻¹ g on the leading j×j block
         idx = jnp.arange(m)
@@ -120,36 +151,55 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
         if not flexible:
             correction = prec(correction)
         x = x + correction
-        return x, total_iters + j, jnp.abs(g[j])
+        out = (x, total_iters + j, jnp.abs(g[j]))
+        if condest:
+            out = out + _hbar_sv_range(h_raw, j)
+        return out
 
     def outer_cond(s):
-        x, total, res = s
+        total, res = s[1], s[2]
         return jnp.logical_and(total < maxiter, res > tol)
 
     def outer_body(s):
-        x, total, _ = s
-        return cycle(x, total)
+        out = cycle(s[0], s[1])
+        if condest:
+            # each restart cycle samples the operator's singular range
+            # through a fresh Krylov basis: keep the widest certified
+            # bracket (running max σmax², min σmin²)
+            return out[:3] + (jnp.maximum(out[3], s[3]),
+                              jnp.minimum(out[4], s[4]))
+        return out
 
     # one cycle always runs; then restart while needed
-    x, total, res = cycle(x0, 0)
-    x, total, res = lax.while_loop(outer_cond, outer_body, (x, total, res))
+    st = cycle(x0, 0)
+    st = lax.while_loop(outer_cond, outer_body, st)
+    x, total = st[0], st[1]
     # explicit-residual cross-check (the ImpResNorm "loss of accuracy"
     # guard, BelosStatusTestImpResNorm.hpp:47-88): report the TRUE residual
     res_true = norm2(comm, b - op(x))
-    return x, total, res_true, res_true <= tol
+    ce = jnp.sqrt(st[3] / st[4]) if condest else None
+    return x, total, res_true, res_true <= tol, ce
 
 
 def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           prec: Operator | None = None, flexible: bool = False,
           restart: int = 30, maxiter: int = 1000, rtol: float = 1e-8,
           atol: float = 0.0, comm: Comm | None = None,
-          ortho: str = "CGS2") -> SolveResult:
+          ortho: str = "CGS2", condest: bool = False) -> SolveResult:
     """Restarted GMRES(m) with right preconditioning.
 
     Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
     each column its own Krylov space and Hessenberg, while the operator
     apply and the CGS2 reductions remain batched over all columns (the
     compiled analogue of BelosPseudoBlockGmresIter's shared kernels).
+
+    condest=True additionally reports a FREE κ₂ estimate of the
+    preconditioned operator in ``SolveResult.condest`` — the AZ_condnum
+    output of AztecOO's AZ_pgmres_condnum (az_gmres_condnum.c) — from
+    the singular range of the Arnoldi Hessenberg (one small eigvalsh per
+    restart cycle; no extra applies or reductions). Here it is a
+    provable LOWER bound on κ₂ even for nonsymmetric operators (the
+    rectangular H̄, not the square projection the reference uses).
     """
     comm = comm or SerialComm()
     prec = prec or identity_prec
@@ -160,15 +210,18 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
     core = functools.partial(
         _gmres_single, op, prec=prec, flexible=flexible, restart=restart,
-        maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m)
+        maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m,
+        condest=condest)
 
     if b.ndim == 1:
-        x, iters, res, conv = core(b, x0)
+        x, iters, res, conv, ce = core(b, x0)
     else:
-        x, iters, res, conv = jax.vmap(core, in_axes=1, out_axes=(1, 0, 0, 0))(
-            b, x0)
+        out_axes = (1, 0, 0, 0, 0 if condest else None)
+        x, iters, res, conv, ce = jax.vmap(core, in_axes=1,
+                                           out_axes=out_axes)(b, x0)
         iters = jnp.max(iters)
-    return SolveResult(x=x, iters=iters, resnorm=res, converged=conv)
+    return SolveResult(x=x, iters=iters, resnorm=res, converged=conv,
+                       condest=ce)
 
 
 def fgmres(op: Operator, b: jax.Array, x0: jax.Array | None = None,
