@@ -726,6 +726,40 @@ def export_combine(x: jax.Array, ghosts: jax.Array, plan: HaloPlan,
     return y[:, 0] if was_1d else y
 
 
+def apply_local_transpose(mat_interior, mat_boundary: BoundaryPart,
+                          plan: HaloPlan, x: jax.Array, axis_name: str,
+                          n_shards: int) -> jax.Array:
+    """Distributed transpose SpMV y = Aᵀx, per-shard view (the
+    ``apply(..., Teuchos::TRANS)`` mode of the reference's CrsMatrix,
+    Tpetra_CrsMatrix_def.hpp localApply CONJ_TRANS + Export-ADD of the
+    off-process column contributions).
+
+    The local rows scatter Aᵀ contributions into the extended
+    [owned-columns | ghost-columns] space; ghost contributions then ride
+    the EXISTING Import plan in reverse (``export_combine`` ADD), so no
+    second comm plan is built. Square row-distributed matrices only
+    (row_map == domain map) — rectangular transposes (AMG restriction)
+    store R explicitly instead.
+    """
+    was_1d = x.ndim == 1
+    x2 = x[:, None] if was_1d else x
+    n_loc = x2.shape[0]
+    k = x2.shape[1]
+    y = spmv(mat_interior, x, transpose=True)  # interior cols are owned
+    y2 = y[:, None] if was_1d else y
+    # boundary rows: y_ext[cols[r, j]] += vals[r, j] * x[rows_idx[r]]
+    xb = x2.at[mat_boundary.rows_idx].get(mode="promise_in_bounds")
+    contrib = (mat_boundary.vals[:, :, None]
+               * xb[:, None, :].astype(mat_boundary.vals.dtype))
+    ext = jnp.zeros((n_loc + plan.n_ghost_pad, k), contrib.dtype)
+    ext = ext.at[mat_boundary.cols.reshape(-1)].add(
+        contrib.reshape(-1, k), mode="promise_in_bounds")
+    y2 = y2 + ext[:n_loc].astype(y2.dtype)
+    y2 = export_combine(y2, ext[n_loc:].astype(y2.dtype), plan, axis_name,
+                        n_shards, "ADD")
+    return y2[:, 0] if was_1d else y2
+
+
 def apply_local(mat_interior, mat_boundary: BoundaryPart, plan: HaloPlan,
                 x: jax.Array, axis_name: str, n_shards: int) -> jax.Array:
     """Distributed SpMV, per-shard view: overlap-friendly split apply."""

@@ -27,7 +27,8 @@ from ..ops.formats import CsrHost
 from ..solvers.base import SolveResult
 from .comm import AxisComm, Comm
 from .distmatrix import (DistMatrix, DistStencil, apply_local,
-                         apply_local_stencil, unstack_local)
+                         apply_local_stencil, apply_local_transpose,
+                         unstack_local)
 from .map import Map
 
 
@@ -39,6 +40,20 @@ def _local_op(al, n_shards):
             n_shards)
     return lambda v: apply_local(al.interior, al.boundary, al.plan, v,
                                  AXIS, n_shards)
+
+
+def _local_op_t(al, n_shards):
+    """Per-shard TRANSPOSE operator closure (square DistMatrix only)."""
+    if isinstance(al, DistStencil):
+        raise NotImplementedError(
+            "transpose apply on DistStencil: symmetric stencils satisfy "
+            "Aᵀ = A; for general stencils distribute the stored format")
+    if al.col_map is not None:
+        raise NotImplementedError(
+            "transpose of a rectangular DistMatrix — AMG stores R "
+            "explicitly (distribute_rect) instead")
+    return lambda v: apply_local_transpose(al.interior, al.boundary,
+                                           al.plan, v, AXIS, n_shards)
 
 AXIS = "rows"
 
@@ -588,6 +603,50 @@ def dist_spmv(a: DistMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
         return _local_op(al, n_shards)(x_loc)
 
     return run(a, x)
+
+
+def dist_spmv_t(a: DistMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Global distributed TRANSPOSE SpMV y = Aᵀx (Tpetra's
+    ``apply(X, Y, Teuchos::TRANS)``): local Aᵀ scatter into the extended
+    column space + Export-ADD of ghost-column contributions over the
+    reversed Import plan."""
+    n_shards = a.row_map.n_shards
+    vec_spec = P(AXIS) if x.ndim == 1 else P(AXIS, None)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS), vec_spec), out_specs=vec_spec)
+    def run(a_sh, x_loc):
+        al = unstack_local(a_sh)
+        return _local_op_t(al, n_shards)(x_loc)
+
+    return run(a, x)
+
+
+def dist_lsqr(a: DistMatrix, b: jax.Array, x0: jax.Array | None = None, *,
+              mesh: Mesh, **solver_kw) -> SolveResult:
+    """Distributed LSQR (Golub–Kahan bidiagonalization needs BOTH A and
+    Aᵀ applies — the reference's Belos::LSQRSolMgr over a Tpetra operator
+    with transpose support). One jitted program: forward halo-exchange
+    apply + reverse Export-ADD transpose apply + psum reductions."""
+    from ..solvers.lsqr import lsqr
+
+    n_shards = a.row_map.n_shards
+    vec_spec = P(AXIS) if b.ndim == 1 else P(AXIS, None)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    scal_spec = P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), vec_spec, vec_spec),
+        out_specs=SolveResult(x=vec_spec, iters=scal_spec,
+                              resnorm=scal_spec, converged=scal_spec))
+    def run(a_sh, b_loc, x0_loc):
+        al = unstack_local(a_sh)
+        comm = AxisComm(AXIS, n_shards)
+        return lsqr(_local_op(al, n_shards), _local_op_t(al, n_shards),
+                    b_loc, x0=x0_loc, comm=comm, **solver_kw)
+
+    return run(a, b, x0)
 
 
 def dist_solve(solver: Callable, a: DistMatrix, b: jax.Array,
