@@ -787,3 +787,130 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
             basis_impl="loop")
 
     return run(ds, zb, b)
+
+
+# ---------------------------------------------------------------------------
+# Global-view distributed operators + eigen (the Anasazi-over-Tpetra role)
+# ---------------------------------------------------------------------------
+
+def global_operator(a, mesh: Mesh) -> Callable:
+    """Global-view distributed apply: returns ``op(x) -> Ax`` where x is a
+    GLOBAL padded array (``row_map.n_global_pad`` rows, 1-D or (n, k)).
+
+    This is the Tpetra ``Operator::apply`` seen from the caller's side
+    (Tpetra_Operator.hpp): one jitted shard_map program (halo exchange +
+    interior/boundary split SpMV) per call; XLA/GSPMD keeps the result
+    row-sharded, so chains of applies and reductions on the returned
+    arrays stay distributed. Works for DistMatrix and DistStencil.
+    The matrix rides as a jit ARGUMENT (never a closure — large closures
+    break remote compile)."""
+    n_shards = a.row_map.n_shards if not isinstance(a, DistStencil) else \
+        int(mesh.devices.size)
+
+    @jax.jit
+    def apply(a_, x):
+        vec_spec = P(AXIS) if x.ndim == 1 else P(AXIS, None)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(AXIS), vec_spec), out_specs=vec_spec)
+        def run(a_sh, x_loc):
+            al = unstack_local(a_sh)
+            return _local_op(al, n_shards)(x_loc)
+
+        return run(a_, x)
+
+    return lambda x: apply(a, x)
+
+
+def global_precond(prec: DistPrecond, a, mesh: Mesh) -> Callable:
+    """Global-view apply of a DistPrecond (see ``global_operator``):
+    ``m(r)`` takes/returns global padded arrays, computed as one jitted
+    shard_map program."""
+    n_shards = a.row_map.n_shards
+
+    @jax.jit
+    def apply(a_, parrs, x):
+        vec_spec = P(AXIS) if x.ndim == 1 else P(AXIS, None)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), vec_spec), out_specs=vec_spec)
+        def run(a_sh, p_sh, x_loc):
+            al = unstack_local(a_sh)
+            comm = AxisComm(AXIS, n_shards)
+            op = _local_op(al, n_shards)
+            m = DistPrecond(arrays=p_sh, kind=prec.kind,
+                            consts=prec.consts).make(comm, op)
+            return m(x_loc)
+
+        return run(a_, parrs, x)
+
+    return lambda x: apply(a, prec.arrays, x)
+
+
+_EIG_V0_WIDTH = {
+    # solver name -> start-block width (0 = single 1-D start vector)
+    "lobpcg": lambda nev, kw: nev,
+    "tracemin": lambda nev, kw: kw.get("block") or nev + 2,
+    "rtr": lambda nev, kw: kw.get("block") or nev,
+    "block_davidson": lambda nev, kw: kw.get("nb") or nev,
+    "generalized_davidson": lambda nev, kw: kw.get("nb") or nev,
+    "block_krylov_schur": lambda nev, kw: kw.get("nb") or 1,
+    "lanczos_eigs": lambda nev, kw: 0,
+    "arnoldi": lambda nev, kw: 0,
+    "power_method": lambda nev, kw: 0,
+}
+
+
+def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
+                  mesh: Mesh, v0: np.ndarray | None = None,
+                  prec: DistPrecond | None = None, seed: int = 7, **kw):
+    """Run any eigensolver from ``trilinos_tpu.eigen`` on a DistMatrix —
+    the reference's Anasazi-over-Tpetra stack (every Anasazi SolMgr is
+    MPI-distributed through MultiVecTraits; AnasaziTpetraAdapter.hpp).
+
+    TPU-native form: GLOBAL-VIEW rather than per-shard. Multivectors are
+    row-sharded global arrays; the operator apply is one jitted shard_map
+    program (``global_operator``); every solver-side einsum/norm on those
+    arrays is partitioned by GSPMD. This covers both fully-jitted solvers
+    (lobpcg's while_loop compiles to ONE sharded program) and solvers
+    with host-orchestrated restarts (block_krylov_schur's ordschur on the
+    projected Hessenberg — small replicated host work between sharded
+    device steps, exactly the reference's rank-replicated LAPACK calls).
+
+    Padding: pad rows/cols of a distributed matrix are zero (decoupled),
+    so the zero-pad subspace is A-invariant; v0 is built (or padded) with
+    ZERO pad rows, hence no iterate ever leaves the true-matrix subspace
+    and the computed spectrum is exactly the unpadded matrix's.
+
+    ``v0`` is an UNPADDED host array ((n,) or (n, w)); returns the
+    solver's result with eigenvectors in the padded global layout
+    (recover host order via ``a.row_map.from_padded``).
+    """
+    import inspect
+
+    from jax.sharding import NamedSharding
+
+    rmap = a.row_map
+    dtype = kw.get("dtype", jnp.float64)
+    name = getattr(eigsolver, "__name__", "")
+    width = _EIG_V0_WIDTH.get(name, lambda nev, kw: nev)(nev, kw)
+    if v0 is None:
+        rng = np.random.default_rng(seed)
+        shape = (rmap.n_global,) if width == 0 else (rmap.n_global, width)
+        v0 = rng.standard_normal(shape)
+    v0p = rmap.to_padded(np.asarray(v0, dtype=np.dtype(jnp.dtype(dtype))))
+    spec = P(AXIS) if v0p.ndim == 1 else P(AXIS, None)
+    v0j = jax.device_put(v0p, NamedSharding(mesh, spec))
+
+    op = global_operator(a, mesh)
+    if prec is not None:
+        kw["prec"] = global_precond(prec, a, mesh)
+
+    params = list(inspect.signature(eigsolver).parameters)
+    if len(params) > 1 and params[1] == "n":
+        # (op, n, nev, ..., v0=) family: davidson/krylov_schur/tracemin/rtr
+        return eigsolver(op, rmap.n_global_pad, nev, v0=v0j, **kw)
+    if "nev" in params:  # lanczos_eigs(op, v0, nev, ...)
+        return eigsolver(op, v0j, nev, **kw)
+    return eigsolver(op, v0j, **kw)  # lobpcg / power_method / arnoldi
