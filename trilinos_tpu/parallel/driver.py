@@ -893,6 +893,9 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
 
     rmap = a.row_map
     dtype = kw.get("dtype", jnp.float64)
+    params = list(inspect.signature(eigsolver).parameters)
+    if "dtype" not in params:  # lobpcg/lanczos infer dtype from v0
+        kw.pop("dtype", None)
     name = getattr(eigsolver, "__name__", "")
     width = _EIG_V0_WIDTH.get(name, lambda nev, kw: nev)(nev, kw)
     if v0 is None:
@@ -907,7 +910,6 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
     if prec is not None:
         kw["prec"] = global_precond(prec, a, mesh)
 
-    params = list(inspect.signature(eigsolver).parameters)
     if len(params) > 1 and params[1] == "n":
         # (op, n, nev, ..., v0=) family: davidson/krylov_schur/tracemin/rtr
         return eigsolver(op, rmap.n_global_pad, nev, v0=v0j, **kw)
