@@ -6,6 +6,8 @@ from .gen_davidson import generalized_davidson
 from .tracemin import tracemin
 from .rtr import rtr
 from .spectral import eigs_near, shift_invert
+from .factory import (EigenProblem, EigenSolverManager, create_eigensolver,
+                      eigensolver_names)
 
 __all__ = ["arnoldi", "lanczos_eigs", "EigenResult", "lobpcg",
            "power_method", "EigsResult", "block_krylov_schur",
