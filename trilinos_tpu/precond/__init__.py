@@ -7,7 +7,7 @@ from .chebyshev import Chebyshev, fused_stencil_chebyshev
 from .ilu import Ilu0, ilu0_factor
 from .ilut import Ilut, ilut_factor
 from .jacobi import BlockJacobi, Relaxation
-from .poly import GmresPoly
+from .poly import GmresPoly, gmres_poly_op
 from .multicolor_gs import MulticolorGaussSeidel
 from .schwarz import AdditiveSchwarz
 from .two_level_schwarz import TwoLevelSchwarz
