@@ -175,9 +175,13 @@ class TestMatrixFreeFineAmg:
 
         a = laplace2d(24, 24)
         op = laplace2d(24, 24, fmt="stencil")
+        # pin the uncoupled hierarchy: these tests compare the
+        # matrix-free fine level against the stored-matrix V-cycle
+        # (auto would pick structured aggregation for a StencilOp)
         m = precond.SaAmg(a, {
             "fine: matrix-free operator": op,
             "smoother: type": smoother,
+            "aggregation: type": "uncoupled",
         }).compute()
         return a, op, m
 
