@@ -238,19 +238,19 @@ def bench_bdia_solve(nx=64, ny=64, nz=48, iters=400):
 
 def bench_amg_pcg(nx=64, ny=64, nz=64, rtol=1e-5):
     """End-to-end AMG-preconditioned CG time-to-solution on Laplace3D:
-    matrix-free stencil fine level + fused-Chebyshev smoothing (the
-    KokkosSparse_pcg.cpp / MueLu-preconditioned-solve analogue).
-    Returns (iters, solve_seconds) — fresh RHS per timed call."""
+    structured-aggregation hierarchy — matrix-free stencil fine level,
+    reshape transfers, exact boundary-classified Galerkin DIA coarse
+    levels (the KokkosSparse_pcg.cpp / MueLu-preconditioned-solve
+    analogue). Round 2's uncoupled hierarchy measured 581 ms here; the
+    structured one ~50 ms. Returns (iters, solve_seconds) — fresh RHS
+    per timed call."""
     from trilinos_tpu.galeri import laplace3d
     from trilinos_tpu.ops import matvec as mv
     from trilinos_tpu.precond import SaAmg
     from trilinos_tpu.solvers import cg
 
-    a = laplace3d(nx, ny, nz, dtype=np.float32)
     op = laplace3d(nx, ny, nz, dtype=np.float32, fmt="stencil")
-    m = SaAmg(a, {"fine: matrix-free operator": op,
-                  "smoother: type": "chebyshev",
-                  "dtype": np.float32}).compute()
+    m = SaAmg(op, {"dtype": np.float32}).compute()
     n, npad = op.n_rows, op.n_rows_pad
     run = jax.jit(lambda bb: cg(lambda v: mv.spmv(op, v), bb, prec=m,
                                 rtol=rtol, maxiter=200))
@@ -398,6 +398,8 @@ def main():
                       ("ortho_gbps", ortho_gbps),
                       ("cg_iters_per_s", cg_iters_s),
                       ("cg_fused_iters_per_s", cgf_iters_s),
+                      ("amg_pcg_solves_per_s",
+                       0.0 if amg_t in (0, float("inf")) else 1.0 / amg_t),
                       ("triad_gbps", triad)]:
         r = arch.check(name, val, tol=1.20, higher_is_better=True)
         statuses[name] = r.status

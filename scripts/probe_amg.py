@@ -1,7 +1,10 @@
 """Profile the SA-AMG V-cycle components on the real chip.
 
-Finds where the 64^3 AMG-PCG iteration time goes (bench_amg_pcg measured
-~69 ms/iter on-device in round 2 — ~300x the fine stencil apply).
+Round-3 finding (uncoupled hierarchy at 64^3): the V-cycle spent ~44 ms
+in ELL-gather P/Pt applies and ~16 ms in coarse ELL SpMVs per cycle
+while the fine stencil apply was ~0.14 ms — which motivated the
+structured-aggregation path (reshape transfers + exact classified DIA
+coarse levels). This probe times whichever hierarchy `SaAmg` builds.
 """
 import time
 
@@ -16,7 +19,7 @@ from trilinos_tpu.precond import SaAmg
 from trilinos_tpu.solvers import cg
 
 
-def timed(fn, x, reps=50, repeats=3):
+def timed(fn, x, reps=200, repeats=3):
     @jax.jit
     def chain(v):
         def body(i, u):
@@ -37,49 +40,34 @@ def timed(fn, x, reps=50, repeats=3):
 
 def main():
     nx = ny = nz = 64
-    a = laplace3d(nx, ny, nz, dtype=np.float32)
     op = laplace3d(nx, ny, nz, dtype=np.float32, fmt="stencil")
-    m = SaAmg(a, {"fine: matrix-free operator": op,
-                  "smoother: type": "chebyshev",
-                  "dtype": np.float32}).compute()
-    print("levels:", m.n_levels())
-    for k, lvl in enumerate(m.levels):
-        pa = lvl["p"]
-        print(f"  level {k}: n_f={lvl['n_f']} n_c={lvl['n_c']} "
-              f"a={type(lvl['a']).__name__} "
-              f"P ell k={pa.k} Pt k={lvl['pt'].k}")
+    t0 = time.time()
+    m = SaAmg(op, {"dtype": np.float32}).compute()
+    print(f"setup {time.time()-t0:.1f}s structured={m._structured} "
+          f"levels={m.n_levels()}")
     npad = op.n_rows_pad
     x = jnp.asarray(np.random.default_rng(0).standard_normal(npad),
                     dtype=jnp.float32)
 
     t = timed(lambda v: mv.spmv(op, v), x)
     print(f"fine stencil apply      : {t*1e3:8.3f} ms")
-    t = timed(m._fine_cheb, x)
-    print(f"fused cheb smoother     : {t*1e3:8.3f} ms")
 
     lvl0 = m.levels[0]
-    xc = jnp.asarray(
-        np.random.default_rng(1).standard_normal(lvl0["n_c"]),
-        dtype=jnp.float32)
-    t = timed(lambda v: mv.spmv(lvl0["p"], mv.spmv(lvl0["pt"], v)), x)
-    print(f"P@(Pt@r) pair (level 0) : {t*1e3:8.3f} ms")
-    t = timed(lambda v: mv.spmv(lvl0["pt"], mv.spmv(lvl0["p"], v)), xc)
-    print(f"Pt@(P@e) pair (level 0) : {t*1e3:8.3f} ms")
+    t = timed(lambda v: lvl0["prolong"](lvl0["restrict"](v)), x)
+    print(f"P(Pt r) transfer pair   : {t*1e3:8.3f} ms")
 
     if len(m.levels) > 1:
         lvl1 = m.levels[1]
         x1 = jnp.asarray(
-            np.random.default_rng(2).standard_normal(lvl1["n_f"]),
-            dtype=jnp.float32)
+            np.random.default_rng(2).standard_normal(
+                lvl1["a"].n_rows_pad), dtype=jnp.float32)
         t = timed(lambda v: mv.spmv(lvl1["a"], v), x1)
-        print(f"level-1 A apply ({type(lvl1['a']).__name__}): {t*1e3:8.3f} ms")
-        t = timed(lambda v: m._smooth(lvl1, jnp.zeros_like(v), v), x1)
-        print(f"level-1 smooth          : {t*1e3:8.3f} ms")
+        print(f"level-1 A apply ({type(lvl1['a']).__name__}): "
+              f"{t*1e3:8.3f} ms")
 
-    t = timed(m._apply, x, reps=20)
+    t = timed(m._apply, x, reps=50)
     print(f"full V-cycle            : {t*1e3:8.3f} ms")
 
-    # one unpreconditioned CG iteration for scale
     run = jax.jit(lambda bb: cg(lambda v: mv.spmv(op, v), bb, rtol=0.0,
                                 maxiter=200))
     r = run(x)

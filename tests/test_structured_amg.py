@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from trilinos_tpu import precond
 from trilinos_tpu.galeri import laplace2d, laplace3d
 from trilinos_tpu.ops import matvec as S
+from trilinos_tpu.ops.formats import DiaMatrix
 from trilinos_tpu.ops.pallas.stencil_op import StencilOp
 from trilinos_tpu.solvers import cg
 
@@ -32,9 +33,13 @@ class TestStructuredHierarchy:
         op = laplace3d(16, 16, 16, fmt="stencil")
         m = precond.SaAmg(op).compute()
         assert m._structured
-        assert all(isinstance(lvl["a"], StencilOp) for lvl in m.levels)
+        # level 0 is the matrix-free StencilOp; coarse levels are exact
+        # Galerkin operators stored as DIA (gather-free applies)
+        assert isinstance(m.levels[0]["a"], StencilOp)
+        assert all(isinstance(lvl["a"], DiaMatrix)
+                   for lvl in m.levels[1:])
         # dims halve level to level
-        dims = [lvl["a"].dims for lvl in m.levels]
+        dims = [lvl["dims"] for lvl in m.levels]
         assert dims[0] == (16, 16, 16) and dims[1] == (8, 8, 8)
 
     def test_sparsified_galerkin_bounds_stencil_growth(self):
@@ -42,6 +47,32 @@ class TestStructuredHierarchy:
         m = precond.SaAmg(op).compute()
         # without dropping, level 1 is 33-pt and level 2 is 179-pt
         assert all(len(lvl["a"].offsets) <= 64 for lvl in m.levels)
+
+    def test_exact_galerkin_coarse_level(self):
+        """The DIA level-1 operator equals the true PtAP of the fine
+        plane-masked stencil (boundary rows included) entry for entry."""
+        from trilinos_tpu.precond.structured import (ClassifiedStencil,
+                                                     _galerkin_on_grid)
+
+        op = laplace3d(12, 12, 12, fmt="stencil")
+        m = precond.SaAmg(op, {"aggregation: drop tol": 0.0}).compute()
+        rep0 = ClassifiedStencil.from_constant(op.offsets, op.coeffs)
+        lvl = m.levels[0]
+        # recover omega from the builder by rebuilding the exact PtAP
+        omega = 4.0 / 3.0 / rep0.gershgorin()
+        a_true = _galerkin_on_grid(rep0, (12, 12, 12), (2, 2, 2),
+                                   omega).to_dense()
+        a1 = m.levels[1]["a"]
+        n1 = a1.n_rows
+        d = np.asarray(a1.data_flat, dtype=np.float64)
+        dense = np.zeros((a1.n_rows_pad, a1.n_rows_pad))
+        for k, off in enumerate(a1.offsets):
+            idx = np.arange(a1.n_rows_pad)
+            j = idx + off
+            ok = (j >= 0) & (j < a1.n_rows_pad)
+            dense[idx[ok], j[ok]] = d[k, idx[ok]]
+        np.testing.assert_allclose(dense[:n1, :n1], a_true, rtol=1e-6,
+                                   atol=1e-9)
 
     def test_stencil_as_matrix_requires_structured(self):
         op = laplace3d(16, 16, 16, fmt="stencil")
@@ -113,7 +144,9 @@ class TestStructuredVcycle:
         op = laplace3d(16, 16, 16, dtype=np.float32, fmt="stencil")
         m = precond.SaAmg(op, {"smoother: type": "chebyshev",
                                "dtype": np.float32}).compute()
-        assert all("cheb" in lvl for lvl in m.levels)
+        # the fused polynomial smoother runs on the fine StencilOp;
+        # coarse DIA levels smooth with damped Jacobi
+        assert "cheb" in m.levels[0]
         n, npad = op.n_rows, op.n_rows_pad
         b = jnp.asarray(np.asarray(_rand_padded(npad, n, 6),
                                    dtype=np.float32))

@@ -28,16 +28,19 @@ dims, aggregates are 2×2×2 grid blocks, so
   * the tentative transfers are RESHAPES (block-sum / broadcast — zero
     gathers, zero stored P),
   * the smoothed transfers cost one stencil apply each
-    (P = (I−ωD⁻¹A)P_t with scalar D ⇒ Pᵀr = P_tᵀ(r−ωd⁻¹Ar)),
-  * every coarse level is itself a StencilOp whose interior Galerkin
-    coefficients are extracted EXACTLY on a small probe grid
-    (translation invariance makes the interior PᵀAP row grid-size
-    independent); boundary rows use the stencil's Dirichlet closure —
-    a preconditioner-grade approximation of the true Galerkin boundary.
+    (P = (I−ωD⁻¹A)P_t ⇒ Pᵀr = P_tᵀ(r−ωAD⁻¹r)),
+  * every coarse level is the EXACT Galerkin operator in boundary-
+    classified form (precond/structured.py: coefficients depend only on
+    per-axis clamped distance to the faces, extracted from one small
+    probe PᵀAP and verified on a second), stored as a DIA matrix —
+    gather-free applies on the fast DIA kernel,
+  * setup is all-host and O(probe³) per level, independent of the real
+    grid size (ω uses the Gershgorin λmax bound, exact for these
+    operators' purposes — no on-device power method).
 
 Measured on-chip (64³ Laplace3D): the unstructured V-cycle spends ~44 ms
 in ELL-gather P/Pᵀ applies + ~16 ms in coarse ELL SpMVs per cycle; the
-structured cycle replaces all of it with reshapes + stencil kernels.
+structured cycle replaces all of it with reshapes + stencil/DIA kernels.
 """
 from __future__ import annotations
 
@@ -47,7 +50,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..ops.formats import CsrHost, choose_format, round_up, ROW_ALIGN
 from ..ops.matrix_ops import ptap
@@ -214,141 +216,30 @@ def _is_symmetric_stencil(offsets, coeffs, tol=1e-12) -> bool:
         for o, c in table.items())
 
 
-def _stencil_lmax(op, dinv: float, iters: int = 10) -> float:
-    """λmax(D⁻¹A) by the power method on the real operator (the MueLu /
-    Ifpack2 eigenvalue-estimate default), one jitted fori_loop."""
-    from ..ops.matvec import spmv
-
-    x0 = jnp.asarray(
-        np.random.default_rng(0).standard_normal(op.n_rows_pad),
-        dtype=op.dtype)
-
-    def body(_, carry):
-        x, _ = carry
-        w = dinv * spmv(op, x)
-        lam = jnp.linalg.norm(w)
-        return w / jnp.maximum(lam, 1e-30), lam
-
-    _, lam = jax.jit(lambda x: lax.fori_loop(
-        0, iters, body, (x, jnp.asarray(1.0, x.dtype))))(x0)
-    return max(float(lam), 1e-12)
-
-
-def _structured_coarse_stencil(offsets, coeffs, dims, block, w,
-                               drop_tol=0.02):
-    """Exact interior Galerkin coarse stencil for block aggregation.
-
-    Builds A, the block-constant tentative P_t, the smoothed
-    P = (I − w·A)P_t (w = ω/λmax·d⁻¹, scalar) and PᵀAP on a SMALL probe
-    grid with the same coefficients; interior Galerkin rows are
-    translation invariant, so the probe's center coarse row is the real
-    grid's interior row. Extracted at two centers and cross-checked.
-    Returns (offsets, coeffs) of the coarse stencil.
-    """
-    from ..galeri.stencils import stencil_csr
-    from ..ops.matrix_ops import spadd, spgemm
-
-    probe = tuple(min(d, 7 * b) for d, b in zip(dims, block))
-    n = int(np.prod(probe))
-    a_p = stencil_csr(probe, list(zip(offsets, coeffs)), dtype=np.float64)
-
-    # block aggregate ids, first-dim-fastest like gids
-    idx = np.arange(n, dtype=np.int64)
-    agg = np.zeros(n, dtype=np.int64)
-    stride_c = 1
-    rest = idx
-    for d, b in zip(probe, block):
-        agg = agg + (rest % d) // b * stride_c
-        stride_c *= d // b
-        rest = rest // d
-    n_c = int(np.prod([d // b for d, b in zip(probe, block)]))
-    nrm = 1.0 / np.sqrt(float(np.prod(block)))
-    p_t = CsrHost.from_coo(idx, agg, np.full(n, nrm), (n, n_c),
-                           sum_duplicates=False)
-    ap = spgemm(a_p, p_t)
-    p_s = spadd(p_t, ap, 1.0, -float(w))
-    a_c = ptap(a_p, p_s)
-
-    pc = tuple(d // b for d, b in zip(probe, block))
-
-    def row_stencil(center):
-        g = 0
-        stride = 1
-        for c, d in zip(center, pc):
-            g += c * stride
-            stride *= d
-        lo, hi = a_c.row_ptr[g], a_c.row_ptr[g + 1]
-        out = {}
-        for col, val in zip(a_c.cols[lo:hi], a_c.vals[lo:hi]):
-            off = []
-            rest_c, rest_r = int(col), g
-            for d in pc:
-                off.append(rest_c % d - rest_r % d)
-                rest_c //= d
-                rest_r //= d
-            out[tuple(off)] = float(val)
-        return out
-
-    center = tuple(c // 2 for c in pc)
-    st = row_stencil(center)
-    # cross-check at a shifted center where the grid allows it
-    for ax in range(3):
-        if center[ax] + 1 < pc[ax] - max(abs(o[ax]) for o in st):
-            alt = list(center)
-            alt[ax] += 1
-            st2 = row_stencil(tuple(alt))
-            if set(st2) != set(st) or any(
-                    abs(st2[o] - st[o]) > 1e-10 * max(1.0, abs(st[o]))
-                    for o in st):
-                raise ValueError(
-                    "structured aggregation: stencil is not translation "
-                    "invariant (use aggregation: type 'uncoupled')")
-            break
-    # symmetrize: on tiny coarse grids (dim < 2·reach+1) the center row
-    # is boundary-truncated on one side, which would break the V-cycle's
-    # exact symmetry (CG needs an SPD preconditioner)
-    sym = {}
-    for o, v in st.items():
-        mo = tuple(-x for x in o)
-        c = 0.5 * (v + st.get(mo, 0.0))
-        sym[o] = c
-        sym[mo] = c
-    st = sym
-    # sparsified Galerkin: drop small entries, lump them into the
-    # diagonal — symmetric pairs drop together, so symmetry and the row
-    # sum are preserved; this is what stops the SA stencil growth
-    # (without it a 7-pt fine stencil becomes 33-pt, then 179-pt)
-    dmag = abs(st[(0, 0, 0)])
-    dropped = sum(v for o, v in st.items()
-                  if o != (0, 0, 0) and abs(v) <= drop_tol * dmag)
-    st = {o: v for o, v in st.items()
-          if o == (0, 0, 0) or abs(v) > drop_tol * dmag}
-    st[(0, 0, 0)] += dropped
-    items = sorted(st.items())
-    return tuple(o for o, _ in items), tuple(v for _, v in items)
-
-
-def _structured_transfers(op_f, op_c, block, w):
+def _structured_transfers(op_f, dims, npad_c, n_c, block, omega, dinv):
     """Matrix-free smoothed transfers for one structured level.
 
-    restrict(r) = P_tᵀ (r − w·A r)    (A symmetric, D = d·I scalar)
-    prolong(e)  = t − w·A t,  t = P_t e
-    with P_t block-broadcast / P_tᵀ block-sum as pure reshapes.
-    Handles (n_pad,) and (n_pad, k) operands.
+    restrict(r) = P_tᵀ (r − ω·A(D⁻¹r))    (A symmetric)
+    prolong(e)  = t − ω·D⁻¹(A t),  t = P_t e
+    with P_t block-broadcast / P_tᵀ block-sum as pure reshapes — zero
+    gathers, zero stored P. ``dinv`` is a jnp array of shape (1,)
+    (constant diagonal) or (npad_f,). Handles (n,) and (n, k) operands.
     """
     from ..ops.matvec import spmv
 
-    nx, ny, nz = op_f.dims
+    nx, ny, nz = dims
     bx, by, bz = block
     cx, cy, cz = nx // bx, ny // by, nz // bz
-    n_f, n_c = op_f.n_rows, op_c.n_rows
-    npad_f, npad_c = op_f.n_rows_pad, op_c.n_rows_pad
+    n_f, npad_f = nx * ny * nz, op_f.n_rows_pad
     # Python float, not np.float64: a strong f64 scalar would promote
     # f32 operands under x64 mode
     nrm = float(1.0 / np.sqrt(bx * by * bz))
 
     def _pad(v, npad, nlog):
         return jnp.pad(v, ((0, npad - nlog),) + ((0, 0),) * (v.ndim - 1))
+
+    def dmul(r):
+        return r * (dinv if r.ndim == 1 else dinv[:, None])
 
     def block_sum(r):
         tail = r.shape[1:]
@@ -363,49 +254,53 @@ def _structured_transfers(op_f, op_c, block, w):
         return _pad((f6 * nrm).reshape((n_f,) + tail), npad_f, n_f)
 
     def restrict(r):
-        return block_sum(r - w * spmv(op_f, r))
+        return block_sum(r - omega * spmv(op_f, dmul(r)))
 
     def prolong(e):
         t = block_bcast(e)
-        return t - w * spmv(op_f, t)
+        return t - omega * dmul(spmv(op_f, t))
 
     return restrict, prolong
 
 
-def build_structured_hierarchy(op, max_levels: int, coarse_max: int,
-                               damping: float, drop_tol: float = 0.02):
-    """StencilOp SA hierarchy: returns ([(op_l, w_l, block_l), ...],
-    coarsest CsrHost). Each w_l = damping/λmax(D⁻¹A_l)·d_l⁻¹ is the
-    scalar smoothing weight shared by the transfers of level l."""
-    from ..galeri.stencils import stencil_csr
-    from ..ops.pallas.stencil_op import StencilOp
+def build_classified_hierarchy(op, max_levels: int, coarse_max: int,
+                               damping: float, drop_tol: float, dtype):
+    """Exact structured hierarchy: level 0 is the StencilOp itself;
+    every coarse level is the TRUE Galerkin operator in boundary-
+    classified form (precond/structured.py), materialized as a stored
+    DIA matrix (gather-free applies). Returns
+    ``(levels_meta, coarsest_csr, coarsest_npad)`` where each meta is
+    ``dict(dev, rep, dims, block, omega)``."""
+    from .structured import (ClassifiedStencil, _galerkin_on_grid,
+                             galerkin_classified)
 
+    rep = ClassifiedStencil.from_constant(op.offsets, op.coeffs)
+    dims = tuple(op.dims)
+    dev = op
     levels = []
-    cur = op
     for _ in range(max_levels - 1):
-        if cur.n_rows <= coarse_max:
+        if int(np.prod(dims)) <= coarse_max:
             break
-        block = _structured_block(cur.dims)
+        block = _structured_block(dims)
         if all(b == 1 for b in block):
             break
-        table = {tuple(o): c for o, c in zip(cur.offsets, cur.coeffs)}
-        d0 = table.get((0, 0, 0), 0.0)
-        if d0 == 0.0:
-            raise ValueError("structured aggregation needs a nonzero "
-                             "diagonal stencil coefficient")
-        dinv = 1.0 / d0
-        lam = _stencil_lmax(cur, dinv)
-        w = damping / lam * dinv
-        offs_c, coeffs_c = _structured_coarse_stencil(
-            cur.offsets, cur.coeffs, cur.dims, block, w, drop_tol)
-        cdims = tuple(d // b for d, b in zip(cur.dims, block))
-        op_c = StencilOp.create(cdims, list(zip(offs_c, coeffs_c)),
-                                dtype=cur.dtype)
-        levels.append((cur, w, block))
-        cur = op_c
-    coarsest = stencil_csr(cur.dims, list(zip(cur.offsets, cur.coeffs)),
-                           dtype=np.float64)
-    return levels, cur, coarsest
+        rep_c, omega = galerkin_classified(rep, block, damping, drop_tol)
+        cdims = tuple(d // b for d, b in zip(dims, block))
+        levels.append(dict(dev=dev, rep=rep, dims=dims, block=block,
+                           omega=omega))
+        if any(c < m for c, m in zip(cdims, rep_c.min_dims())):
+            # the coarse grid is smaller than the classified boundary
+            # layers: close out with an exact PtAP on the (by now tiny)
+            # real grid instead of materializing the classified form
+            coarsest = _galerkin_on_grid(rep, dims, block, omega)
+            return levels, coarsest, round_up(coarsest.shape[0],
+                                              ROW_ALIGN)
+        rep, dims = rep_c, cdims
+        n_c = int(np.prod(cdims))
+        dev = rep.materialize_dia(cdims, dtype=dtype,
+                                  n_rows_pad=round_up(n_c, 1024))
+    coarsest = rep.materialize_csr(dims)
+    return levels, coarsest, dev.n_rows_pad
 
 
 class SaAmg(Preconditioner):
@@ -427,15 +322,14 @@ class SaAmg(Preconditioner):
                 "aggregation: type 'structured' needs a symmetric "
                 "StencilOp (as the matrix or 'fine: matrix-free "
                 "operator') on a grid with at least one even dim >= 4")
-        # auto: structured only when the matrix IS a StencilOp (no CsrHost
-        # to aggregate); with a CsrHost + fine-op pair the uncoupled
-        # hierarchy stays the default until the boundary-exact coarse
-        # extraction lands (interior-only closure can go indefinite at
-        # depth — see test_structured_amg)
+        # auto: prefer the structured hierarchy whenever a symmetric
+        # StencilOp is available (matrix or fine-op) — its coarse levels
+        # are the EXACT Galerkin operators (boundary-classified
+        # extraction, precond/structured.py) and its transfers are
+        # gather-free, so it is both faster and as accurate as the
+        # uncoupled path on structured problems
         self._structured = (agg_t == "structured"
-                            or (agg_t == "auto"
-                                and isinstance(self.a, StencilOp)
-                                and can_structured))
+                            or (agg_t == "auto" and can_structured))
         self._stencil = cand if self._structured else None
         if not self._structured and not isinstance(self.a, CsrHost):
             raise TypeError(
@@ -502,33 +396,52 @@ class SaAmg(Preconditioner):
                 self.fine_op, degree=self.sweeps + 1)
 
     def _compute_structured(self, p) -> None:
-        """StencilOp hierarchy: reshape transfers, stencil coarse levels,
-        the fused polynomial smoother available on EVERY level."""
+        """Classified StencilOp hierarchy: reshape transfers, EXACT
+        Galerkin coarse levels stored as DIA, fused-polynomial Chebyshev
+        on the fine level (coarse DIA levels smooth with damped Jacobi —
+        their cost is negligible next to level 0)."""
         op = self._stencil
         dtype = p["dtype"] or np.dtype(op.dtype)
         self.fine_op = op
-        host_levels, coarsest_op, coarsest_csr = build_structured_hierarchy(
+        metas, coarsest_csr, coarsest_npad = build_classified_hierarchy(
             op, int(p["max levels"]), int(p["coarse: max size"]),
             float(p["sa: damping factor"]),
-            float(p["aggregation: drop tol"]))
+            float(p["aggregation: drop tol"]), dtype)
         use_cheb = p["smoother: type"] == "chebyshev"
-        if use_cheb:
-            from .chebyshev import fused_stencil_chebyshev
         self.levels = []
-        for i, (op_l, w_l, block_l) in enumerate(host_levels):
-            op_c = (host_levels[i + 1][0] if i + 1 < len(host_levels)
-                    else coarsest_op)
-            restrict, prolong = _structured_transfers(op_l, op_c, block_l,
-                                                      w_l)
-            d0 = dict(zip(map(tuple, op_l.offsets), op_l.coeffs))[(0, 0, 0)]
-            lvl = dict(a=op_l, restrict=restrict, prolong=prolong,
-                       dinv=jnp.full((1,), 1.0 / d0, dtype=dtype),
-                       n_f=op_l.n_rows_pad, n_c=op_c.n_rows_pad)
-            if use_cheb:
+        for i, meta in enumerate(metas):
+            rep, dims, dev = meta["rep"], meta["dims"], meta["dev"]
+            npad_f = dev.n_rows_pad
+            npad_c = (metas[i + 1]["dev"].n_rows_pad
+                      if i + 1 < len(metas) else coarsest_npad)
+            n_c = (int(np.prod(metas[i + 1]["dims"]))
+                   if i + 1 < len(metas)
+                   else coarsest_csr.shape[0])
+            diag_tab = rep.table[(0, 0, 0)]
+            if np.ptp(diag_tab) == 0:
+                dinv = jnp.full((1,), float(1.0 / diag_tab.flat[0]),
+                                dtype=dtype)
+            else:
+                dv = np.ones(npad_f)
+                d = rep.diag_vector(dims)
+                dv[: len(d)] = 1.0 / np.where(d != 0, d, 1.0)
+                dinv = jnp.asarray(dv, dtype=dtype)
+            restrict, prolong = _structured_transfers(
+                dev, dims, npad_c, n_c, meta["block"], meta["omega"],
+                dinv)
+            lvl = dict(a=dev, restrict=restrict, prolong=prolong,
+                       dinv=dinv, n_f=npad_f, n_c=npad_c, dims=dims)
+            if use_cheb and i == 0:
+                from .chebyshev import fused_stencil_chebyshev
+
+                # degree = sweeps+1 Chebyshev apply at ~one SpMV's
+                # traffic; the Gershgorin bound replaces the on-device
+                # power-method λmax estimate (exact-enough upper bound
+                # for constant stencils, zero device work at setup)
                 lvl["cheb"] = fused_stencil_chebyshev(
-                    op_l, degree=self.sweeps + 1)
+                    op, degree=self.sweeps + 1, lmax=rep.gershgorin())
             self.levels.append(lvl)
-        self._set_coarse_inv(coarsest_csr, coarsest_op.n_rows_pad, dtype)
+        self._set_coarse_inv(coarsest_csr, coarsest_npad, dtype)
 
     def _set_coarse_inv(self, a: CsrHost, npad: int, dtype) -> None:
         nc = a.shape[0]
