@@ -172,6 +172,45 @@ def elasticity3d(nx: int, ny: int, nz: int, e_mod: float = 1e9,
     return spadd(a, d)
 
 
+def rigid_body_modes(nx: int, ny: int, nz: int | None = None) -> np.ndarray:
+    """Rigid-body modes of the elasticity grids — the null-space input
+    for smoothed-aggregation AMG (MueLu "Nullspace"; the reference's
+    Galeri elasticity problems ship these as `problem->BuildNullspace()`,
+    Galeri_Elasticity3DProblem.hpp). Node coordinates are the unit-spaced
+    lexicographic grid (node = ix + nx·(iy + ny·iz)), dofs interleaved —
+    matching ``elasticity2d`` / ``elasticity3d``.
+
+    Returns (2·n, 3) for 2-D (two translations + in-plane rotation) or
+    (3·n, 6) for 3-D (three translations + three rotations)."""
+    if nz is None:
+        n = nx * ny
+        idx = np.arange(n)
+        x = (idx % nx).astype(np.float64) - (nx - 1) / 2.0
+        y = (idx // nx).astype(np.float64) - (ny - 1) / 2.0
+        ns = np.zeros((2 * n, 3))
+        ns[0::2, 0] = 1.0
+        ns[1::2, 1] = 1.0
+        ns[0::2, 2] = -y
+        ns[1::2, 2] = x
+        return ns
+    n = nx * ny * nz
+    idx = np.arange(n)
+    x = (idx % nx).astype(np.float64) - (nx - 1) / 2.0
+    y = ((idx // nx) % ny).astype(np.float64) - (ny - 1) / 2.0
+    z = (idx // (nx * ny)).astype(np.float64) - (nz - 1) / 2.0
+    ns = np.zeros((3 * n, 6))
+    ns[0::3, 0] = 1.0
+    ns[1::3, 1] = 1.0
+    ns[2::3, 2] = 1.0
+    ns[0::3, 3] = -y        # rotation about z
+    ns[1::3, 3] = x
+    ns[1::3, 4] = -z        # rotation about x
+    ns[2::3, 4] = y
+    ns[0::3, 5] = z         # rotation about y
+    ns[2::3, 5] = -x
+    return ns
+
+
 def helmholtz2d(nx: int, ny: int, k: float = 1.0, h: float | None = None,
                 dtype=np.float64, fmt: str = "csr"):
     """Shifted Laplacian Helmholtz operator: A = Laplace2D − (k·h)² I."""

@@ -387,7 +387,8 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
              coarse_max: int = 64, min_agg: int = 2,
              sa_damping: float = 4.0 / 3.0, sweeps: int = 2,
              omega: float = 0.8, cycle: str = "V",
-             rebalance: bool = False, dtype=None) -> DistPrecond:
+             rebalance: bool = False, nullspace=None,
+             n_equations: int = 1, dtype=None) -> DistPrecond:
     """Distributed smoothed-aggregation AMG.
 
     Setup runs on host (MueLu Hierarchy::Setup,
@@ -408,7 +409,8 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
     n_shards = rmap.n_shards
     assert rmap.n_global == a.shape[0]
     host_levels, a_coarse = build_hierarchy_host(
-        a, max_levels, coarse_max, min_agg, sa_damping)
+        a, max_levels, coarse_max, min_agg, sa_damping,
+        nullspace=nullspace, n_equations=n_equations)
 
     if rebalance:
         # MueLu-style rebalanced hierarchy (muelu/src/Rebalancing/):

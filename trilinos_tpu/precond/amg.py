@@ -75,6 +75,11 @@ _SPECS = {
     # are lumped into the diagonal (preserves symmetry + row sums),
     # stopping SA stencil growth (27-pt stays 27-pt level to level)
     "aggregation: drop tol": Param("aggregation: drop tol", 0.02),
+    # null-space-aware SA (MueLu "Nullspace" + "number of equations"):
+    # (n, k) modes the tentative prolongator must interpolate exactly —
+    # rigid-body modes for elasticity (galeri.fem.rigid_body_modes)
+    "nullspace: vectors": Param("nullspace: vectors", None),
+    "number of equations": Param("number of equations", 1),
     "dtype": Param("dtype", None),
 }
 
@@ -155,6 +160,71 @@ def tentative_prolongator(agg: np.ndarray) -> CsrHost:
                             sum_duplicates=False)
 
 
+def amalgamate_graph(a: CsrHost, b: int) -> CsrHost:
+    """Node (amalgamated) connectivity graph of a matrix with ``b`` dofs
+    per node — what MueLu aggregates for PDE systems
+    (muelu/src/Graph/MueLu_AmalgamationFactory_decl.hpp)."""
+    if b == 1:
+        return a
+    n_nodes = a.shape[0] // b
+    rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                     a.row_lengths()) // b
+    cols = a.cols.astype(np.int64) // b
+    key = np.unique(rows * n_nodes + cols)
+    return CsrHost.from_coo(key // n_nodes, key % n_nodes,
+                            np.ones(len(key)), (n_nodes, n_nodes),
+                            sum_duplicates=False)
+
+
+def tentative_prolongator_nullspace(node_agg: np.ndarray, b: int,
+                                    ns: np.ndarray):
+    """Null-space-preserving tentative prolongator (MueLu
+    TentativePFactory with a user "Nullspace", e.g. rigid-body modes):
+    per aggregate, the restriction of the null space to the aggregate's
+    dofs is QR-factored — Q becomes the aggregate's P_t block (columns
+    orthonormal) and R the aggregate's rows of the COARSE null space,
+    so ``P_t @ ns_coarse == ns`` exactly and every level interpolates
+    the modes the smoother cannot damp.
+
+    Returns ``(P_t, ns_coarse)``. Aggregates whose dof count is below
+    the null-space dimension get zero-padded Q columns (rank handled by
+    the coarsest pseudo-inverse)."""
+    k = ns.shape[1]
+    nagg = int(node_agg.max()) + 1
+    dof_agg = np.repeat(node_agg, b)
+    n = len(dof_agg)
+    order = np.argsort(dof_agg, kind="stable")
+    counts = np.bincount(dof_agg, minlength=nagg)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rows_all, cols_all, vals_all = [], [], []
+    ns_c = np.zeros((nagg * k, k))
+    # batch the per-aggregate QRs by aggregate size
+    for m in np.unique(counts):
+        sel = np.nonzero(counts == m)[0]
+        if m == 0 or not len(sel):
+            continue
+        dofs = np.stack([order[starts[a]:starts[a] + m] for a in sel])
+        blocks = ns[dofs]                      # (n_sel, m, k)
+        q, r = np.linalg.qr(blocks)            # q (n_sel, m, kk)
+        kk = q.shape[2]
+        if kk < k:
+            q = np.pad(q, ((0, 0), (0, 0), (0, k - kk)))
+            r = np.pad(r, ((0, 0), (0, k - kk), (0, 0)))
+        rows_all.append(np.repeat(dofs, k, axis=1).reshape(-1))
+        cols_all.append(
+            (sel[:, None, None] * k
+             + np.arange(k)[None, None, :]
+             + np.zeros((1, m, 1), np.int64)).reshape(-1))
+        vals_all.append(q.reshape(-1))
+        ns_c[(sel[:, None] * k + np.arange(k)).reshape(-1)] = (
+            r.reshape(-1, k))
+    p_t = CsrHost.from_coo(np.concatenate(rows_all),
+                           np.concatenate(cols_all),
+                           np.concatenate(vals_all), (n, nagg * k),
+                           sum_duplicates=False)
+    return p_t, ns_c
+
+
 def smooth_prolongator(a: CsrHost, p_t: CsrHost, damping: float) -> CsrHost:
     """P = (I − ω D⁻¹ A) P_t with ω = damping / λmax(D⁻¹A) (power est.)."""
     from ..ops.matrix_ops import diag_matrix, spadd, spgemm
@@ -179,18 +249,36 @@ def smooth_prolongator(a: CsrHost, p_t: CsrHost, damping: float) -> CsrHost:
 
 
 def build_hierarchy_host(a: CsrHost, max_levels: int, coarse_max: int,
-                         min_agg: int, damping: float):
+                         min_agg: int, damping: float,
+                         nullspace: np.ndarray | None = None,
+                         n_equations: int = 1):
     """Host-side SA-AMG setup shared by the on-chip and distributed
     preconditioners: returns ([(A_l, P_l), ...], A_coarsest) — the
-    Hierarchy::Setup phase (MueLu_Hierarchy_decl.hpp:103)."""
+    Hierarchy::Setup phase (MueLu_Hierarchy_decl.hpp:103).
+
+    With ``nullspace`` (n, k) — e.g. galeri.fem.rigid_body_modes for
+    elasticity — aggregation runs on the amalgamated node graph
+    (``n_equations`` dofs per node) and the tentative prolongator
+    interpolates the null space exactly at every level (MueLu
+    TentativePFactory semantics); coarse levels carry k dofs per
+    aggregate."""
     levels = []
+    b = int(n_equations)
+    ns = nullspace
     for _ in range(max_levels - 1):
         if a.shape[0] <= coarse_max:
             break
-        agg = aggregate(a, min_agg)
-        if int(agg.max()) + 1 >= a.shape[0]:  # no coarsening progress
-            break
-        p_t = tentative_prolongator(agg)
+        if ns is None:
+            agg = aggregate(a, min_agg)
+            if int(agg.max()) + 1 >= a.shape[0]:  # no coarsening progress
+                break
+            p_t = tentative_prolongator(agg)
+        else:
+            agg = aggregate(amalgamate_graph(a, b), min_agg)
+            if (int(agg.max()) + 1) * ns.shape[1] >= a.shape[0]:
+                break
+            p_t, ns = tentative_prolongator_nullspace(agg, b, ns)
+            b = ns.shape[1]  # coarse: k dofs per aggregate-node
         p_s = smooth_prolongator(a, p_t, damping)
         a_c = ptap(a, p_s)
         levels.append((a, p_s))
@@ -329,7 +417,14 @@ class SaAmg(Preconditioner):
         # gather-free, so it is both faster and as accurate as the
         # uncoupled path on structured problems
         self._structured = (agg_t == "structured"
-                            or (agg_t == "auto" and can_structured))
+                            or (agg_t == "auto" and can_structured
+                                and self.params["nullspace: vectors"]
+                                is None))
+        if self._structured and \
+                self.params["nullspace: vectors"] is not None:
+            raise ValueError("'nullspace: vectors' needs the uncoupled "
+                             "hierarchy (structured aggregation carries "
+                             "the constant mode only)")
         self._stencil = cand if self._structured else None
         if not self._structured and not isinstance(self.a, CsrHost):
             raise TypeError(
@@ -349,7 +444,9 @@ class SaAmg(Preconditioner):
         host_levels, a = build_hierarchy_host(
             self.a, int(p["max levels"]), int(p["coarse: max size"]),
             int(p["aggregation: min agg size"]),
-            float(p["sa: damping factor"]))
+            float(p["sa: damping factor"]),
+            nullspace=p["nullspace: vectors"],
+            n_equations=int(p["number of equations"]))
         # matrix-free fine level: the framework's fastest operator (and
         # the fused-polynomial Chebyshev smoother) carries the dominant
         # level-0 cost; coarser levels stay stored (they are built by
