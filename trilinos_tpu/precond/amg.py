@@ -50,6 +50,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.formats import CsrHost, choose_format, round_up, ROW_ALIGN
 from ..ops.matrix_ops import ptap
@@ -73,8 +74,11 @@ _SPECS = {
                                choices=("auto", "uncoupled", "structured")),
     # sparsified Galerkin: coarse-stencil entries below drop_tol·|diag|
     # are lumped into the diagonal (preserves symmetry + row sums),
-    # stopping SA stencil growth (27-pt stays 27-pt level to level)
-    "aggregation: drop tol": Param("aggregation: drop tol", 0.02),
+    # bounding SA stencil growth (levels converge to ~81 offsets at
+    # 0.005 instead of 33→179→…). 0.005 keeps size-independent AMG
+    # convergence (measured 5 iters at 64³ and 6 at 256³ vs 9/21 at
+    # 0.02 — the dropped reach-2 entries carry real coupling)
+    "aggregation: drop tol": Param("aggregation: drop tol", 0.005),
     # null-space-aware SA (MueLu "Nullspace" + "number of equations"):
     # (n, k) modes the tentative prolongator must interpolate exactly —
     # rigid-body modes for elasticity (galeri.fem.rigid_body_modes)
@@ -329,17 +333,34 @@ def _structured_transfers(op_f, dims, npad_c, n_c, block, omega, dinv):
     def dmul(r):
         return r * (dinv if r.ndim == 1 else dinv[:, None])
 
+    # The obvious 6-D reshape ((cz,2,cy,2,cx,2) + sum/broadcast) is a
+    # TPU layout disaster: the trailing (…,2) dims tile-pad (8,128) each
+    # → 64x memory expansion (4 GB temps at 256³; measured OOM). Pair
+    # sums via even/odd STRIDED SLICES and duplication via lax.pad
+    # interior dilation + roll keep every intermediate in the natural
+    # (…, lanes) layout and stay exact adjoints of each other.
     def block_sum(r):
         tail = r.shape[1:]
-        r6 = r[:n_f].reshape((cz, bz, cy, by, cx, bx) + tail)
-        return _pad((r6.sum(axis=(1, 3, 5)) * nrm).reshape((n_c,) + tail),
-                    npad_c, n_c)
+        t = r[:n_f].reshape((nz, ny, nx) + tail)
+        for ax, bb in ((2, bx), (1, by), (0, bz)):
+            if bb == 2:
+                sl0 = [slice(None)] * t.ndim
+                sl1 = [slice(None)] * t.ndim
+                sl0[ax] = slice(0, None, 2)
+                sl1[ax] = slice(1, None, 2)
+                t = t[tuple(sl0)] + t[tuple(sl1)]
+        return _pad((t * nrm).reshape((n_c,) + tail), npad_c, n_c)
 
     def block_bcast(e):
         tail = e.shape[1:]
-        e6 = e[:n_c].reshape((cz, 1, cy, 1, cx, 1) + tail)
-        f6 = jnp.broadcast_to(e6, (cz, bz, cy, by, cx, bx) + tail)
-        return _pad((f6 * nrm).reshape((n_f,) + tail), npad_f, n_f)
+        t = e[:n_c].reshape((cz, cy, cx) + tail)
+        for ax, bb in ((0, bz), (1, by), (2, bx)):
+            if bb == 2:
+                cfg = [(0, 0, 0)] * t.ndim
+                cfg[ax] = (0, 1, 1)   # interior dilation: [e0,0,e1,0,…]
+                p = lax.pad(t, jnp.zeros((), t.dtype), cfg)
+                t = p + jnp.roll(p, 1, axis=ax)
+        return _pad((t * nrm).reshape((n_f,) + tail), npad_f, n_f)
 
     def restrict(r):
         return block_sum(r - omega * spmv(op_f, dmul(r)))
@@ -467,14 +488,15 @@ class SaAmg(Preconditioner):
             dinv = np.ones(npad)
             dinv[: a_l.shape[0]] = 1.0 / np.where(d != 0, d, 1.0)
             np_c = round_up(p_s.shape[1], ROW_ALIGN)
+            # P: (n_f, n_c) rectangular — ELL without identity padding
+            p_dev = _pack_rect(p_s, dtype, npad, np_c)
+            pt_dev = _pack_rect(p_s.transpose(), dtype, np_c, npad)
             self.levels.append(dict(
                 a=a_dev,
                 dinv=jnp.asarray(dinv, dtype=dtype),
-                # P: (n_f, n_c) rectangular — ELL without identity padding
-                restrict=functools.partial(
-                    spmv, _pack_rect(p_s.transpose(), dtype, np_c, npad)),
-                prolong=functools.partial(
-                    spmv, _pack_rect(p_s, dtype, npad, np_c)),
+                p=p_dev, pt=pt_dev,
+                restrict=functools.partial(spmv, pt_dev),
+                prolong=functools.partial(spmv, p_dev),
                 n_f=npad, n_c=np_c))
         # coarsest: dense inverse (identity-padded)
         self._set_coarse_inv(a, round_up(a.shape[0], ROW_ALIGN), dtype)
@@ -527,7 +549,9 @@ class SaAmg(Preconditioner):
                 dev, dims, npad_c, n_c, meta["block"], meta["omega"],
                 dinv)
             lvl = dict(a=dev, restrict=restrict, prolong=prolong,
-                       dinv=dinv, n_f=npad_f, n_c=npad_c, dims=dims)
+                       dinv=dinv, n_f=npad_f, n_c=npad_c, dims=dims,
+                       block=meta["block"], omega=meta["omega"],
+                       n_c_log=n_c)
             if use_cheb and i == 0:
                 from .chebyshev import fused_stencil_chebyshev
 
@@ -552,6 +576,38 @@ class SaAmg(Preconditioner):
     def n_levels(self) -> int:
         return len(self.levels) + 1
 
+    # -- functional (jit-argument) form -------------------------------------
+    def state(self):
+        """Device arrays of the hierarchy as a pytree — pass this as a
+        jit ARGUMENT and apply with :meth:`apply_state` when the level
+        operators are too large to bake as jit constants (closures over
+        big arrays serialize into the remote-compile request; e.g. a
+        256³ hierarchy's level-1 DIA data is ~260 MB)."""
+        levels = []
+        for lvl in self.levels:
+            st = {"a": lvl["a"], "dinv": lvl["dinv"]}
+            if "p" in lvl:
+                st["p"], st["pt"] = lvl["p"], lvl["pt"]
+            levels.append(st)
+        return {"levels": levels, "coarse_inv": self.coarse_inv}
+
+    def apply_state(self, st, r: jax.Array) -> jax.Array:
+        """V-cycle reading the hierarchy arrays from ``st`` (a — possibly
+        traced — pytree from :meth:`state`) instead of the baked-in
+        constants. ``m.apply(r) == m.apply_state(m.state(), r)``."""
+        levels = []
+        for lvl, s in zip(self.levels, st["levels"]):
+            l2 = dict(lvl, a=s["a"], dinv=s["dinv"])
+            if "p" in s:
+                l2["restrict"] = functools.partial(spmv, s["pt"])
+                l2["prolong"] = functools.partial(spmv, s["p"])
+            else:
+                l2["restrict"], l2["prolong"] = _structured_transfers(
+                    s["a"], lvl["dims"], lvl["n_c"], lvl["n_c_log"],
+                    lvl["block"], lvl["omega"], s["dinv"])
+            levels.append(l2)
+        return self._vcycle_impl(levels, st["coarse_inv"], 0, r)
+
     def _smooth(self, lvl, x, b):
         dinv = lvl["dinv"] if b.ndim == 1 else lvl["dinv"][:, None]
         for _ in range(self.sweeps):
@@ -570,18 +626,23 @@ class SaAmg(Preconditioner):
             return x + ch(b - spmv(lvl["a"], x))
         return self._smooth(lvl, x, b)
 
-    def _vcycle(self, k: int, b: jax.Array) -> jax.Array:
-        if k == len(self.levels):
-            return self.coarse_inv @ b
-        lvl = self.levels[k]
+    def _vcycle_impl(self, levels, coarse_inv, k: int,
+                     b: jax.Array) -> jax.Array:
+        if k == len(levels):
+            return coarse_inv @ b
+        lvl = levels[k]
         x = self._presmooth(k, lvl, b)
         # gamma=1: V-cycle; gamma=2: W-cycle (MueLu Hierarchy::Iterate
         # cycle-type option, MueLu_Hierarchy_def.hpp:1081)
         for cyc in range(self.gamma):
             r = b - spmv(lvl["a"], x)
-            e_c = self._vcycle(k + 1, lvl["restrict"](r))
+            e_c = self._vcycle_impl(levels, coarse_inv, k + 1,
+                                    lvl["restrict"](r))
             x = x + lvl["prolong"](e_c)
         return self._postsmooth(k, lvl, x, b)
+
+    def _vcycle(self, k: int, b: jax.Array) -> jax.Array:
+        return self._vcycle_impl(self.levels, self.coarse_inv, k, b)
 
     def _apply(self, r: jax.Array) -> jax.Array:
         return self._vcycle(0, r)
