@@ -81,3 +81,76 @@ def test_direct_as_preconditioner(rng):
              prec=prec.apply, rtol=1e-10, maxiter=10)
     assert bool(res.converged.all())
     assert int(res.iters) <= 2, int(res.iters)
+
+
+class TestSparseCholesky:
+    """LL^T direct solver (the Tacho/Cholmod role:
+    packages/amesos2/src/Amesos2_Tacho_decl.hpp; native up-looking
+    factorization with elimination-tree symbolics)."""
+
+    def test_spd_laplace(self, rng):
+        from trilinos_tpu.solvers.direct import SparseCholesky
+
+        a = laplace2d(15, 13)
+        b = rng.standard_normal(a.shape[0])
+        ch = SparseCholesky(a).factor()
+        x = ch.solve(b)
+        np.testing.assert_allclose(a.to_dense() @ x, b, rtol=1e-10,
+                                   atol=1e-12)
+        # LL^T has no pivoting: nnz(L) is at most LU's total fill
+        lu = SparseLu(a).factor()
+        if ch._fallback is None and lu._factors is not None:
+            assert ch.nnz_factors <= lu.nnz_factors
+
+    def test_multivector_rhs(self, rng):
+        from trilinos_tpu.solvers.direct import SparseCholesky
+
+        a = laplace2d(10, 8)
+        b = rng.standard_normal((a.shape[0], 3))
+        x = SparseCholesky(a).factor().solve(b)
+        np.testing.assert_allclose(a.to_dense() @ x, b, rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_not_spd_raises(self, rng):
+        from trilinos_tpu.solvers.direct import SparseCholesky
+
+        dense = np.array([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+        a = CsrHost.from_dense(dense)
+        ch = SparseCholesky(a)
+        from trilinos_tpu.native import lib
+
+        if lib() is None:
+            pytest.skip("native toolchain unavailable")
+        with pytest.raises(ValueError):
+            ch.factor()
+
+    def test_factor_matches_dense_cholesky(self, rng):
+        from trilinos_tpu.native import spchol_native
+
+        a = laplace2d(7, 6)
+        f = spchol_native(a.shape[0], a.row_ptr, a.cols, a.vals)
+        if f is None:
+            pytest.skip("native toolchain unavailable")
+        l_ptr, l_cols, l_vals = f
+        n = a.shape[0]
+        dense_l = np.zeros((n, n))
+        for j in range(n):
+            for q in range(l_ptr[j], l_ptr[j + 1]):
+                dense_l[l_cols[q], j] = l_vals[q]
+        ref = np.linalg.cholesky(a.to_dense())
+        np.testing.assert_allclose(dense_l, ref, rtol=1e-10, atol=1e-12)
+
+    def test_factory_tacho_prec(self, rng):
+        import jax.numpy as jnp
+
+        from trilinos_tpu import precond
+
+        a = laplace2d(8, 8)
+        m = precond.create("TACHO", a).compute()
+        n = a.shape[0]
+        npad = m.inv_dense.shape[0]
+        r = np.zeros(npad)
+        r[:n] = rng.standard_normal(n)
+        y = np.asarray(m(jnp.asarray(r)))[:n]
+        np.testing.assert_allclose(a.to_dense() @ y, r[:n], rtol=1e-6,
+                                   atol=1e-8)

@@ -112,6 +112,21 @@ def lib():
             i64, np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int64)]
+        l.tt_spchol.restype = i64
+        l.tt_spchol.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64), i64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64)]
+        l.tt_spchol_solve.restype = None
+        l.tt_spchol_solve.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64)]
         l.tt_splu_solve.restype = None
         l.tt_splu_solve.argtypes = [
             i64, np.ctypeslib.ndpointer(np.int64),
@@ -290,6 +305,50 @@ def splu_native(n, row_ptr, cols, vals):
                     u_ptr, u_cols[: u_ptr[n]], u_vals[: u_ptr[n]], perm)
         cap = max(int(-r) * 2, cap * 2)
     raise RuntimeError("tt_splu: fill capacity retry limit exceeded")
+
+
+class NotSpdError(ValueError):
+    """tt_spchol found a non-positive reduced diagonal."""
+
+
+def spchol_native(n, row_ptr, cols, vals):
+    """Sparse Cholesky LL^T (up-looking, elimination tree) via the
+    native lib. Returns (l_ptr, l_cols, l_vals) — CSC, diagonal first
+    per column — or None when the library is unavailable; raises
+    NotSpdError when the matrix is not positive definite."""
+    l = lib()
+    if l is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    cap = max(int(row_ptr[-1]) * 4, 8 * n, 1024)
+    for _ in range(8):
+        l_ptr = np.zeros(n + 1, np.int64)
+        l_cols = np.zeros(cap, np.int32)
+        l_vals = np.zeros(cap, np.float64)
+        r = l.tt_spchol(n, row_ptr, cols, vals, cap, l_ptr, l_cols,
+                        l_vals)
+        if r >= 0:
+            return l_ptr, l_cols[:r], l_vals[:r]
+        if -r >= 10 ** 15:
+            raise NotSpdError(
+                f"tt_spchol: non-positive pivot at column {-r - 10**15} "
+                "(matrix not symmetric positive definite)")
+        cap = max(int(-r) * 2, cap * 2)
+    raise RuntimeError("tt_spchol: fill capacity retry limit exceeded")
+
+
+def spchol_solve_native(factors, b):
+    l = lib()
+    if l is None:
+        return None
+    l_ptr, l_cols, l_vals = factors
+    n = len(l_ptr) - 1
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    out = np.zeros(n, np.float64)
+    l.tt_spchol_solve(n, l_ptr, l_cols, l_vals, b, out)
+    return out
 
 
 def splu_solve_native(factors, b):

@@ -547,4 +547,116 @@ int64_t tt_ghost_slots(int64_t nb, const int64_t* bc_cols,
   return ng;
 }
 
+// ---------------------------------------------------------------------------
+// Sparse Cholesky (LL^T): up-looking factorization with elimination-tree
+// symbolic analysis — the algorithm class behind CHOLMOD / ShyLU-Tacho
+// (reference consumer: Amesos2's Tacho/Cholmod adapters,
+// packages/amesos2/src/Amesos2_Tacho_decl.hpp). A must be symmetric
+// positive definite; the LOWER triangle of the CSR input is consumed.
+//
+// Output L is COLUMN-major (CSC) with the diagonal entry FIRST in each
+// column, rows ascending after it. Two-call protocol like tt_splu:
+// returns total nnz(L), or the negative required capacity when cap is
+// too small, or -(10^15 + k) when the reduced diagonal at column k is
+// not positive (matrix not SPD).
+// ---------------------------------------------------------------------------
+
+int64_t tt_spchol(int64_t n, const int64_t* a_ptr, const int32_t* a_cols,
+                  const double* a_vals, int64_t cap,
+                  int64_t* l_ptr, int32_t* l_cols, double* l_vals) {
+  // phase 1: elimination tree (Liu's algorithm with path compression)
+  std::vector<int32_t> parent(n, -1), ancestor(n, -1);
+  for (int64_t k = 0; k < n; ++k)
+    for (int64_t q = a_ptr[k]; q < a_ptr[k + 1]; ++q) {
+      int32_t i = a_cols[q];
+      if (i >= (int32_t)k) continue;
+      while (i != -1 && i < (int32_t)k) {
+        const int32_t next = ancestor[i];
+        ancestor[i] = (int32_t)k;
+        if (next == -1) { parent[i] = (int32_t)k; break; }
+        i = next;
+      }
+    }
+  // phase 2: up-looking numeric factorization. L columns grow by one
+  // row per later step, so build them in dynamic per-column buffers.
+  std::vector<std::vector<int32_t>> lrow(n);
+  std::vector<std::vector<double>> lval(n);
+  std::vector<double> diag(n, 0.0), x(n, 0.0);
+  // separate path buffer: the global pattern fills stack from the top
+  // while each etree walk builds from the bottom — one shared array can
+  // collide on long chains (CSparse sizes this workspace 2n)
+  std::vector<int32_t> flag(n, -1), stack(n), path(n);
+  for (int64_t k = 0; k < n; ++k) {
+    // ereach: pattern of L(k, 0..k-1) = union of etree paths from the
+    // below-diagonal entries of A(:,k) up toward k, topological order
+    int64_t top = n;
+    flag[k] = (int32_t)k;
+    double akk = 0.0;
+    for (int64_t q = a_ptr[k]; q < a_ptr[k + 1]; ++q) {
+      const int32_t j = a_cols[q];
+      if (j > (int32_t)k) continue;
+      if (j == (int32_t)k) { akk = a_vals[q]; continue; }
+      x[j] = a_vals[q];
+      int64_t len = 0;
+      for (int32_t i = j; flag[i] != (int32_t)k; i = parent[i]) {
+        path[len++] = i;
+        flag[i] = (int32_t)k;
+      }
+      while (len > 0) stack[--top] = path[--len];
+    }
+    // sparse triangular solve over the pattern (children before parents)
+    for (int64_t p = top; p < n; ++p) {
+      const int32_t j = stack[p];
+      const double lkj = x[j] / diag[j];
+      x[j] = 0.0;
+      const std::vector<int32_t>& rj = lrow[j];
+      const std::vector<double>& vj = lval[j];
+      for (size_t q = 0; q < rj.size(); ++q) x[rj[q]] -= vj[q] * lkj;
+      akk -= lkj * lkj;
+      lrow[j].push_back((int32_t)k);
+      lval[j].push_back(lkj);
+    }
+    if (!(akk > 0.0)) return -(1000000000000000LL + k);
+    diag[k] = std::sqrt(akk);
+  }
+  // emit CSC with the diagonal first per column
+  int64_t total = n;
+  for (int64_t j = 0; j < n; ++j) total += (int64_t)lrow[j].size();
+  if (total > cap) return -total;
+  int64_t at = 0;
+  l_ptr[0] = 0;
+  for (int64_t j = 0; j < n; ++j) {
+    l_cols[at] = (int32_t)j;
+    l_vals[at] = diag[j];
+    ++at;
+    for (size_t q = 0; q < lrow[j].size(); ++q) {
+      l_cols[at] = lrow[j][q];
+      l_vals[at] = lval[j][q];
+      ++at;
+    }
+    l_ptr[j + 1] = at;
+  }
+  return total;
+}
+
+// Solves A x = b with the tt_spchol factor: L y = b, then L^T x = y.
+void tt_spchol_solve(int64_t n, const int64_t* l_ptr,
+                     const int32_t* l_cols, const double* l_vals,
+                     const double* b, double* out) {
+  std::vector<double> y(b, b + n);
+  for (int64_t j = 0; j < n; ++j) {
+    const double yj = y[j] / l_vals[l_ptr[j]];
+    y[j] = yj;
+    for (int64_t q = l_ptr[j] + 1; q < l_ptr[j + 1]; ++q)
+      y[l_cols[q]] -= l_vals[q] * yj;
+  }
+  for (int64_t j = n - 1; j >= 0; --j) {
+    double s = y[j];
+    for (int64_t q = l_ptr[j] + 1; q < l_ptr[j + 1]; ++q)
+      s -= l_vals[q] * y[l_cols[q]];
+    y[j] = s / l_vals[l_ptr[j]];
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = y[i];
+}
+
 }  // extern "C"

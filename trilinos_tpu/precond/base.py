@@ -109,6 +109,8 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         "AMESOS2": DirectPrec,
         "DIRECT": DirectPrec,
         "KLU2": DirectPrec,
+        "TACHO": DirectPrec,
+        "CHOLMOD": DirectPrec,
         "SA-AMG": SaAmg,
         "MUELU": SaAmg,
         "AMG": SaAmg,
@@ -116,4 +118,8 @@ def create(name: str, a, params: ParameterList | dict | None = None,
     if key not in table:
         raise ValueError(f"unknown preconditioner {name!r}; "
                          f"valid: {sorted(table)}")
+    if key in ("TACHO", "CHOLMOD"):
+        params = make_params(params)
+        if "solver" not in params:
+            params["solver"] = key
     return table[key](a, params, **kw)

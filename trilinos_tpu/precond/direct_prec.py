@@ -20,7 +20,13 @@ from ..ops.formats import CsrHost, round_up, ROW_ALIGN
 from ..utils.params import Param
 from .base import Preconditioner
 
-_SPECS = {"dtype": Param("dtype", None)}
+_SPECS = {
+    "dtype": Param("dtype", None),
+    # Amesos2 backend choice: "KLU2" = LU with partial pivoting (any
+    # matrix); "TACHO"/"CHOLMOD" = LL^T (SPD only, half the fill/flops)
+    "solver": Param("solver", "KLU2",
+                    choices=("KLU2", "TACHO", "CHOLMOD")),
+}
 
 
 class DirectPrec(Preconditioner):
@@ -30,12 +36,14 @@ class DirectPrec(Preconditioner):
             raise TypeError("DirectPrec expects a CsrHost matrix")
 
     def _do_compute(self) -> None:
-        from ..solvers.direct import SparseLu
+        from ..solvers.direct import SparseCholesky, SparseLu
 
         dtype = self.params["dtype"] or self.a.vals.dtype
         n = self.a.shape[0]
         npad = round_up(n, ROW_ALIGN)
-        slu = SparseLu(self.a).factor()
+        cls = (SparseCholesky if self.params["solver"] in
+               ("TACHO", "CHOLMOD") else SparseLu)
+        slu = cls(self.a).factor()
         inv = np.eye(npad)
         eye = np.eye(n)
         cols = slu.solve(eye)  # A^-1 (n solves against unit vectors)

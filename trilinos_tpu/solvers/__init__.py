@@ -11,7 +11,7 @@ from .gcrodr import RecycleSpace, gcrodr
 from .block_gcrodr import block_gcrodr
 from .rcg import CgRecycleSpace, pcpg, rcg
 from .sstep_gmres import sstep_gmres
-from .direct import SparseLu, direct_solve
+from .direct import SparseCholesky, SparseLu, direct_solve
 from .pliris import dense_solve, dist_dense_solve
 from .linear_problem import LinearProblem
 from .factory import SolverManager, build, create_solver, solver_names
@@ -44,6 +44,7 @@ __all__ = [
     "CgRecycleSpace",
     "pcpg",
     "LinearProblem",
+    "SparseCholesky",
     "SparseLu",
     "direct_solve",
     "dense_solve",

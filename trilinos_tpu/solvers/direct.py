@@ -86,6 +86,68 @@ class SparseLu:
         return 0
 
 
+class SparseCholesky:
+    """Sparse LL^T for symmetric positive definite systems with the
+    Amesos2 lifecycle — the Tacho / Cholmod role
+    (packages/amesos2/src/Amesos2_Tacho_decl.hpp, Amesos2_Cholmod_decl.hpp;
+    the node-level factorization lives in ShyLU's tacho package).
+
+    Factorization is host-side native C++ (up-looking with
+    elimination-tree symbolics, native/src/tt_native.cpp tt_spchol) —
+    about half the fill and flops of LU on SPD systems and no pivoting.
+    Falls back to :class:`SparseLu` when the toolchain is unavailable;
+    raises ``ValueError`` on a non-SPD matrix (detected at the first
+    non-positive reduced diagonal, like Tacho's chol failure)."""
+
+    def __init__(self, a: CsrHost):
+        if a.shape[0] != a.shape[1]:
+            raise ValueError("SparseCholesky needs a square matrix")
+        self.a = a
+        self._factors = None
+        self._fallback = None
+
+    def symbolic_factorization(self) -> "SparseCholesky":
+        # the elimination tree is built inside the native call; kept for
+        # Amesos2 lifecycle parity
+        return self
+
+    def numeric_factorization(self) -> "SparseCholesky":
+        from ..native import spchol_native
+
+        n = self.a.shape[0]
+        f = spchol_native(n, self.a.row_ptr, self.a.cols,
+                          np.asarray(self.a.vals, dtype=np.float64))
+        if f is not None:
+            self._factors = f
+            return self
+        self._fallback = SparseLu(self.a).factor()
+        return self
+
+    def factor(self) -> "SparseCholesky":
+        return self.symbolic_factorization().numeric_factorization()
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        if self._factors is None and self._fallback is None:
+            self.factor()
+        if self._fallback is not None:
+            return self._fallback.solve(b)
+        from ..native import spchol_solve_native
+
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim == 1:
+            return spchol_solve_native(self._factors, b)
+        return np.stack([spchol_solve_native(self._factors, b[:, j])
+                         for j in range(b.shape[1])], axis=1)
+
+    @property
+    def nnz_factors(self) -> int:
+        if self._factors is not None:
+            return int(self._factors[0][-1])
+        if self._fallback is not None:
+            return self._fallback.nnz_factors
+        return 0
+
+
 def direct_solve(a: CsrHost, b: np.ndarray) -> np.ndarray:
     """One-shot convenience: factor + solve (Amesos2::Solver::solve)."""
     return SparseLu(a).factor().solve(b)
