@@ -210,3 +210,78 @@ class TestRebalancedAmg:
         rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
         assert rel <= 2e-8
         assert abs(int(r1.iters) - int(r0.iters)) <= 3
+
+
+class TestDistStructuredAmg:
+    """Distributed structured-aggregation AMG (gather-free hierarchy over
+    z-slab shards; coarse levels replicated after one all_gather)."""
+
+    @pytest.mark.parametrize("n_shards", [2, 8])
+    def test_matches_single_chip_iterations(self, n_shards):
+        op = laplace3d(16, 16, 16, fmt="stencil")
+        n = op.n_rows
+
+        from trilinos_tpu import precond
+        from trilinos_tpu.ops import matvec as S
+
+        m = precond.SaAmg(op).compute()
+        rng = np.random.default_rng(3)
+        b = rng.standard_normal(n)
+        b1 = np.zeros(op.n_rows_pad)
+        b1[:n] = b
+        r_single = cg(lambda v: S.spmv(op, v), jnp.asarray(b1), prec=m,
+                      rtol=1e-8, maxiter=60)
+
+        ds = D.distribute_stencil(op, n_shards)
+        mesh = drv.make_mesh(n_shards)
+        pc = drv.dist_amg_structured(op, n_shards)
+        bg = jnp.asarray(ds.row_map.to_padded(b))
+        r_dist = drv.dist_solve(cg, ds, bg, mesh=mesh, prec=pc,
+                                rtol=1e-8, maxiter=60)
+        assert bool(r_dist.converged)
+        # same hierarchy, same arithmetic (modulo reduction order)
+        assert abs(int(r_dist.iters) - int(r_single.iters)) <= 1
+        x_d = ds.row_map.from_padded(np.asarray(r_dist.x))
+        x_s = np.asarray(r_single.x)[:n]
+        np.testing.assert_allclose(x_d, x_s, rtol=1e-6, atol=1e-8)
+
+    def test_apply_matches_single_chip(self):
+        """One distributed V-cycle == the single-chip V-cycle bitwise-ish."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P_
+
+        from trilinos_tpu import precond
+        from trilinos_tpu.parallel.comm import AxisComm
+
+        op = laplace3d(8, 8, 8, fmt="stencil")
+        n = op.n_rows
+        n_shards = 2
+        m = precond.SaAmg(op).compute()
+        pc = drv.dist_amg_structured(op, n_shards)
+        ds = D.distribute_stencil(op, n_shards)
+        mesh = drv.make_mesh(n_shards)
+        rng = np.random.default_rng(4)
+        r = rng.standard_normal(n)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P_(drv.AXIS), P_(drv.AXIS)),
+                           out_specs=P_(drv.AXIS))
+        def run(prec_sh, r_loc):
+            comm = AxisComm(drv.AXIS, n_shards)
+            pl = drv.DistPrecond(arrays=prec_sh, kind=pc.kind,
+                                 consts=pc.consts)
+            return pl.make(comm, None)(r_loc)
+
+        y_d = ds.row_map.from_padded(
+            np.asarray(run(pc.arrays, jnp.asarray(
+                ds.row_map.to_padded(r)))))
+        r1 = np.zeros(op.n_rows_pad)
+        r1[:n] = r
+        y_s = np.asarray(m.apply(jnp.asarray(r1)))[:n]
+        np.testing.assert_allclose(y_d, y_s, rtol=1e-11, atol=1e-13)
+
+    def test_odd_slab_rejected(self):
+        op = laplace3d(8, 8, 8, fmt="stencil")
+        with pytest.raises(ValueError):
+            drv.dist_amg_structured(op, 8)  # nz/p = 1, z coarsens

@@ -159,6 +159,80 @@ class DistPrecond:
                 return x
 
             return lambda r: vcycle(0, r)
+        if self.kind == "amg_structured":
+            from ..ops.matvec import spmv
+            from ..precond.amg import (_structured_transfers,
+                                       block_pair_dup, block_pair_sum)
+            from .distmatrix import apply_local_stencil
+
+            (sweeps, omg, gamma, op_loc, depth, fine_meta,
+             inner_meta) = self.consts
+            (dims, block, om_t, dinv_f, nzl, n_c1_pad,
+             n_c1_log) = fine_meta
+            nx, ny, _ = dims
+            bx, by, bz = block
+            slab = (nx, ny, nzl)
+            cslab = (nx // bx, ny // by, nzl // bz)
+            n_lc = cslab[0] * cslab[1] * cslab[2]
+            nrm = float(1.0 / np.sqrt(bx * by * bz))
+            w_f = om_t * dinv_f
+            axis, p_shards = comm.axis_name, comm.size
+            plan = local["plan"]
+            sel, valid = local["sel"], local["valid"]
+            inner = local["inner"]
+            coarse_inv = local["coarse_inv"]
+
+            def a_fine(v):
+                return apply_local_stencil(sel, valid, op_loc, depth,
+                                           plan, v, axis, p_shards)
+
+            def inner_vcycle(k, b):
+                # replicated: every shard runs the identical coarse
+                # correction — zero collectives below this point
+                if k == len(inner):
+                    return coarse_inv @ b
+                arrs = inner[k]
+                cdims, cblock, c_om, c_npad, c_nlog = inner_meta[k]
+                restrict, prolong = _structured_transfers(
+                    arrs["a"], cdims, c_npad, c_nlog, cblock, c_om,
+                    arrs["dinv"])
+                dv = arrs["dinv"]
+                x = omg * dv * b
+                for _ in range(sweeps - 1):
+                    x = x + omg * dv * (b - spmv(arrs["a"], x))
+                for _ in range(gamma):
+                    r = b - spmv(arrs["a"], x)
+                    x = x + prolong(inner_vcycle(k + 1, restrict(r)))
+                for _ in range(sweeps):
+                    x = x + omg * dv * (b - spmv(arrs["a"], x))
+                return x
+
+            def apply(r):
+                if r.ndim != 1:
+                    raise NotImplementedError(
+                        "amg_structured: single-vector apply only")
+                # pre-smooth from zero guess (first sweep is apply-free)
+                x = (omg * dinv_f) * r
+                for _ in range(sweeps - 1):
+                    x = x + (omg * dinv_f) * (r - a_fine(x))
+                for _ in range(gamma):
+                    res = r - a_fine(x)
+                    # restrict: P_tᵀ(res − w·A res), block-sum LOCAL
+                    rc = block_pair_sum(res - w_f * a_fine(res), slab,
+                                        block) * nrm
+                    rc_g = jax.lax.all_gather(rc, axis, tiled=True)
+                    e_g = inner_vcycle(
+                        0, jnp.pad(rc_g, (0, n_c1_pad - n_c1_log)))
+                    me = jax.lax.axis_index(axis)
+                    e_loc = jax.lax.dynamic_slice(e_g, (me * n_lc,),
+                                                  (n_lc,))
+                    t = block_pair_dup(e_loc, cslab, block) * nrm
+                    x = x + (t - w_f * a_fine(t))
+                for _ in range(sweeps):
+                    x = x + (omg * dinv_f) * (r - a_fine(x))
+                return x
+
+            return apply
         if self.kind == "schwarz":
             from ..ops.formats import EllMatrix
             from ..ops.matvec import spmv
@@ -479,6 +553,80 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
         arrays={"levels": levels, "coarse_inv": coarse_inv},
         kind="amg",
         consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
+
+
+def dist_amg_structured(op, n_shards: int, *, sweeps: int = 2,
+                        omega: float = 0.8, cycle: str = "V",
+                        dtype=None, **amg_params) -> DistPrecond:
+    """Distributed STRUCTURED-aggregation AMG for a global StencilOp
+    over z-slab shards — the gather-free hierarchy of precond/amg.py
+    made multi-chip:
+
+      * level 0 is distributed: the DistStencil apply (whole-plane halo
+        exchange + local stencil kernel) carries smoothing, residual and
+        the smoothed-transfer A-applies; the tentative block-sum /
+        broadcast is LOCAL per shard (z aggregation pairs whole planes,
+        so a slab with an even plane count never crosses a shard cut);
+      * levels 1+ are REPLICATED: after the local restrict, one tiled
+        all_gather assembles the (already small) coarse residual and
+        every shard runs the same exact-classified inner V-cycle
+        redundantly — the standard coarse-agglomeration trade (MueLu's
+        repartitioning onto fewer ranks, muelu/src/Rebalancing/, taken
+        to its TPU-native limit: zero further collectives).
+
+    Comm per V-cycle: 2·sweeps + 3 plane exchanges + 1 all_gather.
+    Requires nz divisible by n_shards with nz/n_shards even (when the
+    z axis coarsens). The hierarchy itself is the single-chip SaAmg's
+    (same iteration counts as the on-chip preconditioner).
+    """
+    from ..ops.pallas.stencil_op import StencilOp
+    from ..precond.amg import SaAmg
+    from .distmatrix import distribute_stencil
+
+    if not isinstance(op, StencilOp):
+        raise TypeError("dist_amg_structured expects a global StencilOp")
+    dtype = dtype or np.dtype(op.dtype)
+    m = SaAmg(op, dict({"smoother: sweeps": sweeps,
+                        "smoother: damping factor": omega,
+                        "cycle type": cycle, "dtype": dtype},
+                       **amg_params)).compute()
+    fine = m.levels[0]
+    nx, ny, nz = fine["dims"]
+    bx, by, bz = fine["block"]
+    nzl = nz // n_shards
+    if bz == 2 and nzl % 2:
+        raise ValueError(
+            f"dist_amg_structured: nz/n_shards = {nzl} must be even so "
+            "z-plane aggregation stays shard-local")
+    ds = distribute_stencil(op, n_shards)
+    d0 = dict(zip(map(tuple, op.offsets), op.coeffs))[(0, 0, 0)]
+
+    # inner (replicated) levels: broadcast each coarse level's arrays
+    # across the shard axis (they are small — the fine level is the one
+    # that matters and it is matrix-free)
+    def bcast(t):
+        return jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(
+                l, (n_shards,) + l.shape).copy(), t)
+
+    inner_arrays = [dict(a=bcast(lvl["a"]), dinv=bcast(lvl["dinv"]))
+                    for lvl in m.levels[1:]]
+    inner_meta = tuple(
+        (lvl["dims"], lvl["block"], float(lvl["omega"]),
+         int(lvl["n_c"]), int(lvl["n_c_log"]))
+        for lvl in m.levels[1:])
+    n_c1_pad = fine["n_c"]          # padded global coarse length
+    n_c1_log = fine["n_c_log"]
+    gamma = 2 if cycle == "W" else 1
+    fine_meta = (fine["dims"], fine["block"], float(fine["omega"]),
+                 float(1.0 / d0), int(nzl), int(n_c1_pad),
+                 int(n_c1_log))
+    return DistPrecond(
+        arrays={"plan": ds.plan, "sel": ds.sel, "valid": ds.valid,
+                "inner": inner_arrays, "coarse_inv": bcast(m.coarse_inv)},
+        kind="amg_structured",
+        consts=(int(sweeps), float(omega), gamma, ds.op_local,
+                int(ds.depth), fine_meta, inner_meta))
 
 
 def dist_schwarz(a: CsrHost, rmap: Map, *, overlap: int = 1,

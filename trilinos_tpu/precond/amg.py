@@ -308,6 +308,48 @@ def _is_symmetric_stencil(offsets, coeffs, tol=1e-12) -> bool:
         for o, c in table.items())
 
 
+# The obvious 6-D reshape ((cz,2,cy,2,cx,2) + sum/broadcast) is a TPU
+# layout disaster: the trailing (…,2) dims tile-pad (8,128) each → 64x
+# memory expansion (4 GB temps at 256³; measured OOM). Pair sums via
+# even/odd STRIDED SLICES and duplication via lax.pad interior dilation
+# + roll keep every intermediate in the natural (…, lanes) layout and
+# stay exact adjoints of each other. Shared by the single-chip and
+# distributed (per-shard slab) structured transfers.
+
+
+def block_pair_sum(r, dims, block):
+    """Σ over 2-blocks per coarsened axis: (n_f[,k]) → (n_c[,k]) flat.
+    ``dims`` = (nx, ny, nz) of the (slab-)grid r covers."""
+    nx, ny, nz = dims
+    n_f = nx * ny * nz
+    tail = r.shape[1:]
+    t = r[:n_f].reshape((nz, ny, nx) + tail)
+    for ax, bb in ((2, block[0]), (1, block[1]), (0, block[2])):
+        if bb == 2:
+            sl0 = [slice(None)] * t.ndim
+            sl1 = [slice(None)] * t.ndim
+            sl0[ax] = slice(0, None, 2)
+            sl1[ax] = slice(1, None, 2)
+            t = t[tuple(sl0)] + t[tuple(sl1)]
+    return t.reshape((-1,) + tail)
+
+
+def block_pair_dup(e, cdims, block):
+    """Duplicate into 2-blocks per coarsened axis: (n_c[,k]) → (n_f[,k])
+    flat. ``cdims`` = coarse (cx, cy, cz) of the (slab-)grid."""
+    cx, cy, cz = cdims
+    n_c = cx * cy * cz
+    tail = e.shape[1:]
+    t = e[:n_c].reshape((cz, cy, cx) + tail)
+    for ax, bb in ((0, block[2]), (1, block[1]), (2, block[0])):
+        if bb == 2:
+            cfg = [(0, 0, 0)] * t.ndim
+            cfg[ax] = (0, 1, 1)   # interior dilation: [e0,0,e1,0,…]
+            p = lax.pad(t, jnp.zeros((), t.dtype), cfg)
+            t = p + jnp.roll(p, 1, axis=ax)
+    return t.reshape((-1,) + tail)
+
+
 def _structured_transfers(op_f, dims, npad_c, n_c, block, omega, dinv):
     """Matrix-free smoothed transfers for one structured level.
 
@@ -321,7 +363,7 @@ def _structured_transfers(op_f, dims, npad_c, n_c, block, omega, dinv):
 
     nx, ny, nz = dims
     bx, by, bz = block
-    cx, cy, cz = nx // bx, ny // by, nz // bz
+    cdims = (nx // bx, ny // by, nz // bz)
     n_f, npad_f = nx * ny * nz, op_f.n_rows_pad
     # Python float, not np.float64: a strong f64 scalar would promote
     # f32 operands under x64 mode
@@ -333,34 +375,11 @@ def _structured_transfers(op_f, dims, npad_c, n_c, block, omega, dinv):
     def dmul(r):
         return r * (dinv if r.ndim == 1 else dinv[:, None])
 
-    # The obvious 6-D reshape ((cz,2,cy,2,cx,2) + sum/broadcast) is a
-    # TPU layout disaster: the trailing (…,2) dims tile-pad (8,128) each
-    # → 64x memory expansion (4 GB temps at 256³; measured OOM). Pair
-    # sums via even/odd STRIDED SLICES and duplication via lax.pad
-    # interior dilation + roll keep every intermediate in the natural
-    # (…, lanes) layout and stay exact adjoints of each other.
     def block_sum(r):
-        tail = r.shape[1:]
-        t = r[:n_f].reshape((nz, ny, nx) + tail)
-        for ax, bb in ((2, bx), (1, by), (0, bz)):
-            if bb == 2:
-                sl0 = [slice(None)] * t.ndim
-                sl1 = [slice(None)] * t.ndim
-                sl0[ax] = slice(0, None, 2)
-                sl1[ax] = slice(1, None, 2)
-                t = t[tuple(sl0)] + t[tuple(sl1)]
-        return _pad((t * nrm).reshape((n_c,) + tail), npad_c, n_c)
+        return _pad(block_pair_sum(r, dims, block) * nrm, npad_c, n_c)
 
     def block_bcast(e):
-        tail = e.shape[1:]
-        t = e[:n_c].reshape((cz, cy, cx) + tail)
-        for ax, bb in ((0, bz), (1, by), (2, bx)):
-            if bb == 2:
-                cfg = [(0, 0, 0)] * t.ndim
-                cfg[ax] = (0, 1, 1)   # interior dilation: [e0,0,e1,0,…]
-                p = lax.pad(t, jnp.zeros((), t.dtype), cfg)
-                t = p + jnp.roll(p, 1, axis=ax)
-        return _pad((t * nrm).reshape((n_f,) + tail), npad_f, n_f)
+        return _pad(block_pair_dup(e, cdims, block) * nrm, npad_f, n_f)
 
     def restrict(r):
         return block_sum(r - omega * spmv(op_f, dmul(r)))
