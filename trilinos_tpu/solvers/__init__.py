@@ -11,6 +11,7 @@ from .gcrodr import RecycleSpace, gcrodr
 from .block_gcrodr import block_gcrodr
 from .rcg import CgRecycleSpace, pcpg, rcg
 from .sstep_gmres import sstep_gmres
+from .block_cg import block_cg
 from .direct import SparseCholesky, SparseLu, direct_solve
 from .pliris import dense_solve, dist_dense_solve
 from .linear_problem import LinearProblem
@@ -44,6 +45,7 @@ __all__ = [
     "CgRecycleSpace",
     "pcpg",
     "LinearProblem",
+    "block_cg",
     "SparseCholesky",
     "SparseLu",
     "direct_solve",

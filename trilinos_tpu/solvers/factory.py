@@ -36,7 +36,7 @@ ALIASES = {
     "CG": "cg",
     "PSEUDOBLOCK CG": "cg",
     "PSEUDO BLOCK CG": "cg",
-    "BLOCK CG": "cg",  # multivector RHS handled natively
+    "BLOCK CG": "block_cg",
     "SINGLE REDUCE CG": "cg_single_reduce",
     "PSEUDOBLOCK STOCHASTIC CG": "stochastic_cg",
     "STOCHASTIC CG": "stochastic_cg",
@@ -124,6 +124,12 @@ class SolverManager:
                      or problem.right_prec, maxiter=maxiter,
                      condest_window=int(p["Estimate Condition Number"]),
                      **common)
+        elif self.kind == "block_cg":
+            from .block_cg import block_cg
+
+            res = block_cg(op, b, x0, prec=problem.left_prec
+                           or problem.right_prec, maxiter=maxiter,
+                           **common)
         elif self.kind == "cg_single_reduce":
             res = cg_single_reduce(op, b, x0, prec=problem.left_prec
                                    or problem.right_prec, maxiter=maxiter,
