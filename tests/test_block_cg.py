@@ -88,3 +88,27 @@ class TestBlockCg:
         a, dev, n, b = _setup(laplace2d, 14, 12, s=3)
         res = mgr.solve(LinearProblem(lambda v: S.spmv(dev, v), b))
         assert bool(jnp.all(res.converged))
+
+    def test_distributed_block_cg(self):
+        """The block driver runs unchanged through dist_solve (block
+        reductions become psums over the mesh axis)."""
+        import jax.numpy as jnp
+
+        from trilinos_tpu.parallel import distmatrix as D
+        from trilinos_tpu.parallel import driver as drv
+
+        a = laplace2d(16, 16)
+        dm = D.distribute(a, 4)
+        mesh = drv.make_mesh(4)
+        n = a.shape[0]
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal((n, 3))
+        bg = jnp.asarray(np.stack(
+            [dm.row_map.to_padded(b[:, j]) for j in range(3)], axis=1))
+        r = drv.dist_solve(block_cg, dm, bg, mesh=mesh, rtol=1e-8,
+                           maxiter=200)
+        assert bool(jnp.all(r.converged))
+        x = np.stack([dm.row_map.from_padded(np.asarray(r.x[:, j]))
+                      for j in range(3)], axis=1)
+        rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
+        assert rel <= 2e-8
