@@ -281,6 +281,44 @@ class TestDistStructuredAmg:
         y_s = np.asarray(m.apply(jnp.asarray(r1)))[:n]
         np.testing.assert_allclose(y_d, y_s, rtol=1e-11, atol=1e-13)
 
+    def test_multivector_apply_matches_single_chip(self):
+        """(n, k) residual blocks ride the same path (block reductions
+        become the pseudo-block shape)."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P_
+
+        from trilinos_tpu import precond
+        from trilinos_tpu.parallel.comm import AxisComm
+
+        op = laplace3d(8, 8, 8, fmt="stencil")
+        n, n_shards = op.n_rows, 2
+        m = precond.SaAmg(op).compute()
+        pc = drv.dist_amg_structured(op, n_shards)
+        ds = D.distribute_stencil(op, n_shards)
+        mesh = drv.make_mesh(n_shards)
+        rng = np.random.default_rng(4)
+        R = rng.standard_normal((n, 3))
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P_(drv.AXIS), P_(drv.AXIS, None)),
+                           out_specs=P_(drv.AXIS, None))
+        def run(prec_sh, r_loc):
+            comm = AxisComm(drv.AXIS, n_shards)
+            pl = drv.DistPrecond(arrays=prec_sh, kind=pc.kind,
+                                 consts=pc.consts)
+            return pl.make(comm, None)(r_loc)
+
+        Rg = jnp.asarray(np.stack(
+            [ds.row_map.to_padded(R[:, j]) for j in range(3)], axis=1))
+        Yd = np.stack([ds.row_map.from_padded(
+            np.asarray(run(pc.arrays, Rg)[:, j])) for j in range(3)],
+            axis=1)
+        R1 = np.zeros((op.n_rows_pad, 3))
+        R1[:n] = R
+        Ys = np.asarray(m.apply(jnp.asarray(R1)))[:n]
+        np.testing.assert_allclose(Yd, Ys, rtol=1e-11, atol=1e-13)
+
     def test_odd_slab_rejected(self):
         op = laplace3d(8, 8, 8, fmt="stencil")
         with pytest.raises(ValueError):

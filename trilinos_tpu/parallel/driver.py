@@ -186,6 +186,9 @@ class DistPrecond:
                 return apply_local_stencil(sel, valid, op_loc, depth,
                                            plan, v, axis, p_shards)
 
+            def dmul(dv, v):
+                return v * (dv if v.ndim == 1 else dv[:, None])
+
             def inner_vcycle(k, b):
                 # replicated: every shard runs the identical coarse
                 # correction — zero collectives below this point
@@ -197,20 +200,18 @@ class DistPrecond:
                     arrs["a"], cdims, c_npad, c_nlog, cblock, c_om,
                     arrs["dinv"])
                 dv = arrs["dinv"]
-                x = omg * dv * b
+                x = omg * dmul(dv, b)
                 for _ in range(sweeps - 1):
-                    x = x + omg * dv * (b - spmv(arrs["a"], x))
+                    x = x + omg * dmul(dv, b - spmv(arrs["a"], x))
                 for _ in range(gamma):
                     r = b - spmv(arrs["a"], x)
                     x = x + prolong(inner_vcycle(k + 1, restrict(r)))
                 for _ in range(sweeps):
-                    x = x + omg * dv * (b - spmv(arrs["a"], x))
+                    x = x + omg * dmul(dv, b - spmv(arrs["a"], x))
                 return x
 
             def apply(r):
-                if r.ndim != 1:
-                    raise NotImplementedError(
-                        "amg_structured: single-vector apply only")
+                tail_pad = ((0, 0),) * (r.ndim - 1)
                 # pre-smooth from zero guess (first sweep is apply-free)
                 x = (omg * dinv_f) * r
                 for _ in range(sweeps - 1):
@@ -222,10 +223,13 @@ class DistPrecond:
                                         block) * nrm
                     rc_g = jax.lax.all_gather(rc, axis, tiled=True)
                     e_g = inner_vcycle(
-                        0, jnp.pad(rc_g, (0, n_c1_pad - n_c1_log)))
+                        0, jnp.pad(rc_g,
+                                   ((0, n_c1_pad - n_c1_log),) + tail_pad))
                     me = jax.lax.axis_index(axis)
-                    e_loc = jax.lax.dynamic_slice(e_g, (me * n_lc,),
-                                                  (n_lc,))
+                    zeros = (jnp.zeros((), me.dtype),) * (r.ndim - 1)
+                    e_loc = jax.lax.dynamic_slice(
+                        e_g, (me * n_lc,) + zeros,
+                        (n_lc,) + r.shape[1:])
                     t = block_pair_dup(e_loc, cslab, block) * nrm
                     x = x + (t - w_f * a_fine(t))
                 for _ in range(sweeps):
