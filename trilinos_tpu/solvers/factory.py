@@ -60,6 +60,12 @@ ALIASES = {
     "PCPG": "pcpg",
     "CA-GMRES": "sstep",
     "BLOCK GCRODR": "block_gcrodr",
+    # GmresPolySolMgr (BelosGmresPolySolMgr.hpp): build the GMRES
+    # polynomial from the problem, run the outer solve with p(A) as the
+    # (composed) right preconditioner
+    "HYBRID BLOCK GMRES": "hybrid_gmres",
+    "GMRESPOLY": "hybrid_gmres",
+    "SEED GMRES": "hybrid_gmres",
 }
 
 _SPECS = {
@@ -81,6 +87,9 @@ _SPECS = {
     "Step Basis": Param("Step Basis", "Monomial",
                         choices=("Monomial", "Newton")),
     "Fixed Point Omega": Param("Fixed Point Omega", 1.0),
+    # GmresPolySolMgr: degree of the GMRES polynomial built before the
+    # outer solve (reference default 25, BelosGmresPolySolMgr.hpp)
+    "Maximum Degree": Param("Maximum Degree", 25),
     # AZ_cg_condnum / AZ_condnum analogue: CG records this many
     # coefficient pairs for the free Lanczos condition estimate; GMRES
     # treats any nonzero value as "report the Hessenberg singular-range
@@ -130,6 +139,21 @@ class SolverManager:
             res = block_cg(op, b, x0, prec=problem.left_prec
                            or problem.right_prec, maxiter=maxiter,
                            **common)
+        elif self.kind == "hybrid_gmres":
+            from ..precond.poly import gmres_poly_apply, gmres_poly_setup
+
+            m_user = problem.right_prec or problem.left_prec
+            op_eff = (op if m_user is None
+                      else (lambda v: op(m_user(v))))
+            seed = b if b.ndim == 1 else b[:, 0]
+            h, y, deg = gmres_poly_setup(op_eff, seed,
+                                         int(p["Maximum Degree"]))
+            poly = lambda v: gmres_poly_apply(op_eff, h, y, deg, v)
+            comp = (poly if m_user is None
+                    else (lambda v: m_user(poly(v))))
+            res = gmres(op, b, x0, prec=comp,
+                        restart=int(p["Num Blocks"]),
+                        maxiter=maxiter, ortho=ortho, **common)
         elif self.kind == "cg_single_reduce":
             res = cg_single_reduce(op, b, x0, prec=problem.left_prec
                                    or problem.right_prec, maxiter=maxiter,
