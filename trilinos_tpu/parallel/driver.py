@@ -594,6 +594,11 @@ def dist_amg_structured(op, n_shards: int, *, sweeps: int = 2,
                         "smoother: damping factor": omega,
                         "cycle type": cycle, "dtype": dtype},
                        **amg_params)).compute()
+    if not m.levels:
+        raise ValueError(
+            "dist_amg_structured: the hierarchy has no levels (problem "
+            "size <= 'coarse: max size') — a distributed V-cycle is "
+            "meaningless; solve directly or lower coarse: max size")
     fine = m.levels[0]
     nx, ny, nz = fine["dims"]
     bx, by, bz = fine["block"]

@@ -465,6 +465,10 @@ class SaAmg(Preconditioner):
             raise ValueError("'nullspace: vectors' needs the uncoupled "
                              "hierarchy (structured aggregation carries "
                              "the constant mode only)")
+        fine_op = self.params["fine: matrix-free operator"]
+        if (fine_op is not None and not isinstance(self.a, StencilOp)
+                and fine_op.shape != self.a.shape):
+            raise ValueError("fine operator shape != matrix shape")
         self._stencil = cand if self._structured else None
         if not self._structured and not isinstance(self.a, CsrHost):
             raise TypeError(
@@ -529,9 +533,11 @@ class SaAmg(Preconditioner):
             from .chebyshev import fused_stencil_chebyshev
 
             # degree = sweeps+1 Chebyshev apply at ~one SpMV's traffic
-            # (ops/pallas/stencil_poly.py)
-            self.levels[0]["cheb"] = fused_stencil_chebyshev(
-                self.fine_op, degree=self.sweeps + 1)
+            # (ops/pallas/stencil_poly.py); an empty hierarchy (problem
+            # at or below 'coarse: max size') is just the dense solve
+            if self.levels:
+                self.levels[0]["cheb"] = fused_stencil_chebyshev(
+                    self.fine_op, degree=self.sweeps + 1)
 
     def _compute_structured(self, p) -> None:
         """Classified StencilOp hierarchy: reshape transfers, EXACT

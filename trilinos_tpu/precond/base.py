@@ -119,7 +119,9 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         raise ValueError(f"unknown preconditioner {name!r}; "
                          f"valid: {sorted(table)}")
     if key in ("TACHO", "CHOLMOD"):
-        params = make_params(params)
+        # copy: adding the backend default must not mutate a caller's
+        # ParameterList (it may be reused for a different create())
+        params = make_params(params).copy()
         if "solver" not in params:
             params["solver"] = key
     return table[key](a, params, **kw)

@@ -136,6 +136,17 @@ class ParameterList:
         return out
 
 
+def _pl_copy(self) -> "ParameterList":
+    """Shallow copy (fresh used-tracking) — for callers that must add
+    defaults without mutating a user-supplied list."""
+    out = ParameterList(name=self.name)
+    out._data = dict(self._data)
+    return out
+
+
+ParameterList.copy = _pl_copy
+
+
 def make_params(p: "ParameterList | Mapping | None") -> ParameterList:
     """Coerce user input (dict / ParameterList / None) into a ParameterList."""
     if p is None:
