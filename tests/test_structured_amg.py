@@ -186,3 +186,39 @@ class TestStructuredVcycle:
         b = _rand_padded(npad, n, 9)
         r = cg(lambda v: S.spmv(op, v), b, prec=m, rtol=1e-8, maxiter=60)
         assert bool(r.converged)
+
+
+class TestFunctionalState:
+    """state()/apply_state(): the hierarchy as a jit-argument pytree
+    (closure constants serialize into remote-compile requests — the
+    256^3 level-1 DIA is ~260 MB)."""
+
+    def test_apply_state_matches_apply_structured(self):
+        import jax
+
+        op = laplace3d(16, 16, 16, fmt="stencil")
+        m = precond.SaAmg(op).compute()
+        n, npad = op.n_rows, op.n_rows_pad
+        r = _rand_padded(npad, n, 11)
+        y1 = m.apply(r)
+        y2 = jax.jit(lambda st, v: m.apply_state(st, v))(m.state(), r)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-13, atol=1e-15)
+        # multivector through the functional form
+        R = _rand_padded(npad, n, 12, k=2)
+        Y1 = m.apply(R)
+        Y2 = m.apply_state(m.state(), R)
+        np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2),
+                                   rtol=1e-13, atol=1e-15)
+
+    def test_apply_state_matches_apply_uncoupled(self):
+        import jax
+
+        a = laplace2d(16, 16)
+        m = precond.SaAmg(a, {"aggregation: type": "uncoupled"}).compute()
+        npad = m.levels[0]["n_f"]
+        r = _rand_padded(npad, a.shape[0], 13)
+        y1 = m.apply(r)
+        y2 = jax.jit(lambda st, v: m.apply_state(st, v))(m.state(), r)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-13, atol=1e-15)
