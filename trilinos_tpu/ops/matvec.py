@@ -96,7 +96,12 @@ def bdia_spmm(a: BdiaMatrix, x: jax.Array) -> jax.Array:
     The (i, j) nest is UNROLLED into elementwise FMAs (b ≤ 4 makes the
     contraction dims tiny): an einsum here lowers to MXU dots at default
     (bf16) precision on TPU — measured 5e-3 relative error at k=4 —
-    while the unrolled form stays exact f32 on the VPU and fuses."""
+    while the unrolled form stays exact f32 on the VPU and fuses.
+    Larger blocks (b > 4, e.g. the k=6 coarse levels of the elasticity
+    AMG) switch to ONE HIGHEST-precision einsum per offset: the nd·b²
+    unroll explodes XLA compile time inside solver loops (measured >10
+    min at b=6, nd=27), and precision=HIGHEST keeps f32 accuracy via
+    the 3-pass MXU decomposition."""
     x2, was_1d = _ensure_2d(x)
     if x2.shape[0] != a.n_rows_pad:
         raise ValueError(
@@ -105,6 +110,14 @@ def bdia_spmm(a: BdiaMatrix, x: jax.Array) -> jax.Array:
     xp = _bdia_planes(a, x2)  # (b, NBR, k)
     data = a.data_flat  # (nd, b, b, NBR)
     rt = jnp.result_type(a.dtype, x2.dtype)
+    if b > 4:
+        acc = jnp.zeros(xp.shape, dtype=rt)
+        for d, off in enumerate(a.offsets):
+            shifted = jnp.roll(xp, -off, axis=1) if off else xp
+            acc = acc + jnp.einsum(
+                "ijq,jqk->iqk", data[d].astype(rt), shifted.astype(rt),
+                precision=jax.lax.Precision.HIGHEST)
+        return _restore(_bdia_unplanes(acc), was_1d)
     accs = [jnp.zeros(xp.shape[1:], dtype=rt) for _ in range(b)]
     for d, off in enumerate(a.offsets):
         shifted = jnp.roll(xp, -off, axis=1) if off else xp

@@ -1,4 +1,5 @@
 from .amg import SaAmg
+from .block_amg import BlockStructuredAmg
 from .base import Preconditioner, create
 from .block_2x2 import (BlockedOperator2x2, block_diagonal_prec,
                         block_lower_triangular_prec, lsc_inv_schur,
@@ -23,6 +24,7 @@ __all__ = [
     "BlockJacobi",
     "Relaxation",
     "GmresPoly",
+    "BlockStructuredAmg",
     "SaAmg",
     "AdditiveSchwarz",
     "TwoLevelSchwarz",

@@ -229,24 +229,28 @@ def tentative_prolongator_nullspace(node_agg: np.ndarray, b: int,
     return p_t, ns_c
 
 
-def smooth_prolongator(a: CsrHost, p_t: CsrHost, damping: float) -> CsrHost:
-    """P = (I − ω D⁻¹ A) P_t with ω = damping / λmax(D⁻¹A) (power est.)."""
+def smooth_prolongator(a: CsrHost, p_t: CsrHost, damping: float,
+                       omega: float | None = None) -> CsrHost:
+    """P = (I − ω D⁻¹ A) P_t with ω = damping / λmax(D⁻¹A) (power est.),
+    or an explicit ``omega`` when the caller must share the weight with
+    matrix-free transfer applies (block_amg)."""
     from ..ops.matrix_ops import diag_matrix, spadd, spgemm
 
     d = a.diagonal()
     dinv = 1.0 / np.where(d != 0, d, 1.0)
-    # cheap λmax estimate of D⁻¹A by a few host power iterations
-    rng = np.random.default_rng(0)
-    v = rng.standard_normal(a.shape[0])
-    rows_rep = np.repeat(np.arange(a.shape[0]), a.row_lengths())
-    lam = 1.0
-    for _ in range(10):
-        w = np.zeros(a.shape[0])
-        np.add.at(w, rows_rep, a.vals * v[a.cols])
-        w *= dinv
-        lam = np.linalg.norm(w)
-        v = w / max(lam, 1e-30)
-    omega = damping / max(lam, 1e-12)
+    if omega is None:
+        # cheap λmax estimate of D⁻¹A by a few host power iterations
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(a.shape[0])
+        rows_rep = np.repeat(np.arange(a.shape[0]), a.row_lengths())
+        lam = 1.0
+        for _ in range(10):
+            w = np.zeros(a.shape[0])
+            np.add.at(w, rows_rep, a.vals * v[a.cols])
+            w *= dinv
+            lam = np.linalg.norm(w)
+            v = w / max(lam, 1e-30)
+        omega = damping / max(lam, 1e-12)
     da = spgemm(diag_matrix(omega * dinv), a)
     dap = spgemm(da, p_t)
     return spadd(p_t, dap, 1.0, -1.0)

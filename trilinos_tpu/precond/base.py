@@ -70,6 +70,7 @@ def create(name: str, a, params: ParameterList | dict | None = None,
     plus local spellings.
     """
     from .amg import SaAmg
+    from .block_amg import BlockStructuredAmg
     from .chebyshev import Chebyshev
     from .ilu import Ilu0
     from .ilut import Ilut
@@ -112,6 +113,7 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         "TACHO": DirectPrec,
         "CHOLMOD": DirectPrec,
         "SA-AMG": SaAmg,
+        "BLOCK SA-AMG": BlockStructuredAmg,
         "MUELU": SaAmg,
         "AMG": SaAmg,
     }
