@@ -279,6 +279,32 @@ def bench_amg_pcg(nx=64, ny=64, nz=64, rtol=1e-5):
     return int(r.iters), best
 
 
+def bench_elasticity_amg(nx=32, ny=32, nz=24, rtol=1e-5):
+    """Block-structured null-space AMG on 3-D Q1 elasticity (73k dofs):
+    rigid-body-mode SA with gather-free BDIA levels
+    (precond/block_amg.py; MueLu-on-elasticity analogue). Returns
+    (iters, solve_seconds); plain CG on the same matrix measures 75
+    iterations / ~88 ms."""
+    from trilinos_tpu.galeri.fem import elasticity3d, rigid_body_modes
+    from trilinos_tpu.ops import matvec as mv
+    from trilinos_tpu.precond.block_amg import BlockStructuredAmg
+    from trilinos_tpu.solvers import cg
+
+    a = elasticity3d(nx, ny, nz, e_mod=1.0, dtype=np.float32)
+    ns = rigid_body_modes(nx, ny, nz)
+    m = BlockStructuredAmg(a, node_dims=(nx, ny, nz), nullspace=ns,
+                           n_equations=3,
+                           params={"dtype": np.float32,
+                                   "coarse: max size": 3000}).compute()
+    dev = m.levels[0]["a"]
+    n, npad = a.shape[0], m.levels[0]["n_f"]
+    mk = _device_rhs(npad, n)
+    run = jax.jit(lambda key: cg(lambda v: mv.spmv(dev, v), mk(key),
+                                 prec=m, rtol=rtol, maxiter=100))
+    r, best = _timed_solve(run)
+    return int(r.iters), best
+
+
 def bench_ortho(n=2 * 1024 * 1024, k=8, reps=100):
     """Block orthogonalization throughput: CGS2 projection + CholQR2
     (belos_orthomanager_tpetra_benchmark.cpp analogue)."""
@@ -404,6 +430,7 @@ def main():
     gm_iters_s, gm_it_t = _safe(bench_gmres, (0.0, float("inf")))
     ca_iters_s, ca_it_t = _safe(bench_sstep_gmres, (0.0, float("inf")))
     amg_iters, amg_t = _safe(bench_amg_pcg, (0, float("inf")))
+    el_iters, el_t = _safe(bench_elasticity_amg, (0, float("inf")))
     cgf_iters_s, cgf_it_t = _safe(bench_cg_fused, (0.0, float("inf")))
     target = 0.70 * triad
 
@@ -424,6 +451,8 @@ def main():
                       ("cg_fused_iters_per_s", cgf_iters_s),
                       ("amg_pcg_solves_per_s",
                        0.0 if amg_t in (0, float("inf")) else 1.0 / amg_t),
+                      ("elasticity_amg_solves_per_s",
+                       0.0 if el_t in (0, float("inf")) else 1.0 / el_t),
                       ("triad_gbps", triad)]:
         r = arch.check(name, val, tol=1.20, higher_is_better=True)
         statuses[name] = r.status
@@ -463,6 +492,8 @@ def main():
             "cg_fused_iter_ms": round(cgf_it_t * 1e3, 3),
             "amg_pcg_iters_64^3": amg_iters,
             "amg_pcg_solve_ms": round(amg_t * 1e3, 2),
+            "elasticity_amg_iters_73k": el_iters,
+            "elasticity_amg_solve_ms": round(el_t * 1e3, 2),
             "perf_archive": statuses,
             "timing": "big-reps min-of-3 (reps 100-300), pallas triad, "
                       "fresh-RHS CG; round-1 numbers carried +0.83ms/rep "
