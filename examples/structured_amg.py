@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the tunneled-TPU plugin registers itself regardless of the env
+    # var; the config update actually selects the CPU backend
     import jax
 
     jax.config.update("jax_platforms", "cpu")

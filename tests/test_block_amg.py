@@ -125,3 +125,22 @@ class TestBlockStructuredAmg:
         with pytest.raises(ValueError):
             BlockStructuredAmg(a, node_dims=(8, 4), nullspace=ns,
                                n_equations=2).compute()
+
+    def test_apply_state_matches_apply(self):
+        import jax
+
+        nx = ny = 16
+        a = elasticity2d(nx, ny, e_mod=1.0)
+        ns = rigid_body_modes(nx, ny)
+        m = BlockStructuredAmg(a, node_dims=(nx, ny), nullspace=ns,
+                               n_equations=2,
+                               params={"coarse: max size": 64}).compute()
+        n, npad = a.shape[0], m.levels[0]["n_f"]
+        rng = np.random.default_rng(5)
+        r = np.zeros(npad)
+        r[:n] = rng.standard_normal(n)
+        y1 = m.apply(jnp.asarray(r))
+        y2 = jax.jit(lambda st, v: m.apply_state(st, v))(
+            m.state(), jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-13, atol=1e-15)

@@ -130,12 +130,22 @@ def bdia_spmm(a: BdiaMatrix, x: jax.Array) -> jax.Array:
 
 def bdia_spmm_t(a: BdiaMatrix, x: jax.Array) -> jax.Array:
     """Transpose apply: yp[j, q + off] += data[d, i, j, q] * xp[i, q].
-    Unrolled elementwise form for the same precision reason as above."""
+    Unrolled elementwise form below b=5, one HIGHEST-precision einsum
+    per offset above — the same compile-time/precision split as the
+    forward apply."""
     x2, was_1d = _ensure_2d(x)
     b = a.block_size
     xp = _bdia_planes(a, x2)
     data = a.data_flat
     rt = jnp.result_type(a.dtype, x2.dtype)
+    if b > 4:
+        acc = jnp.zeros(xp.shape, dtype=rt)
+        for d, off in enumerate(a.offsets):
+            term = jnp.einsum("ijq,iqk->jqk", data[d].astype(rt),
+                              xp.astype(rt),
+                              precision=jax.lax.Precision.HIGHEST)
+            acc = acc + (jnp.roll(term, off, axis=1) if off else term)
+        return _restore(_bdia_unplanes(acc), was_1d)
     accs = [jnp.zeros(xp.shape[1:], dtype=rt) for _ in range(b)]
     for d, off in enumerate(a.offsets):
         for j in range(b):

@@ -501,9 +501,6 @@ class SaAmg(Preconditioner):
         # Galerkin products anyway). The stored fine matrix self.a is
         # still used for aggregation/PtAP setup.
         self.fine_op = p["fine: matrix-free operator"]
-        if self.fine_op is not None \
-                and self.fine_op.shape != self.a.shape:
-            raise ValueError("fine operator shape != matrix shape")
         for k, (a_l, p_s) in enumerate(host_levels):
             d = a_l.diagonal()
             if k == 0 and self.fine_op is not None:

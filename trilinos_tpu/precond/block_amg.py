@@ -248,6 +248,7 @@ class BlockStructuredAmg(Preconditioner):
                 npad_f, npad_c)
             self.levels.append(dict(
                 a=a_dev, dinv=dinv, restrict=restrict, prolong=prolong,
+                q=q_dev, bk=(b, k), omega_t=omega_t,
                 # damped-Jacobi weight scaled to the level's spectrum:
                 # the user damping (default 0.8) is calibrated for
                 # lmax(D^-1 A)=2 (Laplacians); elasticity reaches ~2.6+
@@ -269,24 +270,46 @@ class BlockStructuredAmg(Preconditioner):
     def n_levels(self) -> int:
         return len(self.levels) + 1
 
+    # -- functional (jit-argument) form ---------------------------------
+    def state(self):
+        """Device arrays of the hierarchy as a pytree — pass as a jit
+        ARGUMENT and apply with :meth:`apply_state` when the hierarchy
+        is too large to bake as jit constants (same escape hatch as
+        SaAmg.state; see docs/structured_amg.md Limits)."""
+        return {"levels": [{"a": l["a"], "dinv": l["dinv"], "q": l["q"]}
+                           for l in self.levels],
+                "coarse_inv": self.coarse_inv}
+
+    def apply_state(self, st, r: jax.Array) -> jax.Array:
+        levels = []
+        for lvl, s in zip(self.levels, st["levels"]):
+            bb, kk = lvl["bk"]
+            restrict, prolong = _block_ns_transfers(
+                s["a"], lvl["dims"], lvl["block"], bb, kk, s["q"],
+                lvl["omega_t"], s["dinv"], lvl["n_f"], lvl["n_c"])
+            levels.append(dict(lvl, a=s["a"], dinv=s["dinv"],
+                               restrict=restrict, prolong=prolong))
+        return self._vcycle_impl(levels, st["coarse_inv"], 0, r)
+
     def _smooth(self, lvl, x, r):
         for _ in range(self.sweeps):
             x = x + lvl["omega_s"] * lvl["dinv"] * (r - spmv(lvl["a"], x))
         return x
 
-    def _vcycle(self, k: int, r: jax.Array) -> jax.Array:
-        if k == len(self.levels):
-            return self.coarse_inv @ r
-        lvl = self.levels[k]
+    def _vcycle_impl(self, levels, coarse_inv, k: int,
+                     r: jax.Array) -> jax.Array:
+        if k == len(levels):
+            return coarse_inv @ r
+        lvl = levels[k]
         x = self._smooth(lvl, jnp.zeros_like(r), r)
         for _ in range(self.gamma):
             res = r - spmv(lvl["a"], x)
-            x = x + lvl["prolong"](self._vcycle(k + 1,
-                                                lvl["restrict"](res)))
+            x = x + lvl["prolong"](self._vcycle_impl(
+                levels, coarse_inv, k + 1, lvl["restrict"](res)))
         return self._smooth(lvl, x, r)
 
     def _apply(self, r: jax.Array) -> jax.Array:
         if r.ndim != 1:
             raise NotImplementedError(
                 "BlockStructuredAmg: single-vector apply only")
-        return self._vcycle(0, r)
+        return self._vcycle_impl(self.levels, self.coarse_inv, 0, r)

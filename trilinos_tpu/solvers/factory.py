@@ -146,11 +146,19 @@ class SolverManager:
             op_eff = (op if m_user is None
                       else (lambda v: op(m_user(v))))
             seed = b if b.ndim == 1 else b[:, 0]
-            h, y, deg = gmres_poly_setup(op_eff, seed,
-                                         int(p["Maximum Degree"]))
-            poly = lambda v: gmres_poly_apply(op_eff, h, y, deg, v)
-            comp = (poly if m_user is None
-                    else (lambda v: m_user(poly(v))))
+            import jax.numpy as _jnp
+
+            if float(_jnp.linalg.norm(seed)) == 0.0:
+                # a zero seed cannot build an Arnoldi polynomial (the
+                # normalization is 0/0); fall back to plain GMRES,
+                # which returns x = 0 converged like every other kind
+                comp = m_user
+            else:
+                h, y, deg = gmres_poly_setup(op_eff, seed,
+                                             int(p["Maximum Degree"]))
+                poly = lambda v: gmres_poly_apply(op_eff, h, y, deg, v)
+                comp = (poly if m_user is None
+                        else (lambda v: m_user(poly(v))))
             res = gmres(op, b, x0, prec=comp,
                         restart=int(p["Num Blocks"]),
                         maxiter=maxiter, ortho=ortho, **common)

@@ -63,6 +63,13 @@ class ParameterList:
     def __contains__(self, key: str) -> bool:
         return key in self._data
 
+    def copy(self) -> "ParameterList":
+        """Shallow copy (fresh used-tracking) — for callers that must
+        add defaults without mutating a user-supplied list."""
+        out = ParameterList(name=self.name)
+        out._data = dict(self._data)
+        return out
+
     def __iter__(self) -> Iterator[str]:
         return iter(self._data)
 
@@ -134,17 +141,6 @@ class ParameterList:
         for k, v in self._data.items():
             out[k] = v.to_dict() if isinstance(v, ParameterList) else v
         return out
-
-
-def _pl_copy(self) -> "ParameterList":
-    """Shallow copy (fresh used-tracking) — for callers that must add
-    defaults without mutating a user-supplied list."""
-    out = ParameterList(name=self.name)
-    out._data = dict(self._data)
-    return out
-
-
-ParameterList.copy = _pl_copy
 
 
 def make_params(p: "ParameterList | Mapping | None") -> ParameterList:
