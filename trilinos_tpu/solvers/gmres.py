@@ -28,7 +28,8 @@ from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
 from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
-from .ortho import cgs2_project, dgks_project, resolve_method
+from .ortho import (cgs2_project, cgs2_project_window, dgks_project,
+                    dgks_project_window, resolve_method)
 
 
 def _givens_apply(cs, sn, h, j):
@@ -78,12 +79,33 @@ def _hbar_sv_range(h_raw: jax.Array, j: jax.Array) -> tuple[jax.Array, jax.Array
 def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
                   prec: Operator, flexible: bool, restart: int,
                   maxiter: int, rtol: float, atol: float, comm: Comm,
-                  ortho: str, condest: bool = False):
-    """Restarted right-preconditioned GMRES for ONE RHS column (n,)."""
+                  ortho: str, condest: bool = False,
+                  window_chunk: int | None = 8):
+    """Restarted right-preconditioned GMRES for ONE RHS column (n,).
+
+    ``window_chunk``: when set, the Arnoldi projection reads only the
+    basis chunks holding filled columns (ortho.project_block_window) —
+    at step j the CGS pass touches ceil((j+1)/chunk)·chunk columns
+    instead of all m+1, roughly halving the ortho HBM traffic averaged
+    over a restart cycle. None = classic full-basis projection (used by
+    the vmap'd pseudo-block path, where lax.cond degrades to select)."""
     m = restart
     n = b.shape[0]
     dtype = b.dtype
-    project = cgs2_project if ortho == "CGS2" else dgks_project
+    if window_chunk:
+        mcols = -(-(m + 1) // window_chunk) * window_chunk
+        proj_w = (cgs2_project_window if ortho == "CGS2"
+                  else dgks_project_window)
+
+        def project(v, w, j):
+            w2, c = proj_w(comm, v, w, j + 1, window_chunk)
+            return w2, c[:m + 1]
+    else:
+        mcols = m + 1
+        proj_f = cgs2_project if ortho == "CGS2" else dgks_project
+
+        def project(v, w, j):
+            return proj_f(comm, v, w)
 
     bnorm = norm2(comm, b)
     tol = rhs_norm_scale(bnorm, rtol, atol)
@@ -91,7 +113,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     def cycle(x, total_iters):
         r0 = b - op(x)
         beta = norm2(comm, r0)
-        v = jnp.zeros((n, m + 1), dtype)
+        v = jnp.zeros((n, mcols), dtype)
         v = v.at[:, 0].set(safe_divide(r0, beta))
         z = jnp.zeros((n, m), dtype) if flexible else None
         h_rot = jnp.zeros((m + 1, m), dtype)  # rotated Hessenberg (R factor)
@@ -111,8 +133,9 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             if flexible:
                 z = lax.dynamic_update_slice(z, zj[:, None], (0, j))
             w = op(zj)
-            # block projection against the whole (zero-padded) basis
-            w2, hcol = project(comm, v, w[:, None])
+            # block projection against the (zero-padded) basis — full or
+            # active-window chunked, per window_chunk
+            w2, hcol = project(v, w[:, None], j)
             w2 = w2[:, 0]
             hnorm = norm2(comm, w2)
             h = hcol[:, 0].at[j + 1].set(hnorm)
@@ -185,7 +208,8 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           prec: Operator | None = None, flexible: bool = False,
           restart: int = 30, maxiter: int = 1000, rtol: float = 1e-8,
           atol: float = 0.0, comm: Comm | None = None,
-          ortho: str = "CGS2", condest: bool = False) -> SolveResult:
+          ortho: str = "CGS2", condest: bool = False,
+          window_chunk: int | None = 8) -> SolveResult:
     """Restarted GMRES(m) with right preconditioning.
 
     Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
@@ -211,7 +235,10 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     core = functools.partial(
         _gmres_single, op, prec=prec, flexible=flexible, restart=restart,
         maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m,
-        condest=condest)
+        condest=condest,
+        # vmap turns the window's lax.cond into select (both branches
+        # run) — chunking only pays on the single-RHS path
+        window_chunk=window_chunk if b.ndim == 1 else None)
 
     if b.ndim == 1:
         x, iters, res, conv, ce = core(b, x0)

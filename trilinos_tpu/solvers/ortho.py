@@ -135,6 +135,80 @@ def svqb(comm: Comm, w: jax.Array):
     return q, rank_ok
 
 
+def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
+                         n_active, chunk: int = 8):
+    """One classical-GS pass that reads ONLY the basis chunks containing
+    active (filled) columns.
+
+    The static-shape basis convention (unfilled columns zero) makes the
+    plain ``project_block`` read all ``m`` columns every call — in a
+    growing-basis loop (GMRES Arnoldi) that wastes up to 2× the HBM
+    traffic on zeros. Here ``v`` is (n, mp) with ``mp % chunk == 0`` and
+    ``n_active`` (traced) filled leading columns; chunks whose first
+    column index is ≥ n_active are skipped entirely (their coefficients
+    are exact zeros). Communication is UNCHANGED: local chunk dots are
+    accumulated into one (mp, k) block and hit a single psum, exactly
+    like the full-basis pass (the Belos MvTransMv + reduceAll split).
+
+    NOTE: under jax.vmap a traced per-batch ``n_active`` turns the
+    internal ``lax.cond`` into select (both branches execute) — use the
+    full-basis pass for batched projections.
+
+    Returns (w2, c) with c zero-padded to (mp, k)."""
+    n, mp = v.shape
+    if mp % chunk:
+        raise ValueError(f"basis columns {mp} not a multiple of chunk {chunk}")
+    nc = mp // chunk
+    k = w.shape[1]
+    dt = v.dtype
+
+    def dots(i, c):
+        def active(c):
+            vc = lax.dynamic_slice(v, (0, i * chunk), (n, chunk))
+            ci = jnp.einsum("nc,nk->ck", vc, w, preferred_element_type=dt)
+            return lax.dynamic_update_slice(c, ci, (i * chunk, 0))
+        return lax.cond(i * chunk < n_active, active, lambda c: c, c)
+
+    c = lax.fori_loop(0, nc, dots, jnp.zeros((mp, k), dt))
+    c = comm.psum(c)
+
+    def upd(i, wv):
+        def active(wv):
+            vc = lax.dynamic_slice(v, (0, i * chunk), (n, chunk))
+            ci = lax.dynamic_slice(c, (i * chunk, 0), (chunk, k))
+            return wv - vc @ ci
+        return lax.cond(i * chunk < n_active, active, lambda wv: wv, wv)
+
+    return lax.fori_loop(0, nc, upd, w), c
+
+
+def cgs2_project_window(comm: Comm, v: jax.Array, w: jax.Array,
+                        n_active, chunk: int = 8):
+    """CGS2 (two unconditional passes) over the active window only."""
+    w1, c1 = project_block_window(comm, v, w, n_active, chunk)
+    w2, c2 = project_block_window(comm, v, w1, n_active, chunk)
+    return w2, c1 + c2
+
+
+def dgks_project_window(comm: Comm, v: jax.Array, w: jax.Array,
+                        n_active, chunk: int = 8,
+                        dep_tol: float = float(DGKS_DEP_TOL)):
+    """DGKS (conditional second pass) over the active window only."""
+    from ..ops.blas import local_dot
+
+    norms_before = comm.psum(local_dot(w, w))
+    w1, c1 = project_block_window(comm, v, w, n_active, chunk)
+    norms_after = comm.psum(local_dot(w1, w1))
+    need = jnp.any(norms_after < (dep_tol ** 2) * norms_before)
+
+    def second(args):
+        w1, c1 = args
+        w2, c2 = project_block_window(comm, v, w1, n_active, chunk)
+        return w2, c1 + c2
+
+    return lax.cond(need, second, lambda a: a, (w1, c1))
+
+
 def project_and_normalize(comm: Comm, v: jax.Array, w: jax.Array,
                           method: str = "CGS2"):
     """Full Belos-style projectAndNormalize: orthogonalize block w against
