@@ -96,3 +96,89 @@ def test_svqb_flags_rank_deficiency(comm, rng):
     w = w.at[:, 2].set(w[:, 0])  # exact dependency
     q, ok = svqb(comm, w)
     assert not bool(ok.all())
+
+
+class TestWindowedProjection:
+    """Windowed (active-chunk) projection vs the full-basis pass
+    (ADVICE r3: window-vs-full equivalence, serial AND under shard_map,
+    non-multiple-of-chunk active counts, DGKS conditional second pass)."""
+
+    def _padded_basis(self, rng, n=192, m_active=11, mp=16):
+        q, _ = np.linalg.qr(rng.standard_normal((n, m_active)))
+        v = np.zeros((n, mp))
+        v[:, :m_active] = q
+        return jnp.asarray(v), m_active
+
+    @pytest.mark.parametrize("m_active", [1, 5, 8, 11, 16])
+    def test_window_matches_full_serial(self, comm, rng, m_active):
+        v, _ = self._padded_basis(rng, m_active=m_active)
+        w = jnp.asarray(rng.standard_normal((192, 3)))
+        w_full, c_full = ortho.cgs2_project(comm, v, w)
+        w_win, c_win = ortho.cgs2_project_window(comm, v, w, m_active, 8)
+        np.testing.assert_allclose(np.asarray(w_win), np.asarray(w_full),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(c_win), np.asarray(c_full),
+                                   atol=1e-13)
+
+    def test_dgks_window_second_pass(self, comm, rng):
+        """Near-dependent w forces the conditional second pass through the
+        windowed path too."""
+        v, m_active = self._padded_basis(rng, m_active=6)
+        w_in = v[:, :6] @ jnp.asarray(rng.standard_normal((6, 1)))
+        w = w_in + 1e-9 * jnp.asarray(rng.standard_normal((192, 1)))
+        w_win, _ = ortho.dgks_project_window(comm, v, w, 6, 8)
+        assert float(jnp.abs(v.T @ (w_win / jnp.linalg.norm(w_win))).max()) \
+            < 1e-9
+
+    def test_rejects_non_multiple_basis(self, comm, rng):
+        v = jnp.asarray(rng.standard_normal((64, 10)))
+        w = jnp.asarray(rng.standard_normal((64, 1)))
+        with pytest.raises(ValueError):
+            ortho.project_block_window(comm, v, w, 4, 8)
+
+    @pytest.mark.parametrize("n_active_traced", [True, False])
+    def test_window_under_shard_map(self, rng, n_active_traced):
+        """The round-3 breakage: lax.cond with a replicated carry under
+        shard_map. Must now trace AND match the serial result."""
+        import functools
+        import jax
+        from jax.sharding import PartitionSpec as Pspec
+        from trilinos_tpu.parallel import AxisComm
+        from trilinos_tpu.parallel.driver import make_mesh
+
+        mesh = make_mesh(4)
+        v, m_active = self._padded_basis(rng, n=64 * 4, m_active=11)
+        w = jnp.asarray(rng.standard_normal((64 * 4, 2)))
+        comm = AxisComm("rows", 4)
+
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(Pspec("rows"), Pspec("rows")),
+                           out_specs=(Pspec("rows"), Pspec()))
+        def run(v, w):
+            n_act = jnp.asarray(m_active) if n_active_traced else m_active
+            return ortho.cgs2_project_window(comm, v, w, n_act, 8)
+
+        w_win, c_win = run(v, w)
+        w_full, c_full = ortho.cgs2_project(SerialComm(), v, w)
+        np.testing.assert_allclose(np.asarray(w_win), np.asarray(w_full),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(c_win), np.asarray(c_full),
+                                   atol=1e-13)
+
+    def test_gmres_windowed_matches_default(self, rng):
+        """Opt-in window_chunk must reproduce the default full-basis GMRES
+        solution (restart not a multiple of the chunk)."""
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.ops import formats as F
+        from trilinos_tpu.ops import matvec as S
+        from trilinos_tpu.solvers import gmres
+
+        a = F.csr_to_ell(laplace2d(12, 12))
+        op = lambda x: S.spmv(a, x)
+        b = jnp.asarray(rng.standard_normal(a.shape[0]))
+        r_def = gmres(op, b, restart=13, rtol=1e-10)
+        r_win = gmres(op, b, restart=13, rtol=1e-10, window_chunk=8)
+        assert bool(r_def.converged) and bool(r_win.converged)
+        np.testing.assert_allclose(np.asarray(r_win.x), np.asarray(r_def.x),
+                                   atol=1e-8)

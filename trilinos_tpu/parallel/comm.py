@@ -43,6 +43,15 @@ class Comm:
         """This shard's position along the solve axis (0 on serial)."""
         raise NotImplementedError
 
+    def pvary(self, x):
+        """Mark ``x`` as device-varying along the comm axes.
+
+        Needed when a replicated literal (e.g. a zero-initialized carry)
+        flows into ``lax.cond``/``lax.scan`` alongside sharded data under
+        shard_map: JAX's varying-manual-axes check requires both branch
+        outputs to agree. Identity on serial."""
+        raise NotImplementedError
+
 
 class SerialComm(Comm):
     size = 1
@@ -58,6 +67,9 @@ class SerialComm(Comm):
 
     def index(self):
         return 0
+
+    def pvary(self, x):
+        return x
 
     def __repr__(self):
         return "SerialComm()"
@@ -81,6 +93,10 @@ class AxisComm(Comm):
 
     def index(self):
         return lax.axis_index(self.axis_name)
+
+    def pvary(self, x):
+        return jax.tree.map(
+            lambda a: lax.pcast(a, self.axis_name, to="varying"), x)
 
     def __repr__(self):
         return f"AxisComm({self.axis_name!r}, size={self.size})"

@@ -80,15 +80,16 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
                   prec: Operator, flexible: bool, restart: int,
                   maxiter: int, rtol: float, atol: float, comm: Comm,
                   ortho: str, condest: bool = False,
-                  window_chunk: int | None = 8):
+                  window_chunk: int | None = None):
     """Restarted right-preconditioned GMRES for ONE RHS column (n,).
 
     ``window_chunk``: when set, the Arnoldi projection reads only the
     basis chunks holding filled columns (ortho.project_block_window) —
     at step j the CGS pass touches ceil((j+1)/chunk)·chunk columns
-    instead of all m+1, roughly halving the ortho HBM traffic averaged
-    over a restart cycle. None = classic full-basis projection (used by
-    the vmap'd pseudo-block path, where lax.cond degrades to select)."""
+    instead of all m+1. None (the DEFAULT — on-chip profiling showed the
+    chunked dynamic-slice loop defeats XLA fusion and runs ~12× slower
+    at restart=30) = classic full-basis projection, also used by the
+    vmap'd pseudo-block path, where lax.cond degrades to select."""
     m = restart
     n = b.shape[0]
     dtype = b.dtype
@@ -209,7 +210,7 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           restart: int = 30, maxiter: int = 1000, rtol: float = 1e-8,
           atol: float = 0.0, comm: Comm | None = None,
           ortho: str = "CGS2", condest: bool = False,
-          window_chunk: int | None = 8) -> SolveResult:
+          window_chunk: int | None = None) -> SolveResult:
     """Restarted GMRES(m) with right preconditioning.
 
     Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
