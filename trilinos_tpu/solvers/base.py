@@ -36,6 +36,11 @@ class SolveResult:
     # optional κ(M·A) estimate from the solver's own recurrence
     # coefficients (AZ_cg_condnum analogue); None unless requested
     condest: jax.Array | None = None
+    # optional per-iteration implicit residual norms: (maxiter+1,) or
+    # (maxiter+1, k), NaN past the final iteration — the residual trace
+    # Belos prints via StatusTestOutput (BelosStatusTestOutput.hpp),
+    # returned as data; None unless history=True was requested
+    history: jax.Array | None = None
 
 
 def identity_prec(x: jax.Array) -> jax.Array:

@@ -73,7 +73,8 @@ def _tridiag_condest(alphas: jax.Array, betas: jax.Array,
 def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
        prec: Operator | None = None, rtol: float = 1e-8, atol: float = 0.0,
        maxiter: int = 1000, comm: Comm | None = None,
-       condest_window: int = 0) -> SolveResult:
+       condest_window: int = 0, stop=None,
+       history: bool = False) -> SolveResult:
     """Preconditioned CG (left-preconditioned in the M-inner-product form).
 
     condest_window > 0 additionally records the first ``condest_window``
@@ -84,14 +85,28 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     reductions). A tighten-retry resumption starts a fresh Lanczos
     process; the recorded beta at the seam is zeroed so T is the direct
     sum of genuine Lanczos blocks and the Ritz-interlacing lower-bound
-    property survives retries."""
+    property survives retries.
+
+    ``stop``: optional composable StatusTest (solvers.status), evaluated
+    per iteration — Passed (for every column) means stop early; combined
+    with the built-in resnorm/maxiter checks. ``history=True`` records
+    the per-iteration recurrence residual norms into
+    ``SolveResult.history`` ((maxiter+1,) or (maxiter+1, k), NaN past
+    the end) — the StatusTestOutput residual trace as data."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
     cw = int(min(condest_window, maxiter))
+    use_aux = bool(cw) or history
 
     bb = comm.psum(local_dot(b, b))
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
+
+    def stop_passed(k, rr):
+        from .status import SolverState
+
+        return jnp.all(stop(SolverState(
+            iters=k, resnorm=jnp.sqrt(rr), rhs_norm=jnp.sqrt(bb))))
 
     def solve_from(x, tol2, k0, aux=None):
         r = b - op(x)
@@ -99,10 +114,18 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         p = z
         d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
         rz, rr = d0[0], d0[1]
+        if history:
+            # index k0: the (explicitly computed) residual entering this
+            # segment — ‖b−Ax0‖ on the first pass
+            aux = dict(aux)
+            aux["hist"] = aux["hist"].at[k0].set(jnp.sqrt(rr))
 
         def cond(s):
             rr, k = s[5], s[6]
-            return jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+            go = jnp.logical_and(k < maxiter, jnp.any(rr > tol2))
+            if stop is not None:
+                go = jnp.logical_and(go, ~stop_passed(k, rr))
+            return go
 
         def body(s):
             x, r, z, p, rz, rr, k = s[:7]
@@ -119,47 +142,61 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             p = z + bcast_cols(beta, p)
             out = (x, r, z, p, jnp.where(active, rz_new, rz),
                    jnp.where(active, rr_new, rr), k + 1)
-            if cw:
-                alphas, betas = s[7]
-                idx = jnp.minimum(k, cw - 1)
-                ok = k < cw
-                alphas = alphas.at[idx].set(
-                    jnp.where(ok, alpha, alphas[idx]))
-                betas = betas.at[idx].set(
-                    jnp.where(ok, beta, betas[idx]))
-                # a tighten-retry resumption (k0 > 0) starts a FRESH
-                # Lanczos process: sever the spurious coupling to the
-                # previous segment by zeroing the recorded beta at the
-                # seam — T becomes block-diagonal, the direct sum of
-                # genuine Lanczos blocks, so its extreme Ritz values
-                # stay inside [λmin, λmax]
-                pidx = jnp.minimum(jnp.maximum(k0 - 1, 0), cw - 1)
-                seam = jnp.logical_and(jnp.logical_and(k == k0, k0 > 0),
-                                       k0 - 1 < cw)
-                betas = betas.at[pidx].set(
-                    jnp.where(seam, 0.0, betas[pidx]))
-                out = out + ((alphas, betas),)
+            if use_aux:
+                aux = dict(s[7])
+                if cw:
+                    alphas, betas = aux["lanczos"]
+                    idx = jnp.minimum(k, cw - 1)
+                    ok = k < cw
+                    alphas = alphas.at[idx].set(
+                        jnp.where(ok, alpha, alphas[idx]))
+                    betas = betas.at[idx].set(
+                        jnp.where(ok, beta, betas[idx]))
+                    # a tighten-retry resumption (k0 > 0) starts a FRESH
+                    # Lanczos process: sever the spurious coupling to the
+                    # previous segment by zeroing the recorded beta at the
+                    # seam — T becomes block-diagonal, the direct sum of
+                    # genuine Lanczos blocks, so its extreme Ritz values
+                    # stay inside [λmin, λmax]
+                    pidx = jnp.minimum(jnp.maximum(k0 - 1, 0), cw - 1)
+                    seam = jnp.logical_and(
+                        jnp.logical_and(k == k0, k0 > 0), k0 - 1 < cw)
+                    betas = betas.at[pidx].set(
+                        jnp.where(seam, 0.0, betas[pidx]))
+                    aux["lanczos"] = (alphas, betas)
+                if history:
+                    aux["hist"] = aux["hist"].at[k + 1].set(
+                        jnp.where(active, jnp.sqrt(rr_new),
+                                  aux["hist"][k + 1]))
+                out = out + (aux,)
             return out
 
-        st = (x, r, z, p, rz, rr, k0) + ((aux,) if cw else ())
+        st = (x, r, z, p, rz, rr, k0) + ((aux,) if use_aux else ())
         out = lax.while_loop(cond, body, st)
-        return (out[0], out[6]) + ((out[7],) if cw else ())
+        return (out[0], out[6]) + ((out[7],) if use_aux else ())
 
-    if cw:
+    if use_aux:
         rdt = jnp.real(jnp.zeros((), b.dtype)).dtype
         cshape = () if b.ndim == 1 else (b.shape[1],)
-        aux0 = (jnp.zeros((cw,) + cshape, rdt),
-                jnp.zeros((cw,) + cshape, rdt))
-        x, k, resnorm, conv, (alphas, betas) = certified_solve(
+        aux0 = {}
+        if cw:
+            aux0["lanczos"] = (jnp.zeros((cw,) + cshape, rdt),
+                               jnp.zeros((cw,) + cshape, rdt))
+        if history:
+            aux0["hist"] = jnp.full((maxiter + 1,) + cshape, jnp.nan, rdt)
+        x, k, resnorm, conv, aux = certified_solve(
             solve_from, op, b, x, tol, maxiter, comm, aux0=aux0)
-        m = jnp.minimum(k, cw)
-        if b.ndim == 1:
-            ce = _tridiag_condest(alphas, betas, m)
-        else:
-            ce = jax.vmap(_tridiag_condest,
-                          in_axes=(1, 1, None))(alphas, betas, m)
-        return SolveResult(x=x, iters=k, resnorm=resnorm,
-                           converged=conv, condest=ce)
+        ce = None
+        if cw:
+            alphas, betas = aux["lanczos"]
+            m = jnp.minimum(k, cw)
+            if b.ndim == 1:
+                ce = _tridiag_condest(alphas, betas, m)
+            else:
+                ce = jax.vmap(_tridiag_condest,
+                              in_axes=(1, 1, None))(alphas, betas, m)
+        return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv,
+                           condest=ce, history=aux.get("hist"))
 
     x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
                                           maxiter, comm)

@@ -95,6 +95,9 @@ _SPECS = {
     # treats any nonzero value as "report the Hessenberg singular-range
     # estimate". Both land in SolveResult.condest.
     "Estimate Condition Number": Param("Estimate Condition Number", 0),
+    # StatusTestOutput residual-trace analogue: record per-iteration
+    # implicit resnorms into SolveResult.history (CG/GMRES kinds)
+    "Record Residual History": Param("Record Residual History", False),
 }
 
 
@@ -128,10 +131,12 @@ class SolverManager:
         b = problem.b
         x0 = problem.x0
         ortho = str(p["Orthogonalization"])
+        hist = bool(p["Record Residual History"])
         if self.kind == "cg":
             res = cg(op, b, x0, prec=problem.left_prec
                      or problem.right_prec, maxiter=maxiter,
                      condest_window=int(p["Estimate Condition Number"]),
+                     history=hist, stop=getattr(problem, "stop_test", None),
                      **common)
         elif self.kind == "block_cg":
             from .block_cg import block_cg
@@ -187,6 +192,7 @@ class SolverManager:
                      restart=int(p["Num Blocks"]), maxiter=maxiter,
                      ortho=ortho,
                      condest=bool(int(p["Estimate Condition Number"])),
+                     history=hist, stop=getattr(problem, "stop_test", None),
                      **common)
         elif self.kind == "block_gmres":
             bb = b[:, None] if b.ndim == 1 else b

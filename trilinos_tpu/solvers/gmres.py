@@ -80,7 +80,8 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
                   prec: Operator, flexible: bool, restart: int,
                   maxiter: int, rtol: float, atol: float, comm: Comm,
                   ortho: str, condest: bool = False,
-                  window_chunk: int | None = None):
+                  window_chunk: int | None = None,
+                  stop=None, history: bool = False):
     """Restarted right-preconditioned GMRES for ONE RHS column (n,).
 
     ``window_chunk``: when set, the Arnoldi projection reads only the
@@ -111,24 +112,41 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     bnorm = norm2(comm, b)
     tol = rhs_norm_scale(bnorm, rtol, atol)
 
-    def cycle(x, total_iters):
+    def stop_passed(iters, res):
+        """Composable StatusTest evaluation (Belos stest_->checkStatus,
+        BelosBlockGmresIter.hpp:676): Passed means STOP."""
+        from .status import SolverState
+
+        return stop(SolverState(iters=iters, resnorm=res, rhs_norm=bnorm))
+
+    def cycle(x, total_iters, hist):
         r0 = b - op(x)
         beta = norm2(comm, r0)
         v = jnp.zeros((n, mcols), dtype)
         v = v.at[:, 0].set(safe_divide(r0, beta))
-        z = jnp.zeros((n, m), dtype) if flexible else None
+        # the Z basis is filled with device-varying preconditioned vectors
+        # inside the while_loop — promote the replicated zero init so the
+        # carry types agree under shard_map
+        z = comm.pvary(jnp.zeros((n, m), dtype)) if flexible else None
         h_rot = jnp.zeros((m + 1, m), dtype)  # rotated Hessenberg (R factor)
         h_raw = jnp.zeros((m + 1, m), dtype) if condest else None
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        if history:
+            # cycle 0 records the initial implicit residual ‖r0‖
+            hist = hist.at[0].set(jnp.where(total_iters == 0, beta, hist[0]))
 
         def cond(s):
-            v, z, h_rot, h_raw, cs, sn, g, j = s
-            return jnp.logical_and(j < m, jnp.abs(g[j]) > tol)
+            v, z, h_rot, h_raw, cs, sn, g, hist, j = s
+            go = jnp.logical_and(j < m, jnp.abs(g[j]) > tol)
+            if stop is not None:
+                go = jnp.logical_and(
+                    go, ~stop_passed(total_iters + j, jnp.abs(g[j])))
+            return go
 
         def body(s):
-            v, z, h_rot, h_raw, cs, sn, g, j = s
+            v, z, h_rot, h_raw, cs, sn, g, hist, j = s
             vj = lax.dynamic_slice_in_dim(v, j, 1, axis=1)[:, 0]
             zj = prec(vj)
             if flexible:
@@ -156,10 +174,15 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             g = g.at[j + 1].set(-s_new * g[j])
             g = g.at[j].set(c_new * g[j])
             h_rot = lax.dynamic_update_slice(h_rot, h[:, None], (0, j))
-            return (v, z, h_rot, h_raw, cs, sn, g, j + 1)
+            if history:
+                # |g[j+1]| IS the implicit residual after step j (the
+                # quantity StatusTestGenResNorm tracks per iteration)
+                hist = hist.at[total_iters + j + 1].set(jnp.abs(g[j + 1]))
+            return (v, z, h_rot, h_raw, cs, sn, g, hist, j + 1)
 
-        state = (v, z, h_rot, h_raw, cs, sn, g, 0)
-        v, z, h_rot, h_raw, cs, sn, g, j = lax.while_loop(cond, body, state)
+        state = (v, z, h_rot, h_raw, cs, sn, g, hist, 0)
+        v, z, h_rot, h_raw, cs, sn, g, hist, j = lax.while_loop(
+            cond, body, state)
 
         # masked back-substitution: y = R⁻¹ g on the leading j×j block
         idx = jnp.arange(m)
@@ -175,34 +198,40 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
         if not flexible:
             correction = prec(correction)
         x = x + correction
-        out = (x, total_iters + j, jnp.abs(g[j]))
+        out = (x, total_iters + j, jnp.abs(g[j]), hist)
         if condest:
             out = out + _hbar_sv_range(h_raw, j)
         return out
 
     def outer_cond(s):
         total, res = s[1], s[2]
-        return jnp.logical_and(total < maxiter, res > tol)
+        go = jnp.logical_and(total < maxiter, res > tol)
+        if stop is not None:
+            go = jnp.logical_and(go, ~stop_passed(total, res))
+        return go
 
     def outer_body(s):
-        out = cycle(s[0], s[1])
+        out = cycle(s[0], s[1], s[3])
         if condest:
             # each restart cycle samples the operator's singular range
             # through a fresh Krylov basis: keep the widest certified
             # bracket (running max σmax², min σmin²)
-            return out[:3] + (jnp.maximum(out[3], s[3]),
-                              jnp.minimum(out[4], s[4]))
+            return out[:4] + (jnp.maximum(out[4], s[4]),
+                              jnp.minimum(out[5], s[5]))
         return out
 
+    # per-iteration implicit resnorms (StatusTestOutput residual trace,
+    # BelosStatusTestOutput.hpp); NaN marks never-reached iterations
+    hist0 = (jnp.full(maxiter + 1, jnp.nan, dtype) if history else None)
     # one cycle always runs; then restart while needed
-    st = cycle(x0, 0)
+    st = cycle(x0, 0, hist0)
     st = lax.while_loop(outer_cond, outer_body, st)
     x, total = st[0], st[1]
     # explicit-residual cross-check (the ImpResNorm "loss of accuracy"
     # guard, BelosStatusTestImpResNorm.hpp:47-88): report the TRUE residual
     res_true = norm2(comm, b - op(x))
-    ce = jnp.sqrt(st[3] / st[4]) if condest else None
-    return x, total, res_true, res_true <= tol, ce
+    ce = jnp.sqrt(st[4] / st[5]) if condest else None
+    return x, total, res_true, res_true <= tol, ce, st[3]
 
 
 def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
@@ -210,7 +239,8 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           restart: int = 30, maxiter: int = 1000, rtol: float = 1e-8,
           atol: float = 0.0, comm: Comm | None = None,
           ortho: str = "CGS2", condest: bool = False,
-          window_chunk: int | None = None) -> SolveResult:
+          window_chunk: int | None = None,
+          stop=None, history: bool = False) -> SolveResult:
     """Restarted GMRES(m) with right preconditioning.
 
     Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
@@ -225,6 +255,18 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     restart cycle; no extra applies or reductions). Here it is a
     provable LOWER bound on κ₂ even for nonsymmetric operators (the
     rectangular H̄, not the square projection the reference uses).
+
+    ``stop``: optional composable StatusTest (solvers.status) evaluated
+    in-loop per iteration AND at restart boundaries; Passed means stop
+    (Belos stest_->checkStatus, BelosBlockGmresIter.hpp:676). Combined
+    (OR) with the built-in resnorm/maxiter checks.
+
+    ``history=True``: record the per-iteration implicit residual norms
+    (|g_{j+1}| from the Givens recurrence — exactly what
+    StatusTestGenResNorm tracks) into ``SolveResult.history``, a
+    (maxiter+1,) array (or (maxiter+1, k) for multivector RHS) with NaN
+    past the final iteration — the StatusTestOutput residual trace
+    (BelosStatusTestOutput.hpp) as data instead of printing.
     """
     comm = comm or SerialComm()
     prec = prec or identity_prec
@@ -236,20 +278,21 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     core = functools.partial(
         _gmres_single, op, prec=prec, flexible=flexible, restart=restart,
         maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m,
-        condest=condest,
+        condest=condest, stop=stop, history=history,
         # vmap turns the window's lax.cond into select (both branches
         # run) — chunking only pays on the single-RHS path
         window_chunk=window_chunk if b.ndim == 1 else None)
 
     if b.ndim == 1:
-        x, iters, res, conv, ce = core(b, x0)
+        x, iters, res, conv, ce, hist = core(b, x0)
     else:
-        out_axes = (1, 0, 0, 0, 0 if condest else None)
-        x, iters, res, conv, ce = jax.vmap(core, in_axes=1,
-                                           out_axes=out_axes)(b, x0)
+        out_axes = (1, 0, 0, 0, 0 if condest else None,
+                    1 if history else None)
+        x, iters, res, conv, ce, hist = jax.vmap(core, in_axes=1,
+                                                 out_axes=out_axes)(b, x0)
         iters = jnp.max(iters)
     return SolveResult(x=x, iters=iters, resnorm=res, converged=conv,
-                       condest=ce)
+                       condest=ce, history=hist)
 
 
 def fgmres(op: Operator, b: jax.Array, x0: jax.Array | None = None,

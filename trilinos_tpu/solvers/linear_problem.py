@@ -28,6 +28,11 @@ class LinearProblem:
     x0: jax.Array | None = None
     left_prec: Operator | None = None
     right_prec: Operator | None = None
+    # optional composable StatusTest (solvers.status.Test): evaluated
+    # in-loop by CG/GMRES SolverManagers in ADDITION to the built-in
+    # resnorm/maxiter stopping — the user-defined StatusTest slot of
+    # Belos::SolverManager (setUserConvStatusTest)
+    stop_test: Callable | None = None
 
     def set_problem(self) -> "LinearProblem":
         """Finalize (Belos setProblem): default X0 = 0."""

@@ -7,9 +7,13 @@ Jittable analogue of Belos' StatusTest hierarchy:
   * ``Combo``      — BelosStatusTestCombo (AND / OR)
 
 A status test is a pure function of a ``SolverState`` namespace of scalars,
-evaluated inside the solver's while_loop. Host-side logging wrappers
-(StatusTestOutput analogue) live in the SolverManager layer, which runs
-cycle-at-a-time and can print between compiled cycles.
+evaluated inside the solver's while_loop. ``cg`` and ``gmres``/``fgmres``
+take one via their ``stop=`` keyword (or ``LinearProblem.stop_test``
+through the factory — the setUserConvStatusTest slot of
+Belos::SolverManager); Passed means stop, OR-combined with the built-in
+resnorm/maxiter checks. The StatusTestOutput residual *trace* is returned
+as data instead of printed: pass ``history=True`` and read
+``SolveResult.history``.
 """
 from __future__ import annotations
 
