@@ -1,0 +1,33 @@
+"""Smoke tier: one distributed solve per factory solver kind.
+
+VERDICT r3 #2/#4: the fast (`-m "not slow"`) suite must exercise
+``dist_solve(<each kind>)`` so a shard_map breakage in ANY solver is
+caught before snapshot — the analogue of the reference's per-solver
+NUM_MPI_PROCS test matrix
+(packages/belos/tpetra/test/BlockGmres/CMakeLists.txt:38).
+"""
+import jax.numpy as jnp
+
+from trilinos_tpu.parallel.solve_kinds import run_all_solver_kinds
+from trilinos_tpu.solvers import factory as fct
+
+
+def test_every_factory_kind_solves_on_mesh():
+    results = run_all_solver_kinds(4)
+    assert set(results) == set(fct.ALIASES.values())
+    for kind, res in results.items():
+        assert bool(jnp.all(jnp.isfinite(res.x))), kind
+        assert bool(jnp.all(jnp.isfinite(res.resnorm))), kind
+
+
+def test_kind_loop_reports_all_failures():
+    """The gate must fail loudly if coverage goes missing (simulated by
+    an alias pointing at an unknown kind)."""
+    import pytest
+
+    fct.ALIASES["__FAKE"] = "not_a_kind"
+    try:
+        with pytest.raises(RuntimeError, match="no distributed coverage"):
+            run_all_solver_kinds(2)
+    finally:
+        del fct.ALIASES["__FAKE"]

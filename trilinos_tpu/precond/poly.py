@@ -95,7 +95,13 @@ def gmres_poly_apply(op, h: np.ndarray, y: np.ndarray, d: int,
                      r: jax.Array) -> jax.Array:
     """Replay the Arnoldi recurrence to apply p(A)r (ApplyArnoldiPoly,
     BelosGmresPolyOp.hpp:254-259): ``d`` operator applies + rank-1
-    updates, unrolled for XLA fusion, zero reductions at apply time."""
+    updates, unrolled for XLA fusion, zero reductions at apply time.
+
+    Coefficients are cast to r's dtype: setup always runs the small
+    Hessenberg/lstsq math in f64 on host, but an f32 solve under x64
+    mode must not promote the polynomial apply to f64."""
+    h = np.asarray(h, dtype=r.dtype)
+    y = np.asarray(y, dtype=r.dtype)
     out = y[0] * r
     ws = [r]
     for j in range(d - 1):
