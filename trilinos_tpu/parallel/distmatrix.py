@@ -394,26 +394,53 @@ def distribute_rect(a: CsrHost, row_map: Map, col_map: Map,
     operators have no identity-row convention).
     """
     assert a.shape[0] <= row_map.n_global and a.shape[1] <= col_map.n_global
-    dtype = dtype or a.vals.dtype
-    n_shards = row_map.n_shards
-    npl_r, npl_c = row_map.n_local_pad, col_map.n_local_pad
-
-    ghosts_of, interior_csr, boundary_coo = [], [], []
     all_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
                          a.row_lengths())
     all_cols = a.cols.astype(np.int64)
     all_vals = a.vals
-    for s in range(n_shards):
+
+    def shard_coo(s):
         lo, hi = row_map.shard_lo(s), row_map.shard_hi(s)
         lo_r, hi_r = min(lo, a.shape[0]), min(hi, a.shape[0])
         sl = slice(a.row_ptr[lo_r], a.row_ptr[hi_r])
-        rs_g, cs_g, vs_g = all_rows[sl], all_cols[sl], all_vals[sl]
+        return all_rows[sl] - lo, all_cols[sl], all_vals[sl]
+
+    return _distribute_rect(shard_coo, row_map, col_map,
+                            dtype or a.vals.dtype)
+
+
+def distribute_rect_blocks(blocks, row_map: Map, col_map: Map,
+                           dtype=None) -> DistMatrix:
+    """``distribute_rect()`` from per-shard row blocks (``blocks[s]`` =
+    shard s's owned rows, GLOBAL columns in ``col_map``'s space) — no
+    global assembly; see ``distribute_blocks``."""
+    assert row_map.n_shards == len(blocks)
+
+    def shard_coo(s):
+        blk = blocks[s]
+        rows = np.repeat(np.arange(blk.shape[0], dtype=np.int64),
+                         blk.row_lengths())
+        return rows, blk.cols.astype(np.int64), blk.vals
+
+    dtype = dtype or blocks[0].vals.dtype
+    return _distribute_rect(shard_coo, row_map, col_map, dtype)
+
+
+def _distribute_rect(shard_coo, row_map: Map, col_map: Map,
+                     dtype) -> DistMatrix:
+    n_shards = row_map.n_shards
+    npl_r, npl_c = row_map.n_local_pad, col_map.n_local_pad
+
+    ghosts_of, interior_csr, boundary_coo = [], [], []
+    for s in range(n_shards):
+        lo, hi = row_map.shard_lo(s), row_map.shard_hi(s)
+        rs_g, cs_g, vs_g = shard_coo(s)
         clo, chi = col_map.shard_lo(s), col_map.shard_hi(s)
         owned = (cs_g >= clo) & (cs_g < chi)
         interior_csr.append(CsrHost.from_coo(
-            rs_g[owned] - lo, cs_g[owned] - clo, vs_g[owned],
+            rs_g[owned], cs_g[owned] - clo, vs_g[owned],
             (hi - lo, npl_c), sum_duplicates=False))
-        bc_rows = rs_g[~owned] - lo
+        bc_rows = rs_g[~owned]
         bc_cols = cs_g[~owned]
         bc_vals = vs_g[~owned]
         ghost_gids = np.unique(bc_cols)
@@ -465,26 +492,65 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
     assert a.shape[0] == a.shape[1], "distribute() requires square A"
     rmap = rmap or Map.uniform(n, n_shards)
     assert rmap.n_shards == n_shards and rmap.n_global == n
-    dtype = dtype or a.vals.dtype
+
+    all_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                         a.row_lengths())
+    all_cols = a.cols.astype(np.int64)
+    all_vals = a.vals
+
+    def shard_coo(s):
+        lo, hi = rmap.shard_lo(s), rmap.shard_hi(s)
+        sl = slice(a.row_ptr[lo], a.row_ptr[hi])
+        return all_rows[sl] - lo, all_cols[sl], all_vals[sl]
+
+    return _distribute_square(shard_coo, rmap, fmt, dtype or a.vals.dtype,
+                              block_size, debug_a=a)
+
+
+def distribute_blocks(blocks, rmap: Map | None = None, fmt: str = "auto",
+                      dtype=None, block_size: int = 1) -> DistMatrix:
+    """``distribute()`` from ALREADY-SHARDED per-shard row blocks —
+    ``blocks[s]`` is a CsrHost of shard s's owned rows with GLOBAL column
+    indices. No global matrix is ever assembled: this is the entry the
+    distributed AMG setup (parallel/dist_setup.py) uses so per-shard
+    memory stays O(n/P), matching the reference's distributed
+    fillComplete (Tpetra_CrsMatrix_def.hpp:4437 — each rank holds only
+    its own rows)."""
+    rmap = rmap or Map.contiguous([b.shape[0] for b in blocks])
+    assert rmap.n_shards == len(blocks)
+    assert rmap.n_global == sum(b.shape[0] for b in blocks)
+
+    def shard_coo(s):
+        blk = blocks[s]
+        rows = np.repeat(np.arange(blk.shape[0], dtype=np.int64),
+                         blk.row_lengths())
+        return rows, blk.cols.astype(np.int64), blk.vals
+
+    dtype = dtype or blocks[0].vals.dtype
+    return _distribute_square(shard_coo, rmap, fmt, dtype, block_size)
+
+
+def _distribute_square(shard_coo, rmap: Map, fmt: str, dtype,
+                       block_size: int, debug_a: CsrHost | None = None
+                       ) -> DistMatrix:
+    """Shared fillComplete body: per-shard COO → interior/boundary split,
+    ghost ordering, frozen halo plans, format packing. ``shard_coo(s)``
+    yields (local row idx, GLOBAL col idx, vals) for shard s's rows."""
+    n_shards = rmap.n_shards
     npl = rmap.n_local_pad
 
     # -- per-shard analysis (vectorized; must scale to 10M+ rows) ----------
     ghosts_of = []  # shard -> ghost gid array (owner-major, gid-sorted)
     interior_csr = []
     boundary_coo = []  # shard -> dict local row -> [(ghost_slot, val), ...]
-    all_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
-                         a.row_lengths())
-    all_cols = a.cols.astype(np.int64)
-    all_vals = a.vals
     for s in range(n_shards):
         lo, hi = rmap.shard_lo(s), rmap.shard_hi(s)
-        sl = slice(a.row_ptr[lo], a.row_ptr[hi])
-        rs_g, cs_g, vs_g = all_rows[sl], all_cols[sl], all_vals[sl]
+        rs_g, cs_g, vs_g = shard_coo(s)
         owned = (cs_g >= lo) & (cs_g < hi)
         interior_csr.append(CsrHost.from_coo(
-            rs_g[owned] - lo, cs_g[owned] - lo, vs_g[owned],
+            rs_g[owned], cs_g[owned] - lo, vs_g[owned],
             (hi - lo, hi - lo), sum_duplicates=False))
-        bc_rows = rs_g[~owned] - lo
+        bc_rows = rs_g[~owned]
         bc_cols = cs_g[~owned]
         bc_vals = vs_g[~owned]
         # makeColMap ordering: remotes grouped by owner, sorted by gid.
@@ -566,8 +632,8 @@ def distribute(a: CsrHost, n_shards: int, fmt: str = "auto",
         plan=stack_shards(plans), row_map=rmap)
     from ..utils import behavior
 
-    if behavior.debug():
-        _debug_validate(dm, a, ghosts_of, sends)
+    if behavior.debug() and debug_a is not None:
+        _debug_validate(dm, debug_a, ghosts_of, sends)
     return dm
 
 

@@ -559,6 +559,78 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
         consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
 
 
+def _coarse_dense_inv(a_c_blocks, cmap: Map, n_shards: int, dtype):
+    """Replicated padded dense pinv of the coarsest operator (from
+    row-sharded blocks — the only all-gather of the setup)."""
+    ngp = cmap.n_global_pad
+    pos = np.zeros(cmap.n_global, np.int64)
+    for s in range(n_shards):
+        lo, hi = cmap.shard_lo(s), cmap.shard_hi(s)
+        pos[lo:hi] = s * cmap.n_local_pad + np.arange(hi - lo)
+    acc = np.zeros((cmap.n_global, cmap.n_global))
+    for s in range(n_shards):
+        blk = a_c_blocks[s]
+        lo = cmap.shard_lo(s)
+        rows = np.repeat(np.arange(blk.shape[0], dtype=np.int64),
+                         blk.row_lengths()) + lo
+        np.add.at(acc, (rows, blk.cols.astype(np.int64)), blk.vals)
+    dense = np.eye(ngp)  # identity on pad rows
+    dense[np.ix_(pos, pos)] = acc
+    cinv = np.linalg.pinv(dense, rcond=1e-12)
+    return jnp.asarray(
+        np.broadcast_to(cinv, (n_shards, ngp, ngp)).copy(), dtype=dtype)
+
+
+def dist_amg_blocks(blocks, rmap: Map, *, max_levels: int = 10,
+                    coarse_max: int = 64, min_agg: int = 2,
+                    sa_damping: float = 4.0 / 3.0, sweeps: int = 2,
+                    omega: float = 0.8, cycle: str = "V",
+                    dtype=None) -> DistPrecond:
+    """Distributed smoothed-aggregation AMG with a DISTRIBUTED setup.
+
+    Unlike :func:`dist_amg` (whose setup assembles the global matrix on
+    one host), every setup step here runs over row-sharded per-shard
+    blocks — uncoupled aggregation, distributed SpGEMM for the smoothed
+    P, distributed RAP for every Galerkin coarse level
+    (parallel/dist_setup.py ≈ TpetraExt::TripleMatrixMultiply +
+    MueLu::Hierarchy::Setup,
+    core/ext/TpetraExt_TripleMatrixMultiply_decl.hpp:1,
+    muelu/src/MueCentral/MueLu_Hierarchy_decl.hpp:103). Per-shard setup
+    memory is O(nnz/P + ghosts); only the ≤``coarse_max``-row coarsest
+    operator is replicated (dense pinv). The V/W-cycle apply is the same
+    compiled shard_map program as :func:`dist_amg`."""
+    from .dist_setup import build_dist_hierarchy, transpose_blocks
+    from .distmatrix import distribute_blocks, distribute_rect_blocks
+
+    dtype = dtype or blocks[0].vals.dtype
+    n_shards = rmap.n_shards
+    host_levels, a_c_blocks, cmap = build_dist_hierarchy(
+        blocks, rmap, max_levels=max_levels, coarse_max=coarse_max,
+        min_agg=min_agg, damping=sa_damping)
+
+    levels = []
+    for (a_bl, a_map, p_bl, c_map, d_bl) in host_levels:
+        a_dm = distribute_blocks(a_bl, a_map, dtype=dtype)
+        p_dm = distribute_rect_blocks(p_bl, a_map, c_map, dtype=dtype)
+        r_bl = transpose_blocks(p_bl, a_map, c_map)
+        r_dm = distribute_rect_blocks(r_bl, c_map, a_map, dtype=dtype)
+        stacked = np.ones(a_map.n_global_pad)
+        for s in range(n_shards):
+            dinv_s = 1.0 / np.where(d_bl[s] != 0, d_bl[s], 1.0)
+            lo = s * a_map.n_local_pad
+            stacked[lo:lo + len(dinv_s)] = dinv_s
+        dinv = jnp.asarray(
+            stacked.reshape(n_shards, a_map.n_local_pad), dtype=dtype)
+        levels.append(dict(a=a_dm, p=p_dm, r=r_dm, dinv=dinv))
+
+    coarse_inv = _coarse_dense_inv(a_c_blocks, cmap, n_shards, dtype)
+    gamma = 2 if cycle == "W" else 1
+    return DistPrecond(
+        arrays={"levels": levels, "coarse_inv": coarse_inv},
+        kind="amg",
+        consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
+
+
 def dist_amg_structured(op, n_shards: int, *, sweeps: int = 2,
                         omega: float = 0.8, cycle: str = "V",
                         dtype=None, **amg_params) -> DistPrecond:
