@@ -283,6 +283,11 @@ def apply_local_stencil(ds_sel, ds_valid, op_loc, depth, plan: HaloPlan,
     return y_own
 
 
+#: cumulative count of halo-plan constructions (a cheap observability
+#: hook: values-only refill paths must NOT bump this — tested)
+PLAN_BUILD_COUNT = 0
+
+
 def build_halo_plans(ghosts_of, omap: Map, n_shards: int):
     """Build per-shard HaloPlans for arbitrary ghost sets.
 
@@ -292,6 +297,8 @@ def build_halo_plans(ghosts_of, omap: Map, n_shards: int):
     src/Tpetra_Distributor.hpp:349) run once on host. Returns
     (plans, sends) — sends[s][t] = lids of shard s that shard t needs.
     """
+    global PLAN_BUILD_COUNT
+    PLAN_BUILD_COUNT += 1
     sends = [[np.zeros(0, np.int64) for _ in range(n_shards)]
              for _ in range(n_shards)]
     for t in range(n_shards):
@@ -841,3 +848,96 @@ def apply_local(mat_interior, mat_boundary: BoundaryPart, plan: HaloPlan,
     y2 = y[:, None] if was_1d else y
     y2 = y2.at[mat_boundary.rows_idx].add(contrib, mode="promise_in_bounds")
     return y2[:, 0] if was_1d else y2
+
+
+# ---------------------------------------------------------------------------
+# values-only refill (graph/plan reuse)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RefillPlan:
+    """Frozen values-only refill recipe — the graph-reuse contract of
+    ``Tpetra::CrsMatrix::resumeFill``/``fillComplete``
+    (src/Tpetra_CrsMatrix_decl.hpp:2897): when a matrix's VALUES change
+    but its sparsity (row_ptr/cols) does not, the halo plan, column
+    maps, boundary structure, and packed integer arrays are all reused;
+    only the float value arrays are regenerated by one vectorized
+    gather per leaf.
+
+    Built once by :func:`build_refill` (which re-runs the symbolic
+    distribute on a position-marker matrix); ``leaf_idx`` holds, for
+    every float leaf of (interior, boundary), an int64 array with
+    entries >= 0 (gather from the CSR nnz array), -1 (structural zero /
+    padding) or -2 (identity-padding one)."""
+
+    leaf_idx: tuple
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _infer_fmt(dm: DistMatrix):
+    it = dm.interior
+    if isinstance(it, DiaMatrix):
+        return "dia", 1
+    if isinstance(it, BsrMatrix):
+        return "bsr", it.block_size
+    return "ell", 1
+
+
+def _float_leaves(dm: DistMatrix):
+    leaves = jax.tree_util.tree_leaves((dm.interior, dm.boundary))
+    return [l for l in leaves if jnp.issubdtype(jnp.asarray(l).dtype,
+                                                jnp.floating)]
+
+
+def build_refill(a: CsrHost, dm: DistMatrix) -> RefillPlan:
+    """Capture the value-position mapping of ``dm`` relative to ``a``'s
+    nnz ordering. One-time symbolic cost (same as a distribute); every
+    subsequent :func:`refill_values` is a pure gather."""
+    nnz = len(a.vals)
+    marker = CsrHost(a.row_ptr, a.cols,
+                     np.arange(2, nnz + 2, dtype=np.float64), a.shape)
+    fmt, bs = _infer_fmt(dm)
+    if dm.col_map is not None:
+        raise NotImplementedError(
+            "build_refill supports square DistMatrix (rect transfers are "
+            "rebuilt by the AMG setup that owns them)")
+    dm_idx = distribute(marker, dm.row_map.n_shards, fmt=fmt,
+                        dtype=np.float64, rmap=dm.row_map, block_size=bs)
+    idx = []
+    for leaf in _float_leaves(dm_idx):
+        v = np.asarray(leaf)
+        out = np.full(v.shape, -1, dtype=np.int64)
+        out[v == 1.0] = -2
+        sel = v >= 2.0
+        out[sel] = np.round(v[sel]).astype(np.int64) - 2
+        idx.append(out)
+    return RefillPlan(leaf_idx=tuple(idx), nnz=nnz)
+
+
+def refill_values(dm: DistMatrix, plan: RefillPlan,
+                  new_vals: np.ndarray) -> DistMatrix:
+    """New DistMatrix with ``new_vals`` (the nnz array of a matrix with
+    UNCHANGED sparsity) scattered into ``dm``'s frozen layout. No plan
+    build, no ghost analysis — the resumeFill hot path for nonlinear /
+    transient outer loops."""
+    if len(new_vals) != plan.nnz:
+        raise ValueError(
+            f"value count {len(new_vals)} != pattern nnz {plan.nnz}")
+    new_vals = np.asarray(new_vals, dtype=np.float64)
+    it = 0
+    flat, treedef = jax.tree_util.tree_flatten((dm.interior, dm.boundary))
+    out = []
+    for leaf in flat:
+        arr = jnp.asarray(leaf)
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
+            out.append(leaf)
+            continue
+        ix = plan.leaf_idx[it]
+        it += 1
+        vals = np.where(ix >= 0, new_vals[np.maximum(ix, 0)],
+                        np.where(ix == -2, 1.0, 0.0))
+        out.append(jnp.asarray(vals, dtype=arr.dtype))
+    interior, boundary = jax.tree_util.tree_unflatten(treedef, out)
+    return DistMatrix(interior=interior, boundary=boundary, plan=dm.plan,
+                      row_map=dm.row_map, col_map=dm.col_map)

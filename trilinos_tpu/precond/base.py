@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 import jax
 
 from ..utils.params import ParameterList, make_params
@@ -35,6 +37,31 @@ class Preconditioner:
         return self
 
     def compute(self) -> "Preconditioner":
+        if not self._initialized:
+            self.initialize()
+        self._do_compute()
+        self._computed = True
+        return self
+
+    def recompute(self, a_new) -> "Preconditioner":
+        """Values-only numeric recompute: swap in a matrix with the SAME
+        sparsity pattern and redo only the numeric phase — the
+        initialize(graph)/compute(values) split of
+        Ifpack2::Preconditioner (Ifpack2_Preconditioner.hpp:81-97;
+        Tpetra resumeFill graph reuse, Tpetra_CrsMatrix_decl.hpp:2897).
+        Structure built by initialize() (colorings, level sets, graphs)
+        is reused; the hot path of nonlinear/transient outer loops."""
+        old = self.a
+        same_pattern = (
+            not hasattr(old, "row_ptr") or not hasattr(a_new, "row_ptr")
+            or (len(old.row_ptr) == len(a_new.row_ptr)
+                and bool(np.array_equal(old.row_ptr, a_new.row_ptr))
+                and bool(np.array_equal(old.cols, a_new.cols))))
+        if not same_pattern:
+            raise ValueError(
+                "recompute() requires an unchanged sparsity pattern; "
+                "build a new preconditioner for structural changes")
+        self.a = a_new
         if not self._initialized:
             self.initialize()
         self._do_compute()
