@@ -82,6 +82,10 @@ class EigenProblem:
     prec: Callable | None = None
     v0: np.ndarray | None = None  # initial block (n, w) or vector (n,)
     dtype: object = jnp.float64
+    # optional SPD mass operator -> GENERALIZED pencil A x = lam M x
+    # (BasicEigenproblem setM, AnasaziBasicEigenproblem.hpp:60);
+    # honored by LOBPCG / TraceMin / Block Krylov-Schur
+    m: Callable | None = None
 
 
 class EigenSolverManager:
@@ -129,10 +133,12 @@ class EigenSolverManager:
                 kw["m"] = nb * max(bs, 1)
             if problem.v0 is not None:
                 kw["v0"] = jnp.asarray(problem.v0, dtype=dtype)
+            if problem.m is not None:
+                kw["mass"] = problem.m
             return block_krylov_schur(op, n, nev, **kw)
         if self.kind == "lobpcg":
             v0 = self._v0(problem, bs or nev)
-            return lobpcg(op, v0, prec=problem.prec,
+            return lobpcg(op, v0, prec=problem.prec, m=problem.m,
                           which=_LOBPCG_WHICH[which], tol=tol,
                           maxiter=maxiter, comm=comm)
         if self.kind == "davidson":
@@ -152,7 +158,7 @@ class EigenSolverManager:
                     if problem.v0 is not None else None),
                 comm=comm, dtype=dtype)
         if self.kind == "tracemin":
-            return tracemin(op, n, nev, block=bs or None,
+            return tracemin(op, n, nev, block=bs or None, m=problem.m,
                             inner_iters=int(p["Inner Iterations"]), tol=tol,
                             maxiter=maxiter,
                             v0=(jnp.asarray(problem.v0, dtype=dtype)

@@ -73,6 +73,62 @@ def _extend(op, comm, m, nb):
     return jax.jit(run)
 
 
+def _mproject(comm, v, vm, w):
+    """One classical-GS pass in the M inner product: c = (MV)ᵀw."""
+    c = comm.psum(jnp.einsum("nm,nk->mk", vm, w,
+                             preferred_element_type=w.dtype))
+    return w - v @ c, c
+
+
+def _mcholqr(comm, m_op, w):
+    """CholQR in the M metric: G = wᵀMw, Q = w R⁻¹ with QᵀMQ = I.
+    Returns (q, mq, r)."""
+    mw = m_op(w)
+    g = comm.psum(jnp.einsum("nk,nm->km", w, mw,
+                             preferred_element_type=w.dtype))
+    k = g.shape[0]
+    eps = jnp.finfo(w.dtype).eps
+    floor = 10.0 * eps * jnp.maximum(jnp.max(jnp.abs(g)), eps)
+    l = jnp.linalg.cholesky((g + g.T) / 2
+                            + floor * jnp.eye(k, dtype=g.dtype))
+    r = l.T
+    q = lax.linalg.triangular_solve(r, w, left_side=False, lower=False)
+    mq = lax.linalg.triangular_solve(r, mw, left_side=False, lower=False)
+    return q, mq, r
+
+
+def _extend_gen(op, m_op, m_solve, comm, m, nb):
+    """Generalized block-Lanczos expansion in the M inner product:
+    K = M⁻¹A applies (``m_solve`` approximating M⁻¹), projections
+    against the M-orthonormal basis via the cached MV block, panel
+    normalization by M-metric CholQR (two passes). Produces
+    K·V_m = V_{m+nb}·H with VᵀMV = I — the generalized eigenproblem
+    reduction every Anasazi SolMgr supports through setM
+    (AnasaziBasicEigenproblem.hpp:60)."""
+
+    def run(v, vm, h, k):
+        n = v.shape[0]
+
+        def body(jb, carry):
+            v, vm, h = carry
+            j = jb * nb
+            vj = lax.dynamic_slice(v, (0, j), (n, nb))
+            av = op(vj) if nb > 1 else op(vj[:, 0])[:, None]
+            w = m_solve(av)
+            w, c1 = _mproject(comm, v, vm, w)
+            w, c2 = _mproject(comm, v, vm, w)
+            q, mq, r_small = _mcholqr(comm, m_op, w)
+            hcol = lax.dynamic_update_slice(c1 + c2, r_small, (j + nb, 0))
+            v = lax.dynamic_update_slice(v, q, (0, j + nb))
+            vm = lax.dynamic_update_slice(vm, mq, (0, j + nb))
+            h = lax.dynamic_update_slice(h, hcol, (0, j))
+            return v, vm, h
+
+        return lax.fori_loop(k // nb, m // nb, body, (v, vm, h))
+
+    return jax.jit(run)
+
+
 def _crit(w, which):
     if which == "LM":
         return np.abs(w)
@@ -108,19 +164,55 @@ def block_krylov_schur(op: Operator, n: int, nev: int, *,
                        max_restarts: int = 50, symmetric: bool = False,
                        v0: jax.Array | None = None,
                        comm: Comm | None = None,
+                       mass: Operator | None = None,
+                       m_solve: Operator | None = None,
+                       m_solve_iters: int = 30,
                        dtype=jnp.float64) -> EigsResult:
     """Compute ``nev`` eigenpairs of ``op`` (length-n vectors; for nb > 1
     the operator must accept (n, nb) multivectors).
 
     which: LM (largest magnitude) / SM / LR / SR. ``symmetric=True`` uses
     eigh for the projected problem (thick-restart block Lanczos).
-    """
+
+    ``mass``: optional SPD mass operator → GENERALIZED pencil
+    A x = λ M x (AnasaziBasicEigenproblem.hpp:60 setM): the recurrence
+    runs on K = M⁻¹A in the M inner product (M-orthonormal basis,
+    M-metric CholQR panels), so the projected H is the standard
+    reduction of the pencil and the Schur/restart machinery is
+    unchanged. ``m_solve`` approximates M⁻¹ (default: a fixed
+    ``m_solve_iters``-step unpreconditioned CG on M — exact enough for
+    well-conditioned FE mass matrices)."""
     comm = comm or SerialComm()
     m = m or min(max(2 * nev + 12, 20), n - nb)
     m = (m // nb) * nb
     keep_target = min(nev + max(nev // 2, 4), m - 2 * nb)
     keep_target = max((keep_target // nb) * nb, nb)
-    extend = _extend(op, comm, m, nb)
+    if mass is not None and m_solve is None:
+        def m_solve(rhs, _mass=mass, _iters=m_solve_iters):
+            x = jnp.zeros_like(rhs)
+            r = rhs
+            p = r
+            rr = comm.psum(jnp.sum(r * r, axis=0))
+
+            def body(i, st):
+                x, r, p, rr = st
+                ap = _mass(p)
+                pap = comm.psum(jnp.sum(p * ap, axis=0))
+                alpha = jnp.where(pap > 0, rr / jnp.where(pap > 0, pap, 1),
+                                  0)
+                x = x + alpha[None, :] * p
+                r = r - alpha[None, :] * ap
+                rr_new = comm.psum(jnp.sum(r * r, axis=0))
+                beta = jnp.where(rr > 0, rr_new / jnp.where(rr > 0, rr, 1),
+                                 0)
+                p = r + beta[None, :] * p
+                return x, r, p, rr_new
+
+            x, *_ = lax.fori_loop(0, _iters, body, (x, r, p, rr))
+            return x
+
+    extend = (_extend(op, comm, m, nb) if mass is None
+              else _extend_gen(op, mass, m_solve, comm, m, nb))
 
     rng = np.random.default_rng(42)
     if v0 is None:
@@ -130,9 +222,16 @@ def block_krylov_schur(op: Operator, n: int, nev: int, *,
             [v0[:, None],
              jnp.asarray(rng.standard_normal((n, nb - 1)), dtype=dtype)],
             axis=1) if nb > 1 else v0[:, None]
-    q0, _, _ = cholqr2(comm, v0.astype(dtype))
+    if mass is None:
+        q0, _, _ = cholqr2(comm, v0.astype(dtype))
+        mq0 = None
+    else:
+        q0, mq0, _ = _mcholqr(comm, mass, v0.astype(dtype))
+        q0, mq0, _ = _mcholqr(comm, mass, q0)  # second pass (CholQR2)
     v = jnp.zeros((n, m + nb), dtype)
     v = v.at[:, :nb].set(q0)
+    vm = (jnp.zeros((n, m + nb), dtype).at[:, :nb].set(mq0)
+          if mass is not None else None)
     h = jnp.zeros((m + nb, m), dtype)
     k = 0
     total_steps = 0
@@ -140,7 +239,10 @@ def block_krylov_schur(op: Operator, n: int, nev: int, *,
     converged = False
 
     for restart in range(max_restarts + 1):
-        v, h = extend(v, h, k)
+        if mass is None:
+            v, h = extend(v, h, k)
+        else:
+            v, vm, h = extend(v, vm, h, k)
         total_steps += (m - k)
         hn = np.asarray(h, dtype=np.float64)
         hm = hn[:m, :m]
@@ -171,6 +273,11 @@ def block_krylov_schur(op: Operator, n: int, nev: int, *,
         v_new = jnp.zeros_like(v)
         v_new = v_new.at[:, :keep].set(v[:, :m] @ qk)
         v_new = v_new.at[:, keep:keep + nb].set(v[:, m:m + nb])
+        if mass is not None:
+            vm_new = jnp.zeros_like(vm)
+            vm_new = vm_new.at[:, :keep].set(vm[:, :m] @ qk)
+            vm_new = vm_new.at[:, keep:keep + nb].set(vm[:, m:m + nb])
+            vm = vm_new
         h_new = np.zeros_like(hn)
         h_new[:keep, :keep] = t_mat[:keep, :keep]
         h_new[keep:keep + nb, :keep] = coup[:, :keep]

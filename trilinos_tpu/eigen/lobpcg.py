@@ -33,65 +33,86 @@ class EigenResult:
     resnorms: jax.Array  # (nev,)
 
 
-def _rayleigh_ritz(comm: Comm, s: jax.Array, a_s: jax.Array, nev: int):
-    """Solve the projected eigenproblem on basis S: (SᵀAS) y = θ (SᵀS) y."""
+def _rayleigh_ritz(comm: Comm, s: jax.Array, a_s: jax.Array, nev: int,
+                   m_s: jax.Array | None = None):
+    """Solve the projected eigenproblem on basis S:
+    (SᵀAS) y = θ (SᵀMS) y, with M = I when ``m_s`` is None (standard)
+    and ``m_s = M·S`` for a generalized pencil (Ax = λMx — every Anasazi
+    eigenproblem carries an optional M,
+    packages/anasazi/src/AnasaziBasicEigenproblem.hpp:60 setM)."""
     g_a = comm.psum(jnp.einsum("nk,nm->km", s, a_s))
-    g_m = comm.psum(jnp.einsum("nk,nm->km", s, s))
-    # whitening: G_m = L Lᵀ, solve symmetric standard problem
+    g_m = comm.psum(jnp.einsum("nk,nm->km", s, m_s if m_s is not None
+                               else s))
+    # SVQB-style whitening (AnasaziSVQBOrthoManager.hpp): G_m = U Λ Uᵀ,
+    # keep only directions with Λ above the dependence threshold, map
+    # T = U Λ^(-1/2) on the kept set. Eigendecomposition (not Cholesky)
+    # because near convergence the [X W P] blocks become dependent to
+    # rounding level and G_m picks up slightly NEGATIVE eigenvalues that
+    # break chol — the observed LOBPCG NaN mode at tight tolerances.
     eps = jnp.finfo(s.dtype).eps
     k = g_m.shape[0]
-    mass_diag = jnp.diag(g_m)
-    null = mass_diag <= 1e3 * eps * jnp.max(mass_diag)
-    l = jnp.linalg.cholesky(g_m + 100 * eps * jnp.trace(g_m) / k
-                            * jnp.eye(k, dtype=s.dtype))
-    li = jax.scipy.linalg.solve_triangular(l, jnp.eye(k, dtype=s.dtype),
-                                           lower=True)
-    a_w = li @ ((g_a + g_a.T) / 2) @ li.T
-    # numerically-null basis directions (e.g. the zero P block on the first
-    # sweep) would yield spurious ~0 Ritz values: push them to the top so
-    # the nev-smallest selection never picks them
+    lam_m, u_m = jnp.linalg.eigh((g_m + g_m.T) / 2)
+    good = lam_m > 1e3 * eps * jnp.maximum(jnp.max(lam_m), eps)
+    inv_sqrt = jnp.where(
+        good, 1.0 / jnp.sqrt(jnp.maximum(lam_m, jnp.finfo(s.dtype).tiny)),
+        0.0)
+    t = u_m * inv_sqrt[None, :]
+    a_w = t.T @ ((g_a + g_a.T) / 2) @ t
+    # discarded (dependent/null) directions have zero rows/cols in a_w —
+    # their Ritz values would be spurious 0s; push them to the top so the
+    # nev-smallest selection never picks them
     big = jnp.asarray(1e30, s.dtype)
-    pen = jnp.where(null, big, 0.0)
-    a_w = a_w + jnp.diag(pen)
-    mask2d = jnp.logical_or(null[:, None], null[None, :])
-    a_w = jnp.where(jnp.logical_and(mask2d,
-                                    ~jnp.eye(k, dtype=bool)), 0.0, a_w)
+    a_w = a_w + jnp.diag(jnp.where(good, 0.0, big))
     theta, y_w = jnp.linalg.eigh((a_w + a_w.T) / 2)
-    y = li.T @ y_w
-    # zero out any selected null direction's coefficients (paranoia)
-    y = jnp.where(null[:, None], 0.0, y)
+    y = t @ y_w
     return theta[:nev], y[:, :nev]
 
 
 def lobpcg(op: Operator, x0: jax.Array, *, prec: Operator | None = None,
+           m: Operator | None = None,
            which: str = "SM", tol: float = 1e-6, maxiter: int = 200,
            comm: Comm | None = None) -> EigenResult:
     """Compute the ``nev = x0.shape[1]`` smallest ("SM") or largest ("LM")
-    eigenpairs of the symmetric operator ``op``."""
+    eigenpairs of the symmetric operator ``op``.
+
+    ``m``: optional SPD mass operator for the GENERALIZED pencil
+    A x = λ M x (e.g. an FE mass matrix) — LOBPCG's native habitat
+    (AnasaziLOBPCG.hpp is written for pencils; BasicEigenproblem setM,
+    AnasaziBasicEigenproblem.hpp:60). The basis stays Euclidean-
+    orthonormalized for conditioning; the M metric enters through the
+    projected Gram matrix SᵀMS (whitened in the Rayleigh-Ritz) and the
+    residual r = A x − M x θ."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     n, nev = x0.shape
     sign = 1.0 if which == "SM" else -1.0
     a = (lambda v: op(v)) if which == "SM" else (lambda v: -op(v))
+    mass = m
+
+    def mop(v):
+        return v if mass is None else mass(v)
 
     x, _, _ = cholqr2(comm, x0)
     ax = a(x)
-    theta, y = _rayleigh_ritz(comm, x, ax, nev)
+    mx = mop(x)
+    theta, y = _rayleigh_ritz(comm, x, ax, nev,
+                              mx if mass is not None else None)
     x = x @ y
     ax = ax @ y
+    mx = mx @ y
     p = jnp.zeros_like(x)
 
-    def resnorms(x, ax, theta):
-        r = ax - x * theta[None, :]
+    def resnorms(x, ax, mx, theta):
+        r = ax - mx * theta[None, :]
         return jnp.sqrt(comm.psum(jnp.einsum("nk,nk->k", r, r)))
 
     def cond(st):
-        x, ax, p, theta, k, rn = st
+        x, ax, mx, p, theta, k, rn = st
         return jnp.logical_and(k < maxiter, jnp.any(rn > tol))
 
     def body(st):
-        x, ax, p, theta, k, rn = st
-        r = ax - x * theta[None, :]
+        x, ax, mx, p, theta, k, rn = st
+        r = ax - mx * theta[None, :]
         w = M(r)
         w, _, _ = cholqr2(comm, w)
         p_n, _, _ = cholqr2(comm, p)
@@ -101,16 +122,21 @@ def lobpcg(op: Operator, x0: jax.Array, *, prec: Operator | None = None,
         a_s = jnp.concatenate([ax, a(w),
                                jnp.where(use_p, a(p_n),
                                          jnp.zeros_like(p_n))], axis=1)
-        theta_new, y = _rayleigh_ritz(comm, s, a_s, nev)
+        m_s = jnp.concatenate([mx, mop(w),
+                               jnp.where(use_p, mop(p_n),
+                                         jnp.zeros_like(p_n))], axis=1) \
+            if mass is not None else None
+        theta_new, y = _rayleigh_ritz(comm, s, a_s, nev, m_s)
         x_new = s @ y
         ax_new = a_s @ y
+        mx_new = m_s @ y if mass is not None else x_new
         # p = component of the update outside current x
         p_new = s[:, nev:] @ y[nev:, :]
-        rn_new = resnorms(x_new, ax_new, theta_new)
-        return x_new, ax_new, p_new, theta_new, k + 1, rn_new
+        rn_new = resnorms(x_new, ax_new, mx_new, theta_new)
+        return x_new, ax_new, mx_new, p_new, theta_new, k + 1, rn_new
 
-    st = (x, ax, p, theta, 0, resnorms(x, ax, theta))
-    x, ax, p, theta, k, rn = lax.while_loop(cond, body, st)
+    st = (x, ax, mx, p, theta, 0, resnorms(x, ax, mx, theta))
+    x, ax, mx, p, theta, k, rn = lax.while_loop(cond, body, st)
     return EigenResult(eigenvalues=sign * theta, eigenvectors=x, iters=k,
                        resnorms=rn)
 

@@ -26,14 +26,26 @@ from .krylov_schur import EigsResult
 
 
 def tracemin(op: Operator, n: int, nev: int, *, block: int | None = None,
+             m: Operator | None = None,
              inner_iters: int = 15, tol: float = 1e-8, maxiter: int = 100,
              v0: jax.Array | None = None, comm: Comm | None = None,
              dtype=jnp.float64) -> EigsResult:
     """``nev`` smallest eigenpairs of a symmetric positive definite
     operator. ``block`` (default nev+2) is the subspace width; the inner
-    solve runs ``inner_iters`` CG steps per column (unpreconditioned)."""
+    solve runs ``inner_iters`` CG steps per column (unpreconditioned).
+
+    ``m``: optional SPD mass operator → GENERALIZED pencil A x = λ M x
+    (trace-minimization over YᵀMY = I — TraceMin's original setting,
+    AnasaziTraceMinBase.hpp; BasicEigenproblem setM,
+    AnasaziBasicEigenproblem.hpp:60): the inner solve targets A Z = M Y
+    and the Rayleigh-Ritz whitens with the projected mass Gram."""
     comm = comm or SerialComm()
     s = block or min(nev + 2, n)
+    mass = m
+
+    def mop(v):
+        return v if mass is None else mass(v)
+
     rng = np.random.default_rng(11)
     if v0 is None:
         v0 = jnp.asarray(rng.standard_normal((n, s)), dtype=dtype)
@@ -62,15 +74,24 @@ def tracemin(op: Operator, n: int, nev: int, *, block: int | None = None,
 
     @jax.jit
     def step(y):
-        z = inner_cg(y)
+        z = inner_cg(mop(y))
         q, _, _ = cholqr2(comm, z)
         aq = op(q)
-        h = comm.psum(q.T @ aq)
-        h = (h + h.T) / 2
-        theta, w = jnp.linalg.eigh(h)  # ascending
-        y_new = q @ w
-        ay = aq @ w
-        res = ay - y_new * theta[None, :]
+        if mass is None:
+            h = comm.psum(q.T @ aq)
+            h = (h + h.T) / 2
+            theta, w = jnp.linalg.eigh(h)  # ascending
+            y_new = q @ w
+            ay = aq @ w
+            res = ay - y_new * theta[None, :]
+        else:
+            from .lobpcg import _rayleigh_ritz
+
+            mq = mass(q)
+            theta, w = _rayleigh_ritz(comm, q, aq, q.shape[1], mq)
+            y_new = q @ w
+            ay = aq @ w
+            res = ay - (mq @ w) * theta[None, :]
         resn = jnp.sqrt(comm.psum(jnp.sum(res * res, axis=0)))
         return y_new, theta, resn
 

@@ -1095,7 +1095,8 @@ _EIG_V0_WIDTH = {
 
 def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
                   mesh: Mesh, v0: np.ndarray | None = None,
-                  prec: DistPrecond | None = None, seed: int = 7, **kw):
+                  prec: DistPrecond | None = None, seed: int = 7,
+                  mass_matrix: DistMatrix | None = None, **kw):
     """Run any eigensolver from ``trilinos_tpu.eigen`` on a DistMatrix —
     the reference's Anasazi-over-Tpetra stack (every Anasazi SolMgr is
     MPI-distributed through MultiVecTraits; AnasaziTpetraAdapter.hpp).
@@ -1140,6 +1141,14 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
     op = global_operator(a, mesh)
     if prec is not None:
         kw["prec"] = global_precond(prec, a, mesh)
+    if mass_matrix is not None:
+        # GENERALIZED pencil A x = λ M x over the mesh: the mass apply is
+        # its own jitted shard_map program (AnasaziBasicEigenproblem
+        # setM, AnasaziBasicEigenproblem.hpp:60). Solvers spell the
+        # operator 'mass' (krylov_schur, where m is the basis size) or
+        # 'm' (lobpcg/tracemin, matching scipy.eigsh's M).
+        mop = global_operator(mass_matrix, mesh)
+        kw["mass" if "mass" in params else "m"] = mop
 
     if len(params) > 1 and params[1] == "n":
         # (op, n, nev, ..., v0=) family: davidson/krylov_schur/tracemin/rtr

@@ -98,9 +98,14 @@ def cholqr(comm: Comm, w: jax.Array, eps: float | None = None):
     g = comm.psum(jnp.einsum("nk,nm->km", w, w, preferred_element_type=w.dtype))
     eps = eps or float(jnp.finfo(w.dtype).eps)
     k = g.shape[0]
-    # regularize hard-singular blocks so chol stays finite; flagged below
+    # regularize hard-singular blocks so chol stays finite; flagged below.
+    # The floor must stay strictly positive even for an ALL-ZERO panel
+    # (g == 0 → chol(0) → 0 diagonal → NaN in the triangular solve; hit
+    # by LOBPCG's collapsed p block after columns converge): tiny·I makes
+    # chol return sqrt(tiny)·I and q come out exactly 0, rank_ok False.
     scale = jnp.sqrt(jnp.maximum(jnp.diag(g), 1e-300))
-    floor_val = SING_TOL * eps * jnp.max(jnp.abs(g))
+    tiny = jnp.asarray(jnp.finfo(w.dtype).tiny, g.dtype)
+    floor_val = jnp.maximum(SING_TOL * eps * jnp.max(jnp.abs(g)), tiny)
     l = jnp.linalg.cholesky(g + floor_val * jnp.eye(k, dtype=g.dtype))
     r = l.T
     q = lax.linalg.triangular_solve(r, w, left_side=False, lower=False)
