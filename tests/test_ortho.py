@@ -73,7 +73,7 @@ def test_cholqr2_orthonormality(comm, rng):
 
 def test_resolve_method_aliases():
     assert ortho.resolve_method("ICGS") == "CGS2"
-    assert ortho.resolve_method("IMGS") == "MGS1"
+    assert ortho.resolve_method("IMGS") == "IMGS"
     assert ortho.resolve_method("DGKS") == "DGKS"
     with pytest.raises(ValueError):
         ortho.resolve_method("nope")
@@ -182,3 +182,68 @@ class TestWindowedProjection:
         assert bool(r_def.converged) and bool(r_win.converged)
         np.testing.assert_allclose(np.asarray(r_win.x), np.asarray(r_def.x),
                                    atol=1e-8)
+
+
+class TestImgsPath:
+    """VERDICT r3 #7: gmres(ortho='IMGS') runs the REAL iterated-MGS
+    projection (BelosIMGSOrthoManager.hpp), not a CGS2 substitution."""
+
+    def test_resolve_imgs_distinct(self):
+        assert ortho.resolve_method("IMGS") == "IMGS"
+        assert ortho.resolve_method("MGS") == "MGS1"
+
+    def test_imgs_orthogonality_graded_basis(self, comm, rng):
+        """‖I−QᵀQ‖ of IMGS ≤ CGS2's on a graded-conditioning panel."""
+        n, m = 300, 10
+        q0, _ = np.linalg.qr(rng.standard_normal((n, m)))
+        w = q0 * (10.0 ** -np.arange(m))  # columns graded 1..1e-9
+        w = jnp.asarray(w + 1e-10 * rng.standard_normal((n, m)))
+
+        def gs_build(method):
+            q = jnp.zeros((n, m))
+            for j in range(m):
+                wj = w[:, j:j + 1]
+                if method == "IMGS":
+                    w1, _ = ortho.mgs_project(comm, q, wj, j)
+                    w2, _ = ortho.mgs_project(comm, q, w1, j)
+                else:
+                    w2, _ = ortho.cgs2_project(comm, q, wj)
+                nrm = jnp.linalg.norm(w2)
+                q = q.at[:, j].set((w2 / nrm)[:, 0])
+            return q
+
+        q_imgs = gs_build("IMGS")
+        q_cgs2 = gs_build("CGS2")
+        err_imgs = float(jnp.abs(q_imgs.T @ q_imgs - jnp.eye(m)).max())
+        err_cgs2 = float(jnp.abs(q_cgs2.T @ q_cgs2 - jnp.eye(m)).max())
+        assert err_imgs <= max(err_cgs2, 5e-15) * 1.5
+        assert err_imgs < 1e-13
+
+    def test_gmres_imgs_converges_same_solution(self, rng):
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.ops import formats as F
+        from trilinos_tpu.ops import matvec as S
+        from trilinos_tpu.solvers import gmres
+
+        a = F.csr_to_ell(laplace2d(12, 12))
+        op = lambda x: S.spmv(a, x)
+        b = jnp.asarray(rng.standard_normal(a.shape[0]))
+        r_cgs = gmres(op, b, restart=20, rtol=1e-10)
+        r_mgs = gmres(op, b, restart=20, rtol=1e-10, ortho="IMGS")
+        r_m1 = gmres(op, b, restart=20, rtol=1e-10, ortho="MGS")
+        assert bool(r_mgs.converged) and bool(r_m1.converged)
+        np.testing.assert_allclose(np.asarray(r_mgs.x), np.asarray(r_cgs.x),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r_m1.x), np.asarray(r_cgs.x),
+                                   atol=1e-8)
+
+    def test_block_gmres_raises_on_mgs(self, rng):
+        from trilinos_tpu.galeri import laplace2d
+        from trilinos_tpu.ops import formats as F
+        from trilinos_tpu.ops import matvec as S
+        from trilinos_tpu.solvers import block_gmres
+
+        a = F.csr_to_ell(laplace2d(8, 8))
+        b = jnp.asarray(rng.standard_normal((a.shape[0], 2)))
+        with pytest.raises(ValueError, match="MGS"):
+            block_gmres(lambda x: S.spmv(a, x), b, ortho="IMGS")

@@ -44,6 +44,13 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     n, nb = b.shape
     m = num_blocks
     ortho_m = resolve_method(ortho)
+    if ortho_m in ("MGS1", "IMGS"):
+        # honest surface: the block iteration is written against block
+        # (CGS-style) projections; per-column MGS lives in the scalar
+        # gmres() core — raising beats silent substitution
+        raise ValueError(
+            "block_gmres supports CGS2/ICGS/DGKS orthogonalization; "
+            "use gmres() for the MGS/IMGS path")
     project = cgs2_project if ortho_m != "DGKS" else dgks_project
     x = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype

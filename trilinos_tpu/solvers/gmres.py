@@ -29,7 +29,7 @@ from jax import lax
 from ..parallel.comm import Comm, SerialComm, norm2
 from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
 from .ortho import (cgs2_project, cgs2_project_window, dgks_project,
-                    dgks_project_window, resolve_method)
+                    dgks_project_window, mgs_project, resolve_method)
 
 
 def _givens_apply(cs, sn, h, j):
@@ -94,7 +94,21 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     m = restart
     n = b.shape[0]
     dtype = b.dtype
-    if window_chunk:
+    if ortho in ("MGS1", "IMGS"):
+        # true (iterated) modified Gram-Schmidt: one reduction per basis
+        # column per pass, masked to the j+1 filled columns — the
+        # BelosIMGSOrthoManager path (BelosIMGSOrthoManager.hpp:1).
+        # Communication-heavy by construction (that's MGS); no windowing.
+        mcols = m + 1
+        passes = 2 if ortho == "IMGS" else 1
+
+        def project(v, w, j):
+            w1, c1 = mgs_project(comm, v, w, j + 1)
+            if passes == 2:
+                w2, c2 = mgs_project(comm, v, w1, j + 1)
+                return w2, c1 + c2
+            return w1, c1
+    elif window_chunk:
         mcols = -(-(m + 1) // window_chunk) * window_chunk
         proj_w = (cgs2_project_window if ortho == "CGS2"
                   else dgks_project_window)
@@ -271,8 +285,6 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     comm = comm or SerialComm()
     prec = prec or identity_prec
     ortho_m = resolve_method(ortho)
-    if ortho_m not in ("CGS2", "DGKS"):
-        ortho_m = "CGS2"  # MGS path not wired into the Givens core
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     core = functools.partial(

@@ -232,14 +232,18 @@ def project_and_normalize(comm: Comm, v: jax.Array, w: jax.Array,
     basis v, then orthonormalize within the block.
 
     Returns (q, c, r, rank_ok): w ≈ v c + q r with qᵀq = I.
-    ``method`` ∈ {"CGS2", "DGKS", "MGS1"} (MGS1 = single-pass MGS over all
-    columns of v, assumed all valid)."""
+    ``method`` ∈ {"CGS2", "DGKS", "MGS1", "IMGS"} (MGS1 = single-pass MGS
+    over all columns of v, assumed all valid; IMGS = two passes)."""
     if method == "CGS2":
         w2, c = cgs2_project(comm, v, w)
     elif method == "DGKS":
         w2, c = dgks_project(comm, v, w)
     elif method == "MGS1":
         w2, c = mgs_project(comm, v, w, v.shape[1])
+    elif method == "IMGS":
+        w1, c1 = mgs_project(comm, v, w, v.shape[1])
+        w2, c2 = mgs_project(comm, v, w1, v.shape[1])
+        c = c1 + c2
     else:
         raise ValueError(f"unknown ortho method {method!r}")
     q, r, rank_ok = cholqr2(comm, w2)
@@ -253,8 +257,12 @@ def valid_methods() -> tuple[str, ...]:
 
 
 def resolve_method(name: str) -> str:
-    """Map reference spellings to local implementations."""
-    alias = {"ICGS": "CGS2", "IMGS": "MGS1", "DGKS": "DGKS", "CGS2": "CGS2",
+    """Map reference spellings to local implementations.
+
+    IMGS resolves to a real iterated-MGS path (two modified-GS passes,
+    one reduction per basis column per pass — BelosIMGSOrthoManager.hpp),
+    NOT a silent CGS2 substitution; MGS/MGS1 is the single-pass variant."""
+    alias = {"ICGS": "CGS2", "IMGS": "IMGS", "DGKS": "DGKS", "CGS2": "CGS2",
              "MGS1": "MGS1", "MGS": "MGS1"}
     try:
         return alias[name.upper()]
