@@ -32,18 +32,20 @@ from .distmatrix import (DistMatrix, DistStencil, apply_local,
 from .map import Map
 
 
-def _local_op(al, n_shards):
+def _local_op(al, n_shards, axes=None):
     """Per-shard operator closure for either DistMatrix or DistStencil."""
+    axes = axes or AXIS
     if isinstance(al, DistStencil):
         return lambda v: apply_local_stencil(
-            al.sel, al.valid, al.op_local, al.depth, al.plan, v, AXIS,
+            al.sel, al.valid, al.op_local, al.depth, al.plan, v, axes,
             n_shards)
     return lambda v: apply_local(al.interior, al.boundary, al.plan, v,
-                                 AXIS, n_shards)
+                                 axes, n_shards)
 
 
-def _local_op_t(al, n_shards):
+def _local_op_t(al, n_shards, axes=None):
     """Per-shard TRANSPOSE operator closure (square DistMatrix only)."""
+    axes = axes or AXIS
     if isinstance(al, DistStencil):
         raise NotImplementedError(
             "transpose apply on DistStencil: symmetric stencils satisfy "
@@ -53,9 +55,37 @@ def _local_op_t(al, n_shards):
             "transpose of a rectangular DistMatrix — AMG stores R "
             "explicitly (distribute_rect) instead")
     return lambda v: apply_local_transpose(al.interior, al.boundary,
-                                           al.plan, v, AXIS, n_shards)
+                                           al.plan, v, axes, n_shards)
 
 AXIS = "rows"
+
+
+def solve_axes(mesh: Mesh):
+    """Row-dimension axis name(s) of a solve mesh: the single 'rows'
+    axis, or ALL axes flattened outer-major for a multi-level mesh.
+
+    A 2-axis ('dcn', 'rows') mesh is the BASELINE #4-5 multi-host
+    topology (SURVEY §2.3): rows are sharded over the flattened
+    (dcn-major) device order, so with a contiguous row Map the banded
+    halo ppermutes connect NEIGHBORING inner-axis devices (ICI) and only
+    the slab cuts at dcn-group boundaries cross the slow outer links.
+    All collectives (psum / ppermute / all_to_all) take the axis tuple
+    directly — XLA lowers them over the flattened product axis."""
+    ax = tuple(mesh.axis_names)
+    return ax[0] if len(ax) == 1 else ax
+
+
+def make_mesh2(p_outer: int, p_inner: int,
+               axes: tuple[str, str] = ("dcn", AXIS)) -> Mesh:
+    """Two-level solve mesh: ``p_outer`` DCN groups x ``p_inner`` chips.
+    Pass to any dist_* driver; the row dimension is sharded over BOTH
+    axes (outer-major), matching Map.uniform's contiguous order."""
+    devs = jax.devices()
+    n = p_outer * p_inner
+    if n > len(devs):
+        raise ValueError(
+            f"requested {n} mesh devices but only {len(devs)} available")
+    return Mesh(np.array(devs[:n]).reshape(p_outer, p_inner), axes)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
@@ -823,15 +853,17 @@ def dist_schwarz(a: CsrHost, rmap: Map, *, overlap: int = 1,
 
 
 def dist_spmv(a: DistMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
-    """Global distributed SpMV on a padded sharded vector."""
+    """Global distributed SpMV on a padded sharded vector. Accepts a
+    1-axis ('rows',) or multi-level ('dcn','rows') mesh."""
     n_shards = a.row_map.n_shards
-    vec_spec = P(AXIS) if x.ndim == 1 else P(AXIS, None)
+    axes = solve_axes(mesh)
+    vec_spec = P(axes) if x.ndim == 1 else P(axes, None)
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P(AXIS), vec_spec), out_specs=vec_spec)
+                       in_specs=(P(axes), vec_spec), out_specs=vec_spec)
     def run(a_sh, x_loc):
         al = unstack_local(a_sh)
-        return _local_op(al, n_shards)(x_loc)
+        return _local_op(al, n_shards, axes)(x_loc)
 
     return run(a, x)
 
@@ -842,13 +874,14 @@ def dist_spmv_t(a: DistMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
     column space + Export-ADD of ghost-column contributions over the
     reversed Import plan."""
     n_shards = a.row_map.n_shards
-    vec_spec = P(AXIS) if x.ndim == 1 else P(AXIS, None)
+    axes = solve_axes(mesh)
+    vec_spec = P(axes) if x.ndim == 1 else P(axes, None)
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P(AXIS), vec_spec), out_specs=vec_spec)
+                       in_specs=(P(axes), vec_spec), out_specs=vec_spec)
     def run(a_sh, x_loc):
         al = unstack_local(a_sh)
-        return _local_op_t(al, n_shards)(x_loc)
+        return _local_op_t(al, n_shards, axes)(x_loc)
 
     return run(a, x)
 
@@ -862,19 +895,21 @@ def dist_lsqr(a: DistMatrix, b: jax.Array, x0: jax.Array | None = None, *,
     from ..solvers.lsqr import lsqr
 
     n_shards = a.row_map.n_shards
-    vec_spec = P(AXIS) if b.ndim == 1 else P(AXIS, None)
+    axes = solve_axes(mesh)
+    vec_spec = P(axes) if b.ndim == 1 else P(axes, None)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     scal_spec = P()
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(AXIS), vec_spec, vec_spec),
+        in_specs=(P(axes), vec_spec, vec_spec),
         out_specs=SolveResult(x=vec_spec, iters=scal_spec,
                               resnorm=scal_spec, converged=scal_spec))
     def run(a_sh, b_loc, x0_loc):
         al = unstack_local(a_sh)
-        comm = AxisComm(AXIS, n_shards)
-        return lsqr(_local_op(al, n_shards), _local_op_t(al, n_shards),
+        comm = AxisComm(axes, n_shards)
+        return lsqr(_local_op(al, n_shards, axes),
+                    _local_op_t(al, n_shards, axes),
                     b_loc, x0=x0_loc, comm=comm, **solver_kw)
 
     return run(a, b, x0)
@@ -891,7 +926,8 @@ def dist_solve(solver: Callable, a: DistMatrix, b: jax.Array,
     """
     n_shards = a.row_map.n_shards
     prec = prec or identity_precond()
-    vec_spec = P(AXIS) if b.ndim == 1 else P(AXIS, None)
+    axes = solve_axes(mesh)
+    vec_spec = P(axes) if b.ndim == 1 else P(axes, None)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     scal_spec = P()
     # cg(condest_window=N) / gmres(condest=True) add a replicated
@@ -899,17 +935,18 @@ def dist_solve(solver: Callable, a: DistMatrix, b: jax.Array,
     # coefficients — identical per shard)
     ce_spec = (scal_spec if solver_kw.get("condest_window")
                or solver_kw.get("condest") else None)
+    hist_spec = P() if solver_kw.get("history") else None
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(AXIS), vec_spec, vec_spec, P(AXIS)),
+        in_specs=(P(axes), vec_spec, vec_spec, P(axes)),
         out_specs=SolveResult(x=vec_spec, iters=scal_spec,
                               resnorm=scal_spec, converged=scal_spec,
-                              condest=ce_spec))
+                              condest=ce_spec, history=hist_spec))
     def run(a_sh, b_loc, x0_loc, prec_sh):
         al = unstack_local(a_sh)
-        comm = AxisComm(AXIS, n_shards)
-        op = _local_op(al, n_shards)
+        comm = AxisComm(axes, n_shards)
+        op = _local_op(al, n_shards, axes)
         prec_local = DistPrecond(arrays=prec_sh, kind=prec.kind,
                                  consts=prec.consts)
         m = prec_local.make(comm, op)

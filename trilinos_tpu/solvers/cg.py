@@ -215,6 +215,14 @@ def cg_fused(op_stencil, b: jax.Array, x0: jax.Array | None = None, *,
     The reference's per-kernel CG timer trio (axpby/dot/spmv,
     tpetra/core/test/PerformanceCGSolve/cg_solve_file.hpp:138-140) is the
     unfused ladder this collapses.
+
+    STATUS (measured round 4, real v5e chip, 128³ Laplace3D): plain
+    ``cg`` at 16.45k iters/s BEATS this kernel's 13.05k — after the
+    state-as-argument fixes, XLA fuses the plain loop's elementwise ops
+    into the stencil SpMV well enough that the hand-fused iteration's
+    extra Pallas-launch constraints cost more than they save. Kept as a
+    working demonstration of the fused-iteration technique; every
+    flagship path (entry(), bench, factory) uses plain ``cg``.
     """
     from ..ops.matvec import spmv
     from ..ops.pallas.cg_fused import cg_fused_iteration
