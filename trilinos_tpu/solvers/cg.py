@@ -74,7 +74,7 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
        prec: Operator | None = None, rtol: float = 1e-8, atol: float = 0.0,
        maxiter: int = 1000, comm: Comm | None = None,
        condest_window: int = 0, stop=None,
-       history: bool = False) -> SolveResult:
+       history: bool = False, compensated: bool = False) -> SolveResult:
     """Preconditioned CG (left-preconditioned in the M-inner-product form).
 
     condest_window > 0 additionally records the first ``condest_window``
@@ -99,7 +99,30 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     cw = int(min(condest_window, maxiter))
     use_aux = bool(cw) or history
 
-    bb = comm.psum(local_dot(b, b))
+    if compensated:
+        # double-single Dot2 reductions (ops/compensated.py): recurrence
+        # coefficients alpha/beta carry ~eps accuracy instead of
+        # ~log(n)·eps — the f32-chip answer to Belos' f64 tolerance
+        # machinery (SURVEY hard part #5). Costs one extra psum per
+        # fused-dot pair (hi/lo words ride one reduction each).
+        from ..ops.compensated import comp_dot_global
+
+        def dot_pair(u1, v1, u2, v2):
+            return (comp_dot_global(comm, u1, v1),
+                    comp_dot_global(comm, u2, v2))
+
+        def dot_one(u, v):
+            return comp_dot_global(comm, u, v)
+    else:
+        def dot_pair(u1, v1, u2, v2):
+            d = comm.psum(jnp.stack([local_dot(u1, v1),
+                                     local_dot(u2, v2)]))
+            return d[0], d[1]
+
+        def dot_one(u, v):
+            return comm.psum(local_dot(u, v))
+
+    bb = dot_one(b, b)
     tol = rhs_norm_scale(jnp.sqrt(bb), rtol, atol)
 
     def stop_passed(k, rr):
@@ -112,8 +135,7 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         r = b - op(x)
         z = M(r)
         p = z
-        d0 = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
-        rz, rr = d0[0], d0[1]
+        rz, rr = dot_pair(r, z, r, r)
         if history:
             # index k0: the (explicitly computed) residual entering this
             # segment — ‖b−Ax0‖ on the first pass
@@ -131,13 +153,12 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             x, r, z, p, rz, rr, k = s[:7]
             active = rr > tol2
             ap = op(p)
-            pap = comm.psum(local_dot(p, ap))
+            pap = dot_one(p, ap)
             alpha = jnp.where(active, safe_divide(rz, pap), 0)
             x = x + bcast_cols(alpha, p)
             r = r - bcast_cols(alpha, ap)
             z = M(r)
-            d = comm.psum(jnp.stack([local_dot(r, z), local_dot(r, r)]))
-            rz_new, rr_new = d[0], d[1]
+            rz_new, rr_new = dot_pair(r, z, r, r)
             beta = jnp.where(active, safe_divide(rz_new, rz), 0)
             p = z + bcast_cols(beta, p)
             out = (x, r, z, p, jnp.where(active, rz_new, rz),

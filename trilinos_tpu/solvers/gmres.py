@@ -81,7 +81,8 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
                   maxiter: int, rtol: float, atol: float, comm: Comm,
                   ortho: str, condest: bool = False,
                   window_chunk: int | None = None,
-                  stop=None, history: bool = False):
+                  stop=None, history: bool = False,
+                  compensated: bool = False):
     """Restarted right-preconditioned GMRES for ONE RHS column (n,).
 
     ``window_chunk``: when set, the Arnoldi projection reads only the
@@ -94,6 +95,24 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     m = restart
     n = b.shape[0]
     dtype = b.dtype
+    if compensated:
+        # double-single NORM reductions (ops/compensated.py Dot2): the
+        # residual/normalization norms driving the Givens recurrence and
+        # the convergence decision are accurate to ~eps instead of
+        # ~log(n)·eps — the f32-chip answer to Belos' f64 tolerance
+        # machinery (SURVEY hard part #5). Projections stay on the MXU:
+        # on-chip measurement showed Dot2-GEMM projections cost 4.5×
+        # wall (full-basis HBM re-reads per tree sweep) and move the
+        # certified attainable rtol NOT AT ALL — the attainability floor
+        # is the f32 storage of x and the SpMV rounding, which
+        # certified_solve's tighten-retry already reaches (see
+        # docs/PRECISION.md round-4 measurements).
+        from ..ops.compensated import comp_norm2
+
+        def _norm2(c_, x):
+            return comp_norm2(c_, x)
+    else:
+        _norm2 = norm2
     if ortho in ("MGS1", "IMGS"):
         # true (iterated) modified Gram-Schmidt: one reduction per basis
         # column per pass, masked to the j+1 filled columns — the
@@ -123,7 +142,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
         def project(v, w, j):
             return proj_f(comm, v, w)
 
-    bnorm = norm2(comm, b)
+    bnorm = _norm2(comm, b)
     tol = rhs_norm_scale(bnorm, rtol, atol)
 
     def stop_passed(iters, res):
@@ -135,7 +154,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
 
     def cycle(x, total_iters, hist):
         r0 = b - op(x)
-        beta = norm2(comm, r0)
+        beta = _norm2(comm, r0)
         v = jnp.zeros((n, mcols), dtype)
         v = v.at[:, 0].set(safe_divide(r0, beta))
         # the Z basis is filled with device-varying preconditioned vectors
@@ -170,7 +189,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             # active-window chunked, per window_chunk
             w2, hcol = project(v, w[:, None], j)
             w2 = w2[:, 0]
-            hnorm = norm2(comm, w2)
+            hnorm = _norm2(comm, w2)
             h = hcol[:, 0].at[j + 1].set(hnorm)
             if condest:
                 h_raw = lax.dynamic_update_slice(h_raw, h[:, None], (0, j))
@@ -243,7 +262,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     x, total = st[0], st[1]
     # explicit-residual cross-check (the ImpResNorm "loss of accuracy"
     # guard, BelosStatusTestImpResNorm.hpp:47-88): report the TRUE residual
-    res_true = norm2(comm, b - op(x))
+    res_true = _norm2(comm, b - op(x))
     ce = jnp.sqrt(st[4] / st[5]) if condest else None
     return x, total, res_true, res_true <= tol, ce, st[3]
 
@@ -254,7 +273,8 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           atol: float = 0.0, comm: Comm | None = None,
           ortho: str = "CGS2", condest: bool = False,
           window_chunk: int | None = None,
-          stop=None, history: bool = False) -> SolveResult:
+          stop=None, history: bool = False,
+          compensated: bool = False) -> SolveResult:
     """Restarted GMRES(m) with right preconditioning.
 
     Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
@@ -291,6 +311,7 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         _gmres_single, op, prec=prec, flexible=flexible, restart=restart,
         maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m,
         condest=condest, stop=stop, history=history,
+        compensated=compensated,
         # vmap turns the window's lax.cond into select (both branches
         # run) — chunking only pays on the single-RHS path
         window_chunk=window_chunk if b.ndim == 1 else None)
