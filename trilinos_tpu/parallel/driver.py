@@ -153,6 +153,7 @@ class DistPrecond:
             sweeps, omega, gamma, npl_c = self.consts
             levels = local["levels"]
             coarse_inv = local["coarse_inv"]
+            coarse_pos = local["coarse_pos"]
             axis, p_shards = comm.axis_name, comm.size
 
             def apply_dm(dm, v):
@@ -168,10 +169,18 @@ class DistPrecond:
 
             def vcycle(k, b):
                 if k == len(levels):
-                    # replicated dense coarse solve: gather all shards'
-                    # coarse residual chunks, one dense matmul, slice own
+                    # replicated dense coarse solve in LOGICAL (unpadded)
+                    # space: gather the padded chunks, compress through
+                    # coarse_pos, one (n_c, n_c) matmul, scatter back.
+                    # Memory is n_c² instead of (P·n_local_pad)² — the
+                    # round-3 P² scaling cliff removed (the reference
+                    # agglomerates the coarse problem to one rank; this
+                    # is the replicated-compute equivalent)
                     r_all = jax.lax.all_gather(b, axis, tiled=True)
-                    e_all = coarse_inv @ r_all
+                    r_log = r_all[coarse_pos]
+                    e_log = coarse_inv @ r_log
+                    e_all = jnp.zeros_like(r_all).at[coarse_pos].set(
+                        e_log.astype(r_all.dtype))
                     me = jax.lax.axis_index(axis)
                     if b.ndim == 1:
                         return jax.lax.dynamic_slice(
@@ -568,31 +577,33 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
             stacked.reshape(n_shards, fmap.n_local_pad), dtype=dtype)
         levels.append(dict(a=a_dm, p=p_dm, r=r_dm, dinv=dinv))
 
-    # coarsest: dense inverse in the PADDED global layout (the all_gather
-    # of per-shard padded chunks), replicated across shards
+    # coarsest: dense pinv in LOGICAL (unpadded) space, replicated;
+    # coarse_pos maps logical coarse dofs into the padded all_gather
+    # layout at apply time (n_c² memory, not (P·n_local_pad)²)
     cmap = maps[-1]
-    ngp = cmap.n_global_pad
     pos = np.zeros(cmap.n_global, np.int64)
     for s in range(n_shards):
         lo, hi = cmap.shard_lo(s), cmap.shard_hi(s)
         pos[lo:hi] = s * cmap.n_local_pad + np.arange(hi - lo)
-    dense = np.eye(ngp)
-    dense[np.ix_(pos, pos)] = a_coarse.to_dense()
-    cinv = np.linalg.pinv(dense, rcond=1e-12)  # semidefinite-safe
+    cinv = np.linalg.pinv(a_coarse.to_dense(), rcond=1e-12)  # semidef-safe
+    nc = cmap.n_global
     coarse_inv = jnp.asarray(
-        np.broadcast_to(cinv, (n_shards, ngp, ngp)).copy(), dtype=dtype)
+        np.broadcast_to(cinv, (n_shards, nc, nc)).copy(), dtype=dtype)
+    coarse_pos = jnp.asarray(
+        np.broadcast_to(pos, (n_shards, nc)).copy().astype(np.int32))
 
     gamma = 2 if cycle == "W" else 1
     return DistPrecond(
-        arrays={"levels": levels, "coarse_inv": coarse_inv},
+        arrays={"levels": levels, "coarse_inv": coarse_inv,
+                "coarse_pos": coarse_pos},
         kind="amg",
         consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
 
 
 def _coarse_dense_inv(a_c_blocks, cmap: Map, n_shards: int, dtype):
-    """Replicated padded dense pinv of the coarsest operator (from
-    row-sharded blocks — the only all-gather of the setup)."""
-    ngp = cmap.n_global_pad
+    """Replicated dense pinv of the coarsest operator in LOGICAL space
+    (from row-sharded blocks — the only all-gather of the setup), plus
+    the logical→padded position map used at apply time."""
     pos = np.zeros(cmap.n_global, np.int64)
     for s in range(n_shards):
         lo, hi = cmap.shard_lo(s), cmap.shard_hi(s)
@@ -604,11 +615,13 @@ def _coarse_dense_inv(a_c_blocks, cmap: Map, n_shards: int, dtype):
         rows = np.repeat(np.arange(blk.shape[0], dtype=np.int64),
                          blk.row_lengths()) + lo
         np.add.at(acc, (rows, blk.cols.astype(np.int64)), blk.vals)
-    dense = np.eye(ngp)  # identity on pad rows
-    dense[np.ix_(pos, pos)] = acc
-    cinv = np.linalg.pinv(dense, rcond=1e-12)
-    return jnp.asarray(
-        np.broadcast_to(cinv, (n_shards, ngp, ngp)).copy(), dtype=dtype)
+    cinv = np.linalg.pinv(acc, rcond=1e-12)
+    nc = cmap.n_global
+    coarse_inv = jnp.asarray(
+        np.broadcast_to(cinv, (n_shards, nc, nc)).copy(), dtype=dtype)
+    coarse_pos = jnp.asarray(
+        np.broadcast_to(pos, (n_shards, nc)).copy().astype(np.int32))
+    return coarse_inv, coarse_pos
 
 
 def dist_amg_blocks(blocks, rmap: Map, *, max_levels: int = 10,
@@ -653,10 +666,12 @@ def dist_amg_blocks(blocks, rmap: Map, *, max_levels: int = 10,
             stacked.reshape(n_shards, a_map.n_local_pad), dtype=dtype)
         levels.append(dict(a=a_dm, p=p_dm, r=r_dm, dinv=dinv))
 
-    coarse_inv = _coarse_dense_inv(a_c_blocks, cmap, n_shards, dtype)
+    coarse_inv, coarse_pos = _coarse_dense_inv(a_c_blocks, cmap,
+                                               n_shards, dtype)
     gamma = 2 if cycle == "W" else 1
     return DistPrecond(
-        arrays={"levels": levels, "coarse_inv": coarse_inv},
+        arrays={"levels": levels, "coarse_inv": coarse_inv,
+                "coarse_pos": coarse_pos},
         kind="amg",
         consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
 
