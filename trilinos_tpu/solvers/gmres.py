@@ -86,12 +86,16 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     """Restarted right-preconditioned GMRES for ONE RHS column (n,).
 
     ``window_chunk``: when set, the Arnoldi projection reads only the
-    basis chunks holding filled columns (ortho.project_block_window) —
-    at step j the CGS pass touches ceil((j+1)/chunk)·chunk columns
-    instead of all m+1. None (the DEFAULT — on-chip profiling showed the
-    chunked dynamic-slice loop defeats XLA fusion and runs ~12× slower
-    at restart=30) = classic full-basis projection, also used by the
-    vmap'd pseudo-block path, where lax.cond degrades to select."""
+    static basis prefix holding filled columns (one lax.switch over
+    prefix lengths, ortho.project_block_window) — at step j the CGS
+    pass touches ceil((j+1)/chunk)·chunk columns instead of all m+1.
+    None (the DEFAULT) = classic full-basis projection: on-chip,
+    conditionals inside the Arnoldi while_loop defeat fusion in EVERY
+    form tried (full 456 iters/s vs switch-prefix 69 vs round-3 chunk
+    loop 38 at restart=30), and the full-basis GEMM already moves basis
+    traffic at the STREAM roofline — s-step CA-GMRES is the real
+    traffic-reduction path. Also used by the vmap'd pseudo-block path,
+    where lax.switch degrades to select."""
     m = restart
     n = b.shape[0]
     dtype = b.dtype

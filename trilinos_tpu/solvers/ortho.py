@@ -142,33 +142,40 @@ def svqb(comm: Comm, w: jax.Array):
 
 def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
                          n_active, chunk: int = 8):
-    """One classical-GS pass that reads ONLY the basis chunks containing
+    """One classical-GS pass that reads ONLY the basis prefix containing
     active (filled) columns.
 
     The static-shape basis convention (unfilled columns zero) makes the
     plain ``project_block`` read all ``m`` columns every call — in a
     growing-basis loop (GMRES Arnoldi) that wastes up to 2× the HBM
     traffic on zeros. Here ``v`` is (n, mp) with ``mp % chunk == 0`` and
-    ``n_active`` (traced) filled leading columns; chunks whose first
-    column index is ≥ n_active are skipped entirely. Skipping is sound
-    ONLY under the zero-padded-basis invariant (module docstring): any
-    nonzero data in columns ≥ n_active of a partially-active chunk WOULD
-    leak into c — columns inside the boundary chunk are not individually
-    masked. Communication is UNCHANGED: local chunk dots are accumulated
-    into one (mp, k) block and hit a single psum, exactly like the
-    full-basis pass (the Belos MvTransMv + reduceAll split).
-
-    shard_map-safe: the replicated zero carry is promoted to
-    device-varying via ``comm.pvary`` so both ``lax.cond`` branches have
-    identical varying-manual-axes types.
+    ``n_active`` (traced) filled leading columns; the pass runs on the
+    STATIC prefix ``v[:, :ceil(n_active/chunk)·chunk]`` selected by one
+    ``lax.switch`` over the mp/chunk possible prefix lengths — each
+    branch is a single fused GEMM on a statically-shaped slice, so only
+    the taken branch's bytes move (the round-3 per-chunk
+    ``lax.cond``+``dynamic_slice`` loop broke XLA fusion and lost 12×;
+    this form keeps the one-GEMM structure of the full pass). Skipping
+    is sound ONLY under the zero-padded-basis invariant (module
+    docstring): any nonzero data in columns ≥ n_active inside the
+    boundary chunk WOULD leak into c — those columns are not
+    individually masked. Communication is UNCHANGED: one psum of the
+    zero-padded (mp, k) coefficient block, exactly like the full-basis
+    pass (the Belos MvTransMv + reduceAll split); branches hold no
+    collectives, so shard_map sees one replicated-index switch with
+    consistently device-varying operands and outputs.
 
     NOTE: under jax.vmap a traced per-batch ``n_active`` turns the
-    internal ``lax.cond`` into select (both branches execute) — use the
-    full-basis pass for batched projections. Measured on a real TPU chip
-    the chunked dynamic-slice loop LOSES to the full-basis fused GEMM
-    (GMRES(30) 458 → 38 iters/s), so callers default to the full pass;
-    this path is opt-in for very large restart values where the 2×
-    HBM-traffic saving can win.
+    ``lax.switch`` into select (every branch executes) — use the
+    full-basis pass for batched projections.
+
+    On-chip verdict (round 4, GMRES(30) @128³): full-basis 456 iters/s,
+    this switch form 69, the round-3 chunk loop 38 — TPU conditionals
+    inside the Arnoldi while_loop defeat fusion no matter the form, and
+    the full-basis GEMM already runs the basis traffic at the STREAM
+    roofline (~480 GB/s effective of 494 measured). Full-basis is the
+    TPU answer at practical restart sizes; s-step CA-GMRES is the
+    traffic-reduction path that actually pays (solvers/sstep_gmres.py).
 
     Returns (w2, c) with c zero-padded to (mp, k)."""
     n, mp = v.shape
@@ -177,26 +184,31 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
     nc = mp // chunk
     k = w.shape[1]
     dt = v.dtype
+    kidx = jnp.clip((jnp.asarray(n_active) - 1) // chunk, 0, nc - 1)
 
-    def dots(i, c):
-        def active(c):
-            vc = lax.dynamic_slice(v, (0, i * chunk), (n, chunk))
-            ci = jnp.einsum("nc,nk->ck", vc, w, preferred_element_type=dt)
-            return lax.dynamic_update_slice(c, ci, (i * chunk, 0))
-        return lax.cond(i * chunk < n_active, active, lambda c: c, c)
+    def dots_branch(i):
+        ncol = (i + 1) * chunk
 
-    c0 = comm.pvary(jnp.zeros((mp, k), dt))
-    c = lax.fori_loop(0, nc, dots, c0)
+        def br(v, w):
+            c = jnp.einsum("nc,nk->ck", v[:, :ncol], w,
+                           preferred_element_type=dt)
+            return jnp.pad(c, ((0, mp - ncol), (0, 0)))
+
+        return br
+
+    c = lax.switch(kidx, [dots_branch(i) for i in range(nc)], v, w)
     c = comm.psum(c)
 
-    def upd(i, wv):
-        def active(wv):
-            vc = lax.dynamic_slice(v, (0, i * chunk), (n, chunk))
-            ci = lax.dynamic_slice(c, (i * chunk, 0), (chunk, k))
-            return wv - vc @ ci
-        return lax.cond(i * chunk < n_active, active, lambda wv: wv, wv)
+    def upd_branch(i):
+        ncol = (i + 1) * chunk
 
-    return lax.fori_loop(0, nc, upd, w), c
+        def br(v, c, w):
+            return w - v[:, :ncol] @ c[:ncol]
+
+        return br
+
+    w2 = lax.switch(kidx, [upd_branch(i) for i in range(nc)], v, c, w)
+    return w2, c
 
 
 def cgs2_project_window(comm: Comm, v: jax.Array, w: jax.Array,
