@@ -367,11 +367,14 @@ def bench_cg_fused(nx=128, ny=128, nz=128, iters=1000):
     return 1.0 / per_it, per_it
 
 
-def bench_gmres(nx=128, ny=128, nz=128, restart=30, iters=120):
+def bench_gmres(nx=128, ny=128, nz=128, restart=30, iters=120,
+                basis_dtype=None):
     """GMRES(30) time per iteration (CGS2 ortho) on the Laplace3D
     stencil — the Belos BlockGmres hot loop (BelosBlockGmresIter.hpp:659:
     op apply + projectAndNormalize + Givens per step). Fixed iteration
-    count (rtol=0) with fresh RHS per timed call, like bench_cg."""
+    count (rtol=0) with fresh RHS per timed call, like bench_cg.
+    ``basis_dtype=jnp.bfloat16`` measures the inexact-Krylov narrow
+    basis storage (halved basis HBM traffic; 1.6x on chip)."""
     from trilinos_tpu.galeri import laplace3d
     from trilinos_tpu.ops import matvec as mv
     from trilinos_tpu.solvers import gmres
@@ -381,7 +384,7 @@ def bench_gmres(nx=128, ny=128, nz=128, restart=30, iters=120):
     mk = _device_rhs(npad, n)
     run = jax.jit(lambda key: gmres(
         lambda v: mv.spmv(op, v), mk(key), rtol=0.0, restart=restart,
-        maxiter=iters))
+        maxiter=iters, basis_dtype=basis_dtype))
     r, best = _timed_solve(run)
     per_it = best / max(int(r.iters), 1)
     return 1.0 / per_it, per_it
@@ -434,6 +437,8 @@ def main():
     ortho_gbps, ortho_t = _safe(bench_ortho, (0.0, float("inf")))
     cg_iters_s, cg_it_t = _safe(bench_cg, (0.0, float("inf")))
     gm_iters_s, gm_it_t = _safe(bench_gmres, (0.0, float("inf")))
+    gmb_iters_s, gmb_it_t = _safe(
+        lambda: bench_gmres(basis_dtype=jnp.bfloat16), (0.0, float("inf")))
     ca_iters_s, ca_it_t = _safe(bench_sstep_gmres, (0.0, float("inf")))
     amg_iters, amg_t = _safe(bench_amg_pcg, (0, float("inf")))
     el_iters, el_t = _safe(bench_elasticity_amg, (0, float("inf")))
@@ -452,6 +457,7 @@ def main():
                       ("ortho_gbps", ortho_gbps),
                       ("cg_iters_per_s", cg_iters_s),
                       ("gmres_iters_per_s", gm_iters_s),
+                      ("gmres_bf16_iters_per_s", gmb_iters_s),
                       ("sstep_gmres_iters_per_s", ca_iters_s),
                       ("amg_pcg_solves_per_s",
                        0.0 if amg_t in (0, float("inf")) else 1.0 / amg_t),
@@ -490,6 +496,8 @@ def main():
             "cg_iter_ms": round(cg_it_t * 1e3, 3),
             "gmres_iters_per_s": round(gm_iters_s, 1),
             "gmres_iter_ms": round(gm_it_t * 1e3, 3),
+            "gmres_bf16_iters_per_s": round(gmb_iters_s, 1),
+            "gmres_bf16_iter_ms": round(gmb_it_t * 1e3, 3),
             "sstep_gmres_iters_per_s": round(ca_iters_s, 1),
             "sstep_gmres_iter_ms": round(ca_it_t * 1e3, 3),
             "amg_pcg_iters_64^3": amg_iters,

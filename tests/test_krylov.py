@@ -385,3 +385,60 @@ class TestNewtonBasisSstep:
 
         with pytest.raises(ValueError, match="conjugate"):
             newton_basis_stages([1.0 + 1.0j, 2.0, 3.0], 1.0)
+
+
+class TestBf16Basis:
+    """Inexact-Krylov basis storage (gmres(basis_dtype=bfloat16)):
+    basis HBM traffic halves (measured 1.5x iters/s on chip at 128^3)
+    while the working vectors/Givens stay in b's dtype; TRUE-residual-
+    gated restarts act as iterative refinement over the narrow-basis
+    cycles. Beyond-reference TPU feature (Belos has no mixed-precision
+    basis storage)."""
+
+    def test_loose_tol_converges_certified(self):
+        a = laplace2d(24, 24)
+        op, b, dense, n = make_problem(a)
+        res = gmres(op, b, restart=30, rtol=5e-3, maxiter=400,
+                    basis_dtype=jnp.bfloat16)
+        assert bool(res.converged)
+        assert true_rel_res(b, dense, res.x, n) <= 5e-3
+
+    def test_refinement_reaches_medium_tol(self):
+        """Each cycle's reduction is bf16-limited, but restarts recompute
+        the true residual in working precision — the outer loop refines
+        well past eps(bf16)."""
+        a = laplace2d(24, 24)
+        op, b, dense, n = make_problem(a)
+        res = gmres(op, b, restart=30, rtol=1e-6, maxiter=800,
+                    basis_dtype=jnp.bfloat16)
+        assert bool(res.converged)
+        assert true_rel_res(b, dense, res.x, n) <= 1e-6
+
+    def test_unattainable_reports_honestly(self):
+        a = laplace2d(24, 24)
+        op, b, dense, n = make_problem(a)
+        res = gmres(op, b, restart=10, rtol=1e-12, maxiter=40,
+                    basis_dtype=jnp.bfloat16)
+        assert not bool(res.converged)
+
+    def test_fgmres_outer_corrects_bf16_inner(self):
+        """The FGMRES pattern: full-precision outer + bf16-basis inner
+        solver reaches tight tolerance (inexact-Krylov theory)."""
+        a = laplace2d(24, 24)
+        op, b, dense, n = make_problem(a)
+        inner = lambda v: gmres(op, v, restart=10, maxiter=10, rtol=0.0,
+                                basis_dtype=jnp.bfloat16).x
+        res = fgmres(op, b, prec=inner, restart=20, rtol=1e-8,
+                     maxiter=300)
+        assert bool(res.converged)
+        assert true_rel_res(b, dense, res.x, n) <= 1e-8
+
+    def test_default_path_unchanged(self):
+        """basis_dtype=None must be bit-identical to the pre-feature
+        solver (the basis array keeps b's dtype)."""
+        a = laplace2d(20, 20)
+        op, b, dense, n = make_problem(a)
+        r1 = gmres(op, b, restart=15, rtol=1e-9)
+        r2 = gmres(op, b, restart=15, rtol=1e-9, basis_dtype=b.dtype)
+        assert int(r1.iters) == int(r2.iters)
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))

