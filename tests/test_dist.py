@@ -198,6 +198,24 @@ class TestDistSolve:
         rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
         assert rel <= 1.1e-9
 
+    def test_gmres_bf16_basis_distributed(self, rng):
+        """Narrow (bf16) Krylov-basis storage under shard_map: the
+        true-residual-gated restarts refine past eps(bf16) exactly as
+        on one chip."""
+        a = laplace2d(16, 16)
+        n = a.shape[0]
+        b = rng.standard_normal(n)
+        dm = D.distribute(a, 4)
+        mesh = drv.make_mesh(4)
+        bg = jnp.asarray(dm.row_map.to_padded(b))
+        res = drv.dist_solve(gmres, dm, bg, mesh=mesh, restart=30,
+                             rtol=1e-6, maxiter=600,
+                             basis_dtype=jnp.bfloat16)
+        assert bool(res.converged)
+        x = dm.row_map.from_padded(np.asarray(res.x))
+        rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
+        assert rel <= 1e-6
+
     def test_cg_with_dist_chebyshev(self, rng):
         a = laplace2d(16, 16)
         n = a.shape[0]
