@@ -140,3 +140,31 @@ class TestBlockGmresEarlyExit:
         rel = np.linalg.norm(r, axis=0) / np.linalg.norm(
             np.asarray(b)[:n], axis=0)
         assert (rel <= 2e-9).all()
+
+
+class TestBlockGmresBf16Basis:
+    """Narrow (bf16) shared block-Krylov basis: the true-residual-gated
+    restart loop refines past eps(bf16); default path unchanged."""
+
+    def test_bf16_block_basis_refines(self):
+        import jax.numpy as jnp
+
+        a = laplace2d(12, 12)
+        op, b, dense, n = make_problem(a, nrhs=3)
+        res = block_gmres(op, b, num_blocks=25, max_restarts=60,
+                          rtol=1e-6, basis_dtype=jnp.bfloat16)
+        assert bool(res.converged.all())
+        x = np.asarray(res.x)[:n]
+        r = np.asarray(b)[:n] - dense @ x
+        rel = np.linalg.norm(r, axis=0) / np.linalg.norm(
+            np.asarray(b)[:n], axis=0)
+        assert (rel <= 1e-6).all()
+
+    def test_default_unchanged(self):
+        a = laplace2d(8, 8)
+        op, b, dense, n = make_problem(a, nrhs=2)
+        r1 = block_gmres(op, b, num_blocks=20, rtol=1e-8)
+        r2 = block_gmres(op, b, num_blocks=20, rtol=1e-8,
+                         basis_dtype=b.dtype)
+        assert int(r1.iters) == int(r2.iters)
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))

@@ -35,8 +35,15 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 prec: Operator | None = None, num_blocks: int = 30,
                 max_restarts: int = 20, rtol: float = 1e-8,
                 atol: float = 0.0, comm: Comm | None = None,
-                ortho: str = "CGS2") -> SolveResult:
-    """Right-preconditioned block GMRES(m) for B of shape (n, nrhs)."""
+                ortho: str = "CGS2", basis_dtype=None) -> SolveResult:
+    """Right-preconditioned block GMRES(m) for B of shape (n, nrhs).
+
+    ``basis_dtype`` (e.g. ``jnp.bfloat16``): store the shared block
+    Krylov basis — (m+1)·nrhs columns, the dominant HBM traffic of the
+    block iteration — in a narrower dtype while the working block,
+    CholQR panels, and progressive QR stay in b's dtype (see
+    gmres(basis_dtype=...); the restart loop here is already
+    TRUE-residual-gated, so narrow-basis cycles refine honestly)."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     if b.ndim != 2:
@@ -54,6 +61,7 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     project = cgs2_project if ortho_m != "DGKS" else dgks_project
     x = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
+    bdt = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
 
     from ..ops.blas import local_dot
 
@@ -64,8 +72,8 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     def cycle(x):
         r = b - op(x)
         v0, r0_small, _ = cholqr2(comm, r)
-        v = jnp.zeros((n, mp1), dtype)
-        v = lax.dynamic_update_slice(v, v0, (0, 0))
+        v = jnp.zeros((n, mp1), bdt)
+        v = lax.dynamic_update_slice(v, v0.astype(bdt), (0, 0))
         # progressive QR state: qt = accumulated Qᵀ, rfac = R (unused
         # columns keep an identity diagonal so the final static-shape
         # triangular solve yields zeros for unused y rows), g = Qᵀ e1 R0
@@ -81,11 +89,11 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
         def istep(s):
             v, qt, rfac, g, _, j = s
-            vj = lax.dynamic_slice(v, (0, j * nb), (n, nb))
+            vj = lax.dynamic_slice(v, (0, j * nb), (n, nb)).astype(dtype)
             w = op(M(vj))
             w2, c = project(comm, v, w)
             q, r_small, _ = cholqr2(comm, w2)
-            v = lax.dynamic_update_slice(v, q, (0, (j + 1) * nb))
+            v = lax.dynamic_update_slice(v, q.astype(bdt), (0, (j + 1) * nb))
             hcol = lax.dynamic_update_slice(c, r_small, ((j + 1) * nb, 0))
             # apply accumulated transforms, then annihilate the new
             # subdiagonal block with one small complete QR
@@ -113,7 +121,8 @@ def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         row = lax.broadcasted_iota(jnp.int32, (m * nb, 1), 0)
         g_used = jnp.where(row < j * nb, g[: m * nb], 0)
         y = jax.scipy.linalg.solve_triangular(rfac, g_used, lower=False)
-        x = x + M(v[:, : m * nb] @ y)
+        x = x + M(jnp.einsum("nm,mk->nk", v[:, : m * nb], y,
+                             preferred_element_type=dtype))
         return x, j
 
     def res_norms(x):
