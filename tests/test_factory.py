@@ -222,3 +222,32 @@ class TestHybridGmres:
         rel = (np.linalg.norm(b[:n] - a.to_dense() @ x)
                / np.linalg.norm(b[:n]))
         assert rel <= 2e-8
+
+
+def test_basis_precision_parameter():
+    """TPU extension on the reference parameter surface: "Basis
+    Precision": "bf16" routes gmres/block_gmres through the narrow
+    Krylov-basis storage and still certifies convergence."""
+    import jax.numpy as jnp
+    from trilinos_tpu.galeri import laplace2d
+    from trilinos_tpu.ops import formats as F
+    from trilinos_tpu.ops import matvec as S
+    from trilinos_tpu.solvers.factory import SolverManager
+    from trilinos_tpu.solvers.linear_problem import LinearProblem
+
+    a = laplace2d(16, 16)
+    dev = F.csr_to_dia(a)
+    n, npad = a.shape[0], dev.n_rows_pad
+    rng = np.random.default_rng(3)
+    b = np.zeros(npad)
+    b[:n] = rng.standard_normal(n)
+    op = lambda x: S.spmv(dev, x, impl="xla")
+    for name in ("GMRES", "Block GMRES"):
+        mgr = SolverManager(name, {"Convergence Tolerance": 1e-6,
+                                   "Maximum Iterations": 2000,
+                                   "Basis Precision": "bf16"})
+        res = mgr.solve(LinearProblem(op, jnp.asarray(b)))
+        assert bool(np.asarray(res.converged).all()), name
+        x = np.asarray(res.x)[:n]
+        rel = np.linalg.norm(b[:n] - a.to_dense() @ x) / np.linalg.norm(b[:n])
+        assert rel <= 1e-6, name

@@ -98,6 +98,13 @@ _SPECS = {
     # StatusTestOutput residual-trace analogue: record per-iteration
     # implicit resnorms into SolveResult.history (CG/GMRES kinds)
     "Record Residual History": Param("Record Residual History", False),
+    # TPU-native extension (no Belos counterpart): store the Krylov
+    # basis in bf16 (GMRES / Flexible GMRES / Block GMRES kinds) —
+    # halves basis HBM traffic, 1.5-1.6x per iteration on chip;
+    # restarts are true-residual-gated so the certified convergence
+    # surface is unchanged
+    "Basis Precision": Param("Basis Precision", "default",
+                             choices=("default", "bf16")),
 }
 
 
@@ -132,6 +139,10 @@ class SolverManager:
         x0 = problem.x0
         ortho = str(p["Orthogonalization"])
         hist = bool(p["Record Residual History"])
+        import jax.numpy as _jnp_bd
+
+        basis_dtype = (_jnp_bd.bfloat16
+                       if str(p["Basis Precision"]) == "bf16" else None)
         if self.kind == "cg":
             res = cg(op, b, x0, prec=problem.left_prec
                      or problem.right_prec, maxiter=maxiter,
@@ -193,7 +204,7 @@ class SolverManager:
                      ortho=ortho,
                      condest=bool(int(p["Estimate Condition Number"])),
                      history=hist, stop=getattr(problem, "stop_test", None),
-                     **common)
+                     basis_dtype=basis_dtype, **common)
         elif self.kind == "block_gmres":
             bb = b[:, None] if b.ndim == 1 else b
             xx = x0[:, None] if (x0 is not None and x0.ndim == 1) else x0
@@ -201,7 +212,8 @@ class SolverManager:
                               prec=problem.right_prec or problem.left_prec,
                               num_blocks=int(p["Num Blocks"]),
                               max_restarts=int(p["Maximum Restarts"]),
-                              ortho=ortho, **common)
+                              ortho=ortho, basis_dtype=basis_dtype,
+                              **common)
             if b.ndim == 1:
                 res = SolveResult(x=res.x[:, 0], iters=res.iters,
                                   resnorm=res.resnorm[0],
