@@ -391,7 +391,7 @@ def bench_gmres(nx=128, ny=128, nz=128, restart=30, iters=120,
 
 
 def bench_sstep_gmres(nx=128, ny=128, nz=128, s=4, t_blocks=8,
-                      restarts=4):
+                      restarts=4, basis_dtype=None):
     """CA (s-step) GMRES per-basis-vector rate: the fused matrix-powers
     kernel generates s basis vectors in ONE HBM pass and the block
     orthogonalization costs 4 reductions per s vectors — measured ~2.4x
@@ -408,7 +408,7 @@ def bench_sstep_gmres(nx=128, ny=128, nz=128, s=4, t_blocks=8,
     mk = _device_rhs(npad, n)
     run = jax.jit(lambda key: sstep_gmres(
         op, mk(key), s=s, t_blocks=t_blocks, max_restarts=restarts,
-        rtol=0.0, sigma=12.0))
+        rtol=0.0, sigma=12.0, basis_dtype=basis_dtype))
     r, best = _timed_solve(run)
     per_it = best / max(int(r.iters), 1)
     return 1.0 / per_it, per_it
@@ -440,6 +440,9 @@ def main():
     gmb_iters_s, gmb_it_t = _safe(
         lambda: bench_gmres(basis_dtype=jnp.bfloat16), (0.0, float("inf")))
     ca_iters_s, ca_it_t = _safe(bench_sstep_gmres, (0.0, float("inf")))
+    cab_iters_s, cab_it_t = _safe(
+        lambda: bench_sstep_gmres(basis_dtype=jnp.bfloat16),
+        (0.0, float("inf")))
     amg_iters, amg_t = _safe(bench_amg_pcg, (0, float("inf")))
     el_iters, el_t = _safe(bench_elasticity_amg, (0, float("inf")))
     target = 0.70 * triad
@@ -459,6 +462,7 @@ def main():
                       ("gmres_iters_per_s", gm_iters_s),
                       ("gmres_bf16_iters_per_s", gmb_iters_s),
                       ("sstep_gmres_iters_per_s", ca_iters_s),
+                      ("sstep_gmres_bf16_iters_per_s", cab_iters_s),
                       ("amg_pcg_solves_per_s",
                        0.0 if amg_t in (0, float("inf")) else 1.0 / amg_t),
                       ("elasticity_amg_solves_per_s",
@@ -500,6 +504,8 @@ def main():
             "gmres_bf16_iter_ms": round(gmb_it_t * 1e3, 3),
             "sstep_gmres_iters_per_s": round(ca_iters_s, 1),
             "sstep_gmres_iter_ms": round(ca_it_t * 1e3, 3),
+            "sstep_gmres_bf16_iters_per_s": round(cab_iters_s, 1),
+            "sstep_gmres_bf16_iter_ms": round(cab_it_t * 1e3, 3),
             "amg_pcg_iters_64^3": amg_iters,
             "amg_pcg_solve_ms": round(amg_t * 1e3, 2),
             "elasticity_amg_iters_73k": el_iters,

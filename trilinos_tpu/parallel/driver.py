@@ -975,7 +975,7 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
                      rtol: float = 1e-8, atol: float = 0.0,
                      sigma: float | None = None,
                      basis: str = "fused",
-                     shifts=None) -> SolveResult:
+                     shifts=None, basis_dtype=None) -> SolveResult:
     """Communication-avoiding distributed s-step GMRES on a global
     matrix-free StencilOp over z-slabs — the full CA-GMRES kernel
     (Hoemmen/Demmel): the matrix-powers block W = [Aq/σ … A^s q/σ^s] is
@@ -1067,7 +1067,7 @@ def dist_sstep_gmres(op, b: jax.Array, *, mesh: Mesh, s: int = 4,
             max_restarts=max_restarts, rtol=rtol, atol=atol,
             sigma=sigma, comm=comm, shifts=shifts,
             powers_fn=None if basis == "loop" else powers_fn,
-            basis_impl="loop")
+            basis_impl="loop", basis_dtype=basis_dtype)
 
     return run(ds, zb, b)
 

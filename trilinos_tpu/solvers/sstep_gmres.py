@@ -128,7 +128,7 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 comm: Comm | None = None,
                 basis_impl: str = "auto",
                 powers_fn: Callable | None = None,
-                shifts=None) -> SolveResult:
+                shifts=None, basis_dtype=None) -> SolveResult:
     """Restarted s-step GMRES: m = s·t_blocks basis vectors per cycle.
 
     basis_impl: how the matrix-powers block W is generated. 'loop' = s
@@ -151,13 +151,21 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     the loop basis (monomial, or Newton when ``shifts`` is given). The
     distributed CA driver passes the one-exchange halo matrix-powers
     generator here (requires ``sigma`` to be given, since the host-side
-    estimate cannot run inside shard_map)."""
+    estimate cannot run inside shard_map).
+
+    basis_dtype (e.g. ``jnp.bfloat16``): store the orthonormal basis V
+    narrow while the matrix-powers block, CholQR panels, and small
+    matrices stay in b's dtype — the CGS2 block projection (the 4
+    full-basis reads per s vectors) halves its HBM traffic; restarts
+    are true-residual-gated, so narrow-basis cycles refine honestly
+    (see gmres(basis_dtype=...))."""
     comm = comm or SerialComm()
     M = prec or identity_prec
     x = jnp.zeros_like(b) if x0 is None else x0
     n = b.shape[0]
     m = s * t_blocks
     dtype = b.dtype
+    bdt = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
 
     def opM(v):
         return op(M(v))
@@ -222,14 +230,15 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     def cycle(x):
         r = b - op(x)
         beta = norm2(comm, r)
-        v = jnp.zeros((n, m + 1), dtype).at[:, 0].set(safe_divide(r, beta))
+        v = jnp.zeros((n, m + 1), bdt).at[:, 0].set(
+            safe_divide(r, beta).astype(bdt))
         ex = jnp.zeros((m + 1, m), dtype)  # X (search dirs) in V coords
         fy = jnp.zeros((m + 1, m), dtype)  # A·X/1 in V coords
 
         def blk_body(blk, carry):
             v, ex, fy = carry
             j0 = blk * s
-            q = lax.dynamic_slice(v, (0, j0), (n, 1))[:, 0]
+            q = lax.dynamic_slice(v, (0, j0), (n, 1))[:, 0].astype(dtype)
 
             # matrix powers W (n, s): w_k = α_k A w_{k-1} + β_k w_{k-1}
             # + γ_k w_{k-2} (monomial: α=1/σ, β=γ=0)
@@ -253,7 +262,7 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             # block orthogonalization: W = V C + Q R  (4 reductions total)
             w2, c_full = cgs2_project(comm, v, wmat)
             q_new, r_small, _ = cholqr2(comm, w2)
-            v = lax.dynamic_update_slice(v, q_new, (0, j0 + 1))
+            v = lax.dynamic_update_slice(v, q_new.astype(bdt), (0, j0 + 1))
             # global coords of w^{(k)}: C[:,k] + R[:,k] at slots j0+1..j0+s
             g = c_full  # (m+1, s)
             blkpart = lax.dynamic_slice(g, (j0 + 1, 0), (s, s))
@@ -279,7 +288,8 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
         q_h, r_h = jnp.linalg.qr(fy)
         y = jax.scipy.linalg.solve_triangular(r_h, q_h.T @ e1, lower=False)
-        x = x + M(v @ (ex @ y))
+        x = x + M(jnp.einsum("nm,m->n", v, ex @ y,
+                             preferred_element_type=dtype))
         return x
 
     def res_norm(x):
