@@ -475,3 +475,17 @@ class TestSstepBf16Basis:
                                    rtol=1e-4, basis_dtype=jnp.bfloat16)
         jax.block_until_ready(res.x)
         assert bool(res.converged)
+
+
+def test_unattainable_rtol_exits_on_stagnation():
+    """Loss-of-accuracy guard (Belos ImpResNorm LOA): an unattainable
+    rtol must end after the cycle that stops reducing the TRUE residual,
+    not burn the whole maxiter budget re-running identical cycles."""
+    a = laplace2d(16, 16)
+    op, b, dense, n = make_problem(a)
+    # 1e-30 is below the f64 attainability floor (~kappa*eps ~ 1e-14):
+    # the solve must end when cycles stop reducing the true residual
+    res = gmres(op, b, restart=20, rtol=1e-30, maxiter=10000)
+    assert not bool(res.converged)
+    # stagnation exit: far fewer than the full budget
+    assert int(res.iters) < 2000

@@ -139,9 +139,7 @@ class SolverManager:
         x0 = problem.x0
         ortho = str(p["Orthogonalization"])
         hist = bool(p["Record Residual History"])
-        import jax.numpy as _jnp_bd
-
-        basis_dtype = (_jnp_bd.bfloat16
+        basis_dtype = (jnp.bfloat16
                        if str(p["Basis Precision"]) == "bf16" else None)
         if self.kind == "cg":
             res = cg(op, b, x0, prec=problem.left_prec
@@ -162,9 +160,7 @@ class SolverManager:
             op_eff = (op if m_user is None
                       else (lambda v: op(m_user(v))))
             seed = b if b.ndim == 1 else b[:, 0]
-            import jax.numpy as _jnp
-
-            if float(_jnp.linalg.norm(seed)) == 0.0:
+            if float(jnp.linalg.norm(seed)) == 0.0:
                 # a zero seed cannot build an Arnoldi polynomial (the
                 # normalization is 0/0); fall back to plain GMRES,
                 # which returns x = 0 converged like every other kind
@@ -267,7 +263,7 @@ class SolverManager:
                 op, b, x0, s=sstep,
                 t_blocks=max(int(p["Num Blocks"]) // sstep, 1),
                 max_restarts=int(p["Maximum Restarts"]), shifts=shifts,
-                prec=sstep_prec, **common)
+                prec=sstep_prec, basis_dtype=basis_dtype, **common)
         elif self.kind == "gcrodr":
             from .gcrodr import gcrodr
 

@@ -267,9 +267,18 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             out = out + _hbar_sv_range(h_raw, j)
         return out
 
+    # stagnation (loss-of-accuracy) guard: a cycle that fails to reduce
+    # the true residual by at least this factor ends the solve — the
+    # Belos ImpResNorm LOA status (BelosStatusTestImpResNorm.hpp:47-88).
+    # Without it an unattainable rtol would burn the whole maxiter
+    # budget re-running identical cycles (the true-residual gate keeps
+    # restarting; the old implicit gate exited after one quiet cycle).
+    stall_ratio = 1.0 - 1.0 / 1024.0
+
     def outer_cond(s):
-        res, total = s[2], s[3]
+        res, total, prev = s[2], s[3], s[-1]
         go = jnp.logical_and(total < maxiter, res > tol)
+        go = jnp.logical_and(go, res < prev * stall_ratio)
         if stop is not None:
             go = jnp.logical_and(go, ~stop_passed(total, res))
         return go
@@ -280,9 +289,10 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
             # each restart cycle samples the operator's singular range
             # through a fresh Krylov basis: keep the widest certified
             # bracket (running max σmax², min σmin²)
-            return out[:5] + (jnp.maximum(out[5], s[5]),
-                              jnp.minimum(out[6], s[6]))
-        return out
+            out = out[:5] + (jnp.maximum(out[5], s[5]),
+                             jnp.minimum(out[6], s[6]))
+        # the finished cycle's entry residual becomes prev
+        return out + (s[2],)
 
     # per-iteration implicit resnorms (StatusTestOutput residual trace,
     # BelosStatusTestOutput.hpp); NaN marks never-reached iterations
@@ -290,7 +300,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     # one cycle always runs; then restart while the TRUE residual needs it
     r0 = b - op(x0)
     beta0 = _norm2(comm, r0)
-    st = cycle(x0, r0, beta0, 0, hist0)
+    st = cycle(x0, r0, beta0, 0, hist0) + (beta0,)
     st = lax.while_loop(outer_cond, outer_body, st)
     x, res_true, total = st[0], st[2], st[3]
     ce = jnp.sqrt(st[5] / st[6]) if condest else None

@@ -211,7 +211,11 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
         return br
 
     w2 = lax.switch(kidx, [upd_branch(i) for i in range(nc)], v, c, w)
-    return w2, c
+    # n_active == 0 is a no-op (the old per-chunk loop's contract): the
+    # switch always runs the one-chunk prefix, so mask it back out
+    none_active = jnp.asarray(n_active) <= 0
+    return (jnp.where(none_active, w, w2),
+            jnp.where(none_active, jnp.zeros_like(c), c))
 
 
 def cgs2_project_window(comm: Comm, v: jax.Array, w: jax.Array,
