@@ -129,3 +129,31 @@ def test_factory_over_distributed_operator():
     res = mgr.solve(prob)
     np.testing.assert_allclose(got_sorted(res, 3), np.sort(w[::-1][:3]),
                                rtol=1e-8)
+
+
+def test_mass_matrix_rejected_for_standard_only_kinds():
+    """Kinds that do not honor EigenProblem.m must raise instead of
+    silently returning standard-problem eigenpairs for Ax = lambda Mx."""
+    prob, _ = make_problem(m=lambda v: 2.0 * v)
+    for name in ("Block Davidson", "Generalized Davidson", "RTR",
+                 "Lanczos"):
+        mgr = create_eigensolver(name)
+        with pytest.raises(ValueError, match="mass"):
+            mgr.solve(prob)
+
+
+def test_dist_eigsolve_rejects_mass_for_unsupported():
+    """dist_eigsolve(mass_matrix=...) must not bind the mass operator to
+    an unrelated 'm' kwarg (lanczos_eigs's integer basis length)."""
+    import jax.numpy as jnp
+
+    from trilinos_tpu.eigen import lanczos_eigs
+    from trilinos_tpu.parallel import distmatrix as D
+    from trilinos_tpu.parallel import driver as drv
+
+    a = laplace2d(16, 8)
+    dm = D.distribute(a, 4)
+    mesh = drv.make_mesh(4)
+    with pytest.raises(ValueError, match="mass"):
+        drv.dist_eigsolve(lanczos_eigs, dm, 2, mesh=mesh,
+                          mass_matrix=dm, dtype=np.float64)

@@ -123,6 +123,16 @@ class EigenSolverManager:
         comm = self.comm
         op, n, dtype = problem.op, problem.n, problem.dtype
 
+        if problem.m is not None and self.kind not in ("bks", "lobpcg",
+                                                       "tracemin"):
+            # honest surface: only these kinds honor the generalized
+            # pencil (Anasazi setM) — silently returning standard-problem
+            # eigenpairs for Ax=λMx would be numerically wrong
+            raise ValueError(
+                f"{self.name!r} does not support a mass matrix (M); "
+                "use 'Block Krylov-Schur', 'LOBPCG', or 'TraceMin' "
+                "for generalized problems")
+
         if self.kind == "bks":
             kw = dict(which=which, tol=tol,
                       max_restarts=int(p["Maximum Restarts"]),

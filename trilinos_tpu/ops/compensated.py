@@ -32,8 +32,19 @@ import jax.numpy as jnp
 
 
 def _split_const(dtype) -> float:
-    # Dekker splitter 2^ceil(p/2)+1: f32 (p=24) -> 2^12+1; f64 -> 2^27+1
-    return 4097.0 if jnp.dtype(dtype).itemsize == 4 else 134217729.0
+    # Dekker splitter 2^ceil(p/2)+1: f32 (p=24) -> 2^12+1; f64 -> 2^27+1.
+    # Keyed on the exact dtype, NOT itemsize (complex64 shares itemsize 8
+    # with f64 and would silently pick the wrong splitter); complex needs
+    # conjugated products these transforms do not implement, and
+    # bf16/f16 have no EFT value here — fail loudly for all of them.
+    dt = jnp.dtype(dtype)
+    if dt == jnp.dtype(jnp.float32):
+        return 4097.0
+    if dt == jnp.dtype(jnp.float64):
+        return 134217729.0
+    raise TypeError(
+        f"compensated (double-single) reductions support real f32/f64 "
+        f"only, got {dt}")
 
 
 def two_sum(a, b):

@@ -70,8 +70,6 @@ def import_rows(blocks: list[CsrHost], rmap: Map,
     send/recv partition a Distributor plan would carry."""
     gids = np.asarray(gids, dtype=np.int64)
     owners = rmap.owner_of(gids)
-    parts_ptr = [np.zeros(1, np.int64)]
-    parts_cols, parts_vals = [], []
     out_lens = np.zeros(len(gids), dtype=np.int64)
     chunks = {}
     for s in np.unique(owners):
@@ -361,7 +359,6 @@ def build_dist_hierarchy(blocks: list[CsrHost], rmap: Map, *,
 
         # 4. Galerkin coarse operator (distributed RAP)
         a_c_blocks = rap_blocks(a_blocks, a_map, p_blocks, c_map)
-        levels.append((a_blocks, a_map, p_blocks, c_map,
-                       _diag_blocks(a_blocks, a_map)))
+        levels.append((a_blocks, a_map, p_blocks, c_map, d_blocks))
         a_blocks, a_map = a_c_blocks, c_map
     return levels, a_blocks, a_map

@@ -581,16 +581,8 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
     # coarse_pos maps logical coarse dofs into the padded all_gather
     # layout at apply time (n_c² memory, not (P·n_local_pad)²)
     cmap = maps[-1]
-    pos = np.zeros(cmap.n_global, np.int64)
-    for s in range(n_shards):
-        lo, hi = cmap.shard_lo(s), cmap.shard_hi(s)
-        pos[lo:hi] = s * cmap.n_local_pad + np.arange(hi - lo)
-    cinv = np.linalg.pinv(a_coarse.to_dense(), rcond=1e-12)  # semidef-safe
-    nc = cmap.n_global
-    coarse_inv = jnp.asarray(
-        np.broadcast_to(cinv, (n_shards, nc, nc)).copy(), dtype=dtype)
-    coarse_pos = jnp.asarray(
-        np.broadcast_to(pos, (n_shards, nc)).copy().astype(np.int32))
+    coarse_inv, coarse_pos = _coarse_inv_from_dense(
+        a_coarse.to_dense(), cmap, n_shards, dtype)
 
     gamma = 2 if cycle == "W" else 1
     return DistPrecond(
@@ -600,14 +592,29 @@ def dist_amg(a: CsrHost, rmap: Map, *, max_levels: int = 10,
         consts=(int(sweeps), float(omega), gamma, cmap.n_local_pad))
 
 
-def _coarse_dense_inv(a_c_blocks, cmap: Map, n_shards: int, dtype):
-    """Replicated dense pinv of the coarsest operator in LOGICAL space
-    (from row-sharded blocks — the only all-gather of the setup), plus
-    the logical→padded position map used at apply time."""
+def _coarse_inv_from_dense(acc: np.ndarray, cmap: Map, n_shards: int,
+                           dtype):
+    """Replicated dense pinv of the coarsest operator in LOGICAL space,
+    plus the logical→padded position map used at apply time — the ONE
+    home of the coarse-solve layout convention (pinv rcond, pad
+    placement) shared by dist_amg and dist_amg_blocks."""
     pos = np.zeros(cmap.n_global, np.int64)
     for s in range(n_shards):
         lo, hi = cmap.shard_lo(s), cmap.shard_hi(s)
         pos[lo:hi] = s * cmap.n_local_pad + np.arange(hi - lo)
+    cinv = np.linalg.pinv(acc, rcond=1e-12)  # semidefinite-safe
+    nc = cmap.n_global
+    coarse_inv = jnp.asarray(
+        np.broadcast_to(cinv, (n_shards, nc, nc)).copy(), dtype=dtype)
+    coarse_pos = jnp.asarray(
+        np.broadcast_to(pos, (n_shards, nc)).copy().astype(np.int32))
+    return coarse_inv, coarse_pos
+
+
+def _coarse_dense_inv(a_c_blocks, cmap: Map, n_shards: int, dtype):
+    """Coarse inverse from row-sharded blocks (the only all-gather of
+    the distributed setup): assemble the dense accumulator, then the
+    shared logical-space construction."""
     acc = np.zeros((cmap.n_global, cmap.n_global))
     for s in range(n_shards):
         blk = a_c_blocks[s]
@@ -615,13 +622,7 @@ def _coarse_dense_inv(a_c_blocks, cmap: Map, n_shards: int, dtype):
         rows = np.repeat(np.arange(blk.shape[0], dtype=np.int64),
                          blk.row_lengths()) + lo
         np.add.at(acc, (rows, blk.cols.astype(np.int64)), blk.vals)
-    cinv = np.linalg.pinv(acc, rcond=1e-12)
-    nc = cmap.n_global
-    coarse_inv = jnp.asarray(
-        np.broadcast_to(cinv, (n_shards, nc, nc)).copy(), dtype=dtype)
-    coarse_pos = jnp.asarray(
-        np.broadcast_to(pos, (n_shards, nc)).copy().astype(np.int32))
-    return coarse_inv, coarse_pos
+    return _coarse_inv_from_dense(acc, cmap, n_shards, dtype)
 
 
 def dist_amg_blocks(blocks, rmap: Map, *, max_levels: int = 10,
@@ -1198,9 +1199,20 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
         # its own jitted shard_map program (AnasaziBasicEigenproblem
         # setM, AnasaziBasicEigenproblem.hpp:60). Solvers spell the
         # operator 'mass' (krylov_schur, where m is the basis size) or
-        # 'm' (lobpcg/tracemin, matching scipy.eigsh's M).
+        # 'm' (lobpcg/tracemin, matching scipy.eigsh's M) — binding by
+        # name alone would hand the operator to e.g. lanczos_eigs's
+        # integer basis-length 'm', so the 'm'-means-mass solvers are
+        # an explicit whitelist and everything else raises.
         mop = global_operator(mass_matrix, mesh)
-        kw["mass" if "mass" in params else "m"] = mop
+        if "mass" in params:
+            kw["mass"] = mop
+        elif name in ("lobpcg", "tracemin"):
+            kw["m"] = mop
+        else:
+            raise ValueError(
+                f"{name or eigsolver!r} does not support a mass matrix; "
+                "use lobpcg, tracemin, or block_krylov_schur for "
+                "generalized pencils")
 
     if len(params) > 1 and params[1] == "n":
         # (op, n, nev, ..., v0=) family: davidson/krylov_schur/tracemin/rtr

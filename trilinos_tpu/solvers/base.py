@@ -68,7 +68,7 @@ def rhs_norm_scale(bnorm: jax.Array, rtol, atol) -> jax.Array:
 
 
 def certified_solve(solve_from, op, b, x0, tol, maxiter, comm,
-                    aux0=None):
+                    aux0=None, halt=None):
     """Run a solver loop, certify with an explicit residual, and — when
     the recurrence undershoots (f32 drift: the implicit residual crosses
     the tolerance a few percent before the true one) — RESUME with a
@@ -89,6 +89,11 @@ def certified_solve(solve_from, op, b, x0, tol, maxiter, comm,
     (e.g. rtol 1e-8 in f32) is reported as converged=False after a
     bounded amount of extra work instead of spinning to maxiter — the
     loss-of-accuracy exit of the reference test.
+
+    halt: optional predicate (k, rr) -> bool (rr = squared residual):
+    True means the solve ended for a reason tightening cannot cure (a
+    user StatusTest fired) — skip the retry passes instead of
+    re-entering the loop for no progress.
     """
     from ..ops.blas import local_dot
 
@@ -100,9 +105,13 @@ def certified_solve(solve_from, op, b, x0, tol, maxiter, comm,
 
     def cond(s):
         x, k, t2, rr, tries, aux = s
-        return jnp.logical_and(
+        go = jnp.logical_and(
             jnp.logical_and(k < maxiter, tries < 4),
             jnp.any(rr > tol2))
+        if halt is not None:
+            go = jnp.logical_and(
+                go, ~jnp.logical_and(tries > 0, halt(k, rr)))
+        return go
 
     def body(s):
         x, k, t2, _, tries, aux = s

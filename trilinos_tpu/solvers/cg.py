@@ -103,13 +103,19 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         # double-single Dot2 reductions (ops/compensated.py): recurrence
         # coefficients alpha/beta carry ~eps accuracy instead of
         # ~log(n)·eps — the f32-chip answer to Belos' f64 tolerance
-        # machinery (SURVEY hard part #5). Costs one extra psum per
-        # fused-dot pair (hi/lo words ride one reduction each).
-        from ..ops.compensated import comp_dot_global
+        # machinery (SURVEY hard part #5). The pair's two [hi, lo]
+        # blocks ride ONE fused psum — same collective count as the
+        # plain path (the per-pair latency parity the compensated.py
+        # design promises).
+        from ..ops.compensated import (_renorm, comp_dot_global,
+                                       comp_local_dot)
 
         def dot_pair(u1, v1, u2, v2):
-            return (comp_dot_global(comm, u1, v1),
-                    comp_dot_global(comm, u2, v2))
+            s = comm.psum(jnp.stack([comp_local_dot(u1, v1),
+                                     comp_local_dot(u2, v2)]))
+            h1, l1 = _renorm(s[0, 0], s[0, 1])
+            h2, l2 = _renorm(s[1, 0], s[1, 1])
+            return h1 + l1, h2 + l2
 
         def dot_one(u, v):
             return comp_dot_global(comm, u, v)
@@ -206,7 +212,8 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         if history:
             aux0["hist"] = jnp.full((maxiter + 1,) + cshape, jnp.nan, rdt)
         x, k, resnorm, conv, aux = certified_solve(
-            solve_from, op, b, x, tol, maxiter, comm, aux0=aux0)
+            solve_from, op, b, x, tol, maxiter, comm, aux0=aux0,
+            halt=stop_passed if stop is not None else None)
         ce = None
         if cw:
             alphas, betas = aux["lanczos"]
@@ -219,8 +226,9 @@ def cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv,
                            condest=ce, history=aux.get("hist"))
 
-    x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
-                                          maxiter, comm)
+    x, k, resnorm, conv = certified_solve(
+        solve_from, op, b, x, tol, maxiter, comm,
+        halt=stop_passed if stop is not None else None)
     return SolveResult(x=x, iters=k, resnorm=resnorm, converged=conv)
 
 

@@ -295,8 +295,12 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
         return out + (s[2],)
 
     # per-iteration implicit resnorms (StatusTestOutput residual trace,
-    # BelosStatusTestOutput.hpp); NaN marks never-reached iterations
-    hist0 = (jnp.full(maxiter + 1, jnp.nan, dtype) if history else None)
+    # BelosStatusTestOutput.hpp); NaN marks never-reached iterations.
+    # Sized maxiter+m+1: the outer loop starts a cycle whenever
+    # total < maxiter, so the LAST cycle can run to total+m iterations —
+    # a (maxiter+1,) buffer would silently drop (OOB scatter) the trace
+    # of iterations that actually executed.
+    hist0 = (jnp.full(maxiter + m + 1, jnp.nan, dtype) if history else None)
     # one cycle always runs; then restart while the TRUE residual needs it
     r0 = b - op(x0)
     beta0 = _norm2(comm, r0)
@@ -353,9 +357,11 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     ``history=True``: record the per-iteration implicit residual norms
     (|g_{j+1}| from the Givens recurrence — exactly what
     StatusTestGenResNorm tracks) into ``SolveResult.history``, a
-    (maxiter+1,) array (or (maxiter+1, k) for multivector RHS) with NaN
-    past the final iteration — the StatusTestOutput residual trace
-    (BelosStatusTestOutput.hpp) as data instead of printing.
+    (maxiter+restart+1,) array (or (maxiter+restart+1, k) for
+    multivector RHS) with NaN past the final iteration — the
+    StatusTestOutput residual trace (BelosStatusTestOutput.hpp) as data
+    instead of printing. (The +restart headroom covers the final cycle,
+    which may run past maxiter.)
     """
     comm = comm or SerialComm()
     prec = prec or identity_prec
