@@ -133,3 +133,62 @@ class TestBlockGcrodr:
         assert res.x.shape == (npad, 3)
         assert bool(np.asarray(res.converged).all())
         assert mgr.recycle_space.u is not None
+
+
+class TestPreconditionedRecyclers:
+    """prec= on the recycle drivers (BelosGCRODRSolMgr / BelosRCGSolMgr
+    run preconditioned): right-composed for the GMRES-type recyclers
+    (residuals of (A.M)y = r0 ARE the true residuals), deflated PCG for
+    rcg."""
+
+    def _jacobi(self, dense, npad, n):
+        d = np.ones(npad)
+        d[:n] = np.diag(dense)
+        dinv = jnp.asarray(1.0 / d)
+        return lambda v: dinv * v if v.ndim == 1 else dinv[:, None] * v
+
+    def test_gcrodr_prec_converges_and_helps(self):
+        a = recirc2d(16, 16, diff=1e-2)
+        op, b, dense, n = make_problem(a)
+        M = self._jacobi(dense, b.shape[0], n)
+        res, rec = gcrodr(op, b, num_blocks=25, recycle_dim=6,
+                          rtol=1e-8, prec=M)
+        assert bool(res.converged)
+        rel = np.linalg.norm(
+            np.asarray(b)[:n] - dense @ np.asarray(res.x)[:n]
+        ) / np.linalg.norm(np.asarray(b)[:n])
+        assert rel <= 1e-7
+        # recycle space reuse with the SAME prec still works
+        res2, _ = gcrodr(op, b, num_blocks=25, recycle_dim=6,
+                         rtol=1e-8, prec=M, recycle=rec)
+        assert bool(res2.converged)
+
+    def test_block_gcrodr_prec(self):
+        from trilinos_tpu.solvers.block_gcrodr import block_gcrodr
+
+        a = laplace2d(16, 16)
+        op, b, dense, n = make_problem(a)
+        bb = jnp.stack([b, 0.7 * b], axis=1)
+        M = self._jacobi(dense, b.shape[0], n)
+        res, _ = block_gcrodr(op, bb, num_blocks=20, recycle_dim=4,
+                              max_cycles=40, rtol=1e-8, prec=M)
+        assert bool(np.asarray(res.converged).all())
+        x = np.asarray(res.x)[:n]
+        r = np.asarray(bb)[:n] - dense @ x
+        rel = np.linalg.norm(r, axis=0) / np.linalg.norm(
+            np.asarray(bb)[:n], axis=0)
+        assert (rel <= 1e-7).all()
+
+    def test_rcg_prec_deflated_pcg(self):
+        from trilinos_tpu.solvers.rcg import rcg
+
+        a = laplace2d(20, 20)
+        op, b, dense, n = make_problem(a, seed=3)
+        M = self._jacobi(dense, b.shape[0], n)
+        res_p, _ = rcg(op, b, recycle_dim=6, rtol=1e-9, prec=M)
+        res_u, _ = rcg(op, b, recycle_dim=6, rtol=1e-9)
+        assert bool(res_p.converged) and bool(res_u.converged)
+        rel = np.linalg.norm(
+            np.asarray(b)[:n] - dense @ np.asarray(res_p.x)[:n]
+        ) / np.linalg.norm(np.asarray(b)[:n])
+        assert rel <= 1e-8

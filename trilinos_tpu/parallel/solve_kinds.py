@@ -116,21 +116,16 @@ def _global_view_kinds(gop, gprec, bg, rtol: float, maxiter: int):
         return gmres(gop, bg, prec=poly, restart=4, rtol=rtol,
                      maxiter=maxiter)
 
-    # the recycle-space drivers take no prec= (deflation IS their
-    # preconditioner); exercise gprec the way a user composes it today —
-    # right-preconditioned operator op∘M — so a global_precond plumbing
-    # regression over the mesh still fails the gate. (The gate problem's
-    # Jacobi diagonal is constant, so op∘M stays symmetric and rcg's
-    # SPD assumption holds; keep that invariant if the problem changes.)
-    gop_m = lambda v: gop(gprec(v))
-
+    # gprec rides through the drivers' own prec= so a global_precond
+    # plumbing regression over the mesh fails the gate
     return {
-        "gcrodr": lambda: gcrodr(gop_m, bg, num_blocks=4, recycle_dim=2,
-                                 max_cycles=2, rtol=rtol)[0],
+        "gcrodr": lambda: gcrodr(gop, bg, prec=gprec, num_blocks=4,
+                                 recycle_dim=2, max_cycles=2,
+                                 rtol=rtol)[0],
         "block_gcrodr": lambda: block_gcrodr(
-            gop_m, jnp.stack([bg, 0.5 * bg], axis=1), num_blocks=4,
-            recycle_dim=2, max_cycles=2, rtol=rtol)[0],
-        "rcg": lambda: rcg(gop_m, bg, recycle_dim=2, rtol=rtol,
+            gop, jnp.stack([bg, 0.5 * bg], axis=1), prec=gprec,
+            num_blocks=4, recycle_dim=2, max_cycles=2, rtol=rtol)[0],
+        "rcg": lambda: rcg(gop, bg, prec=gprec, recycle_dim=2, rtol=rtol,
                            maxiter=maxiter)[0],
         "hybrid_gmres": hybrid,
     }

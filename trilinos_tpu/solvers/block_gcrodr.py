@@ -125,15 +125,35 @@ def block_gcrodr(op: Operator, b: jax.Array,
                  recycle_dim: int = 8, max_cycles: int = 40,
                  rtol: float = 1e-8, atol: float = 0.0,
                  comm: Comm | None = None,
+                 prec: Operator | None = None,
                  recycle: RecycleSpace | None = None
                  ) -> tuple[SolveResult, RecycleSpace]:
     """Solve A X = B (B of shape (n, nrhs)) with block recycling;
     returns (result, recycle_space). Pass the space into the next
     related solve to reuse it (the reference's sequence-of-systems
-    feature, now amortized over all columns at once)."""
+    feature, now amortized over all columns at once).
+
+    ``prec``: right preconditioner M — solved as (A∘M) Y = R0 with
+    X = X0 + M Y (see gcrodr; per-column tolerances carry over
+    exactly). Reuse the returned recycle space only with the SAME
+    preconditioner."""
     comm = comm or SerialComm()
     if b.ndim != 2:
         raise ValueError("block_gcrodr expects a 2-D multivector RHS")
+    if prec is not None:
+        from ..ops.blas import local_dot as _ld
+
+        x_base = jnp.zeros_like(b) if x0 is None else x0
+        r0 = b if x0 is None else b - op(x_base)
+        bnorm = np.asarray(jnp.sqrt(comm.psum(_ld(b, b))))
+        tol_abs = rtol * np.where(bnorm > 0, bnorm, 1.0) + atol
+        res, rec = block_gcrodr(
+            lambda v: op(prec(v)), r0, num_blocks=num_blocks,
+            recycle_dim=recycle_dim, max_cycles=max_cycles, rtol=0.0,
+            atol=tol_abs, comm=comm, recycle=recycle)
+        return (SolveResult(x=x_base + prec(res.x), iters=res.iters,
+                            resnorm=res.resnorm, converged=res.converged),
+                rec)
     from ..ops.blas import local_dot
 
     m = num_blocks

@@ -236,7 +236,9 @@ class SolverManager:
             if basis is None:
                 raise ValueError(
                     "PCPG needs problem.constraint_basis (n, k) array")
-            res = pcpg(op, b, basis, x0, maxiter=maxiter, **common)
+            res = pcpg(op, b, basis, x0, maxiter=maxiter,
+                       prec=problem.left_prec or problem.right_prec,
+                       **common)
         elif self.kind == "rcg":
             from .rcg import rcg
 
@@ -244,6 +246,7 @@ class SolverManager:
                 op, b, x0,
                 recycle_dim=int(p["Num Recycled Blocks"]),
                 maxiter=maxiter,
+                prec=problem.left_prec or problem.right_prec,
                 recycle=getattr(self, "cg_recycle_space", None), **common)
         elif self.kind == "sstep":
             from .sstep_gmres import sstep_gmres
@@ -271,6 +274,7 @@ class SolverManager:
                 op, b, x0, num_blocks=int(p["Num Blocks"]),
                 recycle_dim=int(p["Num Recycled Blocks"]),
                 max_cycles=int(p["Maximum Restarts"]) + 1,
+                prec=problem.right_prec or problem.left_prec,
                 recycle=getattr(self, "recycle_space", None), **common)
         elif self.kind == "block_gcrodr":
             from .block_gcrodr import block_gcrodr
@@ -282,6 +286,7 @@ class SolverManager:
                 op, b, x0, num_blocks=int(p["Num Blocks"]),
                 recycle_dim=int(p["Num Recycled Blocks"]),
                 max_cycles=int(p["Maximum Restarts"]) + 1,
+                prec=problem.right_prec or problem.left_prec,
                 recycle=getattr(self, "recycle_space", None), **common)
         elif self.kind == "fixed_point":
             res = fixed_point(op, b, x0, prec=problem.left_prec

@@ -120,11 +120,31 @@ def gcrodr(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
            num_blocks: int = 30, recycle_dim: int = 8,
            max_cycles: int = 40, rtol: float = 1e-8, atol: float = 0.0,
            comm: Comm | None = None,
+           prec: Operator | None = None,
            recycle: RecycleSpace | None = None
            ) -> tuple[SolveResult, RecycleSpace]:
     """Solve with recycling; returns (result, recycle_space). Pass the
-    returned space into the next related solve to reuse it."""
+    returned space into the next related solve to reuse it.
+
+    ``prec``: right preconditioner M — solved as (A∘M) y = r0 with
+    x = x0 + M y (residuals of the composed system ARE the true
+    residuals of A x = b, so tolerances and certification carry over
+    exactly; BelosGCRODRSolMgr's preconditioned mode). The recycle
+    space then lives in the composed-operator coordinates — reuse it
+    only across solves with the SAME preconditioner."""
     comm = comm or SerialComm()
+    if prec is not None:
+        x_base = jnp.zeros_like(b) if x0 is None else x0
+        r0 = b if x0 is None else b - op(x_base)
+        bnorm = float(norm2(comm, b))
+        tol_abs = rtol * (bnorm if bnorm > 0 else 1.0) + atol
+        res, rec = gcrodr(lambda v: op(prec(v)), r0,
+                          num_blocks=num_blocks, recycle_dim=recycle_dim,
+                          max_cycles=max_cycles, rtol=0.0, atol=tol_abs,
+                          comm=comm, recycle=recycle)
+        return (SolveResult(x=x_base + prec(res.x), iters=res.iters,
+                            resnorm=res.resnorm, converged=res.converged),
+                rec)
     m = num_blocks
     k = recycle_dim
     x = jnp.zeros_like(b) if x0 is None else x0

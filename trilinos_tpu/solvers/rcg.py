@@ -55,12 +55,22 @@ def _build_recycle(op, comm, v0, k: int):
 def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         recycle_dim: int = 8, rtol: float = 1e-8, atol: float = 0.0,
         maxiter: int = 1000, comm: Comm | None = None,
+        prec: Operator | None = None,
         recycle: CgRecycleSpace | None = None
         ) -> tuple[SolveResult, CgRecycleSpace]:
-    """Deflated/recycling CG for SPD systems (single RHS). Returns
-    (result, recycle_space); pass the space into the next related solve."""
+    """Deflated/recycling CG for SPD sequences (single RHS). Returns
+    (result, recycle_space); pass the space into the next related solve.
+
+    ``prec``: optional SPD preconditioner M ≈ A⁻¹ — deflated PCG (the
+    BelosRCGIter iteration is preconditioned too): z = M r feeds the
+    search directions and the rz recurrence while convergence is still
+    gated on the UNpreconditioned residual (and certified explicitly);
+    the deflation projector stays A-orthogonal, so deflation and
+    preconditioning compose. The recycle space must come from the same
+    (op, prec) family to stay effective."""
     comm = comm or SerialComm()
     x = jnp.zeros_like(b) if x0 is None else x0
+    M = prec or identity_prec
 
     if recycle is None or recycle.u is None:
         r0 = b - op(x)
@@ -81,26 +91,33 @@ def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         r = b - op(x)
         x = x + u @ (utau_inv @ comm.psum(u.T @ r))
         r = b - op(x)
-        rr = comm.psum(local_dot(r, r))
-        p = deflate(r)
+        z = M(r)
+        # rr gates convergence; rz drives the PCG recurrence — one
+        # fused psum for the pair (identical collective count either way)
+        d = comm.psum(jnp.stack([local_dot(r, r), local_dot(r, z)]))
+        rr, rz = d[0], d[1]
+        p = deflate(z)
 
         def cond(s):
-            x, r, p, rr, k = s
+            x, r, p, rr, rz, k = s
             return jnp.logical_and(k < maxiter, rr > tol2)
 
         def body(s):
-            x, r, p, rr, k = s
+            x, r, p, rr, rz, k = s
             ap = op(p)
             pap = comm.psum(local_dot(p, ap))
-            alpha = safe_divide(rr, pap)
+            alpha = safe_divide(rz, pap)
             x = x + alpha * p
             r = r - alpha * ap
-            rr_new = comm.psum(local_dot(r, r))
-            beta = safe_divide(rr_new, rr)
-            p = deflate(r) + beta * p
-            return x, r, p, rr_new, k + 1
+            z = M(r)
+            d = comm.psum(jnp.stack([local_dot(r, r), local_dot(r, z)]))
+            rr_new, rz_new = d[0], d[1]
+            beta = safe_divide(rz_new, rz)
+            p = deflate(z) + beta * p
+            return x, r, p, rr_new, rz_new, k + 1
 
-        x, r, p, rr, k = lax.while_loop(cond, body, (x, r, p, rr, k0))
+        x, r, p, rr, rz, k = lax.while_loop(cond, body,
+                                            (x, r, p, rr, rz, k0))
         return x, k
 
     x, k, resnorm, conv = certified_solve(solve_from, op, b, x, tol,
@@ -112,7 +129,8 @@ def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 def pcpg(op: Operator, b: jax.Array, constraint_basis: jax.Array,
          x0: jax.Array | None = None, *, rtol: float = 1e-8,
          atol: float = 0.0, maxiter: int = 1000,
-         comm: Comm | None = None) -> SolveResult:
+         comm: Comm | None = None,
+         prec: Operator | None = None) -> SolveResult:
     """PCPG — projected/constrained preconditioned CG
     (Belos::PCPGSolMgr, packages/belos/src/BelosPCPGSolMgr.hpp): CG
     constrained to the A-orthogonal complement of a user-supplied subspace
@@ -124,6 +142,6 @@ def pcpg(op: Operator, b: jax.Array, constraint_basis: jax.Array,
     utau = comm.psum(u.T @ au)
     utau_inv = jnp.linalg.inv((utau + utau.T) / 2)
     res, _ = rcg(op, b, x0, recycle_dim=u.shape[1], rtol=rtol, atol=atol,
-                 maxiter=maxiter, comm=comm,
+                 maxiter=maxiter, comm=comm, prec=prec,
                  recycle=CgRecycleSpace(u, au, utau_inv))
     return res
