@@ -251,3 +251,24 @@ def test_basis_precision_parameter():
         x = np.asarray(res.x)[:n]
         rel = np.linalg.norm(b[:n] - a.to_dense() @ x) / np.linalg.norm(b[:n])
         assert rel <= 1e-6, name
+
+
+def test_basis_precision_rejected_for_unsupported_kinds():
+    """'Basis Precision': 'bf16' raises for kinds whose iteration has no
+    narrow-basis implementation (no silent full-precision fallback)."""
+    import jax.numpy as jnp
+    from trilinos_tpu.galeri import laplace2d
+    from trilinos_tpu.ops import formats as F
+    from trilinos_tpu.ops import matvec as S
+    from trilinos_tpu.solvers.factory import SolverManager
+    from trilinos_tpu.solvers.linear_problem import LinearProblem
+
+    a = laplace2d(8, 8)
+    dev = F.csr_to_dia(a)
+    b = np.zeros(dev.n_rows_pad)
+    b[:a.shape[0]] = 1.0
+    op = lambda x: S.spmv(dev, x, impl="xla")
+    for name in ("CG", "Single Reduce GMRES", "GCRODR", "BiCGStab"):
+        mgr = SolverManager(name, {"Basis Precision": "bf16"})
+        with pytest.raises(ValueError, match="Basis Precision"):
+            mgr.solve(LinearProblem(op, jnp.asarray(b)))

@@ -141,6 +141,15 @@ class SolverManager:
         hist = bool(p["Record Residual History"])
         basis_dtype = (jnp.bfloat16
                        if str(p["Basis Precision"]) == "bf16" else None)
+        if basis_dtype is not None and self.kind not in (
+                "gmres", "fgmres", "block_gmres", "sstep", "hybrid_gmres"):
+            # honest surface (the IMGS lesson): kinds whose iteration
+            # does not implement narrow-basis storage raise instead of
+            # silently solving with the full-precision basis
+            raise ValueError(
+                f"{self.name!r} does not implement 'Basis Precision': "
+                "'bf16'; supported kinds: GMRES, Flexible GMRES, Block "
+                "GMRES, S-STEP/CA-GMRES, Hybrid Block GMRES")
         if self.kind == "cg":
             res = cg(op, b, x0, prec=problem.left_prec
                      or problem.right_prec, maxiter=maxiter,
@@ -173,7 +182,8 @@ class SolverManager:
                         else (lambda v: m_user(poly(v))))
             res = gmres(op, b, x0, prec=comp,
                         restart=int(p["Num Blocks"]),
-                        maxiter=maxiter, ortho=ortho, **common)
+                        maxiter=maxiter, ortho=ortho,
+                        basis_dtype=basis_dtype, **common)
         elif self.kind == "cg_single_reduce":
             res = cg_single_reduce(op, b, x0, prec=problem.left_prec
                                    or problem.right_prec, maxiter=maxiter,
