@@ -313,3 +313,32 @@ class TestDatabaseContainer:
             "partitioner: block size": 16,
             "relaxation: container": "Database"}).compute()
         assert pq.n_patches < 32 // 2
+
+
+class TestHierarchyGold:
+    """MueLu gold-file pattern (muelu/test/interface/*/Output/*.gold):
+    the committed EXPECTED construction output of a fixed hierarchy.
+    Catches silent drift in aggregation / smoothing / Galerkin setup
+    that convergence tests absorb (a worse hierarchy that still
+    converges passes them)."""
+
+    def test_sa_hierarchy_structure_laplace2d_32(self):
+        from trilinos_tpu.precond.amg import build_hierarchy_host
+
+        a = laplace2d(32, 32)
+        levels, a_c = build_hierarchy_host(a, 10, 16, 2, 4.0 / 3.0)
+        got = [(al.shape[0], al.vals.size, ps.shape[1])
+               for al, ps in levels] + [(a_c.shape[0], a_c.vals.size)]
+        # gold: (n, nnz, n_coarse) per level + coarsest (n, nnz)
+        assert got == [(1024, 4992, 148), (148, 1446, 10), (10, 74)], got
+
+    def test_gold_is_deterministic(self):
+        from trilinos_tpu.precond.amg import build_hierarchy_host
+
+        a = laplace2d(32, 32)
+        l1, c1 = build_hierarchy_host(a, 10, 16, 2, 4.0 / 3.0)
+        l2, c2 = build_hierarchy_host(a, 10, 16, 2, 4.0 / 3.0)
+        for (a1, p1), (a2, p2) in zip(l1, l2):
+            np.testing.assert_array_equal(a1.vals, a2.vals)
+            np.testing.assert_array_equal(p1.vals, p2.vals)
+        np.testing.assert_array_equal(c1.vals, c2.vals)
