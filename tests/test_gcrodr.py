@@ -192,3 +192,29 @@ class TestPreconditionedRecyclers:
             np.asarray(b)[:n] - dense @ np.asarray(res_p.x)[:n]
         ) / np.linalg.norm(np.asarray(b)[:n])
         assert rel <= 1e-8
+
+
+def test_recycle_across_changed_matrix():
+    """The sequence-of-systems case (the reference's GCRODR headline,
+    BelosGCRODRSolMgr: C = A U is recomputed per system): reusing the
+    recycle space with a DIFFERENT matrix must re-map C = A_new U —
+    the stale-C bug diverged to 1e12 before the fix."""
+    a1 = laplace2d(20, 20)
+    op1, b, dense1, n = make_problem(a1, seed=2)
+    res1, rec = gcrodr(op1, b, num_blocks=15, recycle_dim=6, rtol=1e-8)
+    assert bool(res1.converged)
+
+    # shifted matrix: same pattern, different values
+    from trilinos_tpu.ops.formats import CsrHost
+
+    diag_bump = 0.5 * (a1.cols == np.repeat(
+        np.arange(a1.shape[0]), a1.row_lengths()))
+    a2 = CsrHost(a1.row_ptr, a1.cols, a1.vals + diag_bump, a1.shape)
+    op2, _, dense2, _ = make_problem(a2, seed=2)
+    res2, _ = gcrodr(op2, b, num_blocks=15, recycle_dim=6, rtol=1e-8,
+                     recycle=rec)
+    assert bool(res2.converged)
+    x = np.asarray(res2.x)[:n]
+    rel = np.linalg.norm(np.asarray(b)[:n] - dense2 @ x) \
+        / np.linalg.norm(np.asarray(b)[:n])
+    assert rel <= 1e-7

@@ -75,7 +75,19 @@ def _block_cycle(op, m, comm, b, x, u, c, has_recycle):
     rhs = jnp.zeros((mp1, nb), dtype)
     rhs = lax.dynamic_update_slice(rhs, r0, (0, 0))
     q_h, r_h = jnp.linalg.qr(h)
-    y = jax.scipy.linalg.solve_triangular(r_h, q_h.T @ rhs, lower=False)
+    # happy-breakdown guard (see gcrodr._cycle): converged-mid-cycle
+    # trailing columns make R near-singular and the unguarded solve
+    # corrupts x — mask dependent columns to y = 0
+    mk = m * nb
+    diag = jnp.abs(jnp.diag(r_h))
+    good = diag > 10 * jnp.finfo(dtype).eps * jnp.max(diag)
+    idxs = jnp.arange(mk)
+    badm = jnp.logical_or(~good[None, :], ~good[:, None])
+    eye = (idxs[None, :] == idxs[:, None]).astype(dtype)
+    r_m = jnp.where(badm, eye, r_h)
+    qtr = jnp.where(good[:, None], q_h.T @ rhs, 0.0)
+    y = jax.scipy.linalg.solve_triangular(r_m, qtr, lower=False)
+    y = jnp.where(good[:, None], y, 0.0)
     x = x + v[:, : m * nb] @ y - u @ jnp.where(has_recycle,
                                                bmat @ y, 0)
     r = b - op(x)
@@ -167,9 +179,13 @@ def block_gcrodr(op: Operator, b: jax.Array,
     tol = rtol * np.where(bnorm > 0, bnorm, 1.0) + atol
 
     if recycle.u is not None:
-        u = recycle.u.astype(dtype)
-        c = recycle.c.astype(dtype)
-        has_rec = True
+        # re-map onto THIS operator (C = A U exactly — see
+        # gcrodr; a stale C from a previous system diverges)
+        u, c, has_rec = _orthonormalize_cu(op, comm,
+                                           recycle.u.astype(dtype))
+        if not has_rec:
+            u = jnp.zeros((n, k), dtype)
+            c = jnp.zeros((n, k), dtype)
     else:
         u = jnp.zeros((n, k), dtype)
         c = jnp.zeros((n, k), dtype)

@@ -55,14 +55,17 @@ def _cycle(op, m, comm, b, x, u, c, has_recycle):
     beta = norm2(comm, r)
     v = jnp.zeros((n, m + 1), dtype).at[:, 0].set(safe_divide(r, beta))
     h = jnp.zeros((m + 1, m), dtype)
+    bm = jnp.zeros((c.shape[1], m), dtype)  # B = Cᵀ A V_m
 
     def body(j, carry):
-        v, h = carry
+        v, h, bm = carry
         vj = lax.dynamic_slice(v, (0, j), (n, 1))[:, 0]
         w = op(vj)
         # deflate against C, then orthogonalize against V (CGS2)
         cw = comm.psum(c.T @ w)
-        w = w - c @ jnp.where(has_recycle, cw, 0)
+        cw = jnp.where(has_recycle, cw, 0)
+        w = w - c @ cw
+        bm = lax.dynamic_update_slice(bm, cw[:, None], (0, j))
         w2, hc = cgs2_project(comm, v, w[:, None])
         w2 = w2[:, 0]
         hn = norm2(comm, w2)
@@ -70,13 +73,32 @@ def _cycle(op, m, comm, b, x, u, c, has_recycle):
         v = lax.dynamic_update_slice(v, safe_divide(w2, hn)[:, None],
                                      (0, j + 1))
         h = lax.dynamic_update_slice(h, hcol[:, None], (0, j))
-        return v, h
+        return v, h, bm
 
-    v, h = lax.fori_loop(0, m, body, (v, h))
+    v, h, bm = lax.fori_loop(0, m, body, (v, h, bm))
     e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
     q_h, r_h = jnp.linalg.qr(h)
-    y = jax.scipy.linalg.solve_triangular(r_h, q_h.T @ e1, lower=False)
-    x = x + v[:, :m] @ y
+    # happy breakdown guard: the cycle runs all m steps, so once the
+    # residual is captured mid-cycle the remaining Arnoldi columns are
+    # ~zero and R turns singular — the unguarded triangular solve then
+    # CORRUPTS x with inf/garbage (observed: ILU-composed operators
+    # converge inside one cycle and stalled at 1e-3 instead of 1e-6).
+    # Mask the dependent trailing columns: unit diagonal + zero rhs
+    # decouples their y to 0, leaving the LS solution on the good prefix.
+    diag = jnp.abs(jnp.diag(r_h))
+    good = diag > 10 * jnp.finfo(dtype).eps * jnp.max(diag)
+    idx = jnp.arange(m)
+    bad = jnp.logical_or(~good[None, :], ~good[:, None])
+    eye = (idx[None, :] == idx[:, None]).astype(dtype)
+    r_m = jnp.where(bad, eye, r_h)
+    rhs = jnp.where(good, q_h.T @ e1, 0.0)
+    y = jax.scipy.linalg.solve_triangular(r_m, rhs, lower=False)
+    y = jnp.where(good, y, 0.0)
+    # GCRO update (Parks et al.; BelosGCRODRIter): A U = C exactly, so
+    # x += V y − U (Cᵀ A V) y cancels the C-components of A V y and the
+    # residual reduction equals the deflated-space LS reduction — without
+    # the U term the C-pollution stalls the per-cycle true residual
+    x = x + v[:, :m] @ y - u @ (bm @ y)
     r = b - op(x)
     rn = norm2(comm, r)
     return x, rn, v, h
@@ -156,9 +178,17 @@ def gcrodr(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     tol = rtol * (bnorm if bnorm > 0 else 1.0) + atol
 
     if recycle.u is not None:
-        u = recycle.u.astype(dtype)
-        c = recycle.c.astype(dtype)
-        has_rec = True
+        # re-map the recycle space onto THIS operator: C must equal
+        # A U exactly for the U-correction/deflation to be sound, and
+        # the sequence-of-systems use case hands us a CHANGED A (Belos
+        # GCRODR recomputes C = A U per system in solve(); a stale C
+        # makes the correction diverge — measured 1e12 blowup on a
+        # drifting-values sequence). Costs k applies + one CholQR2.
+        u, c, has_rec = _orthonormalize_cu(op, comm,
+                                           recycle.u.astype(dtype))
+        if not has_rec:
+            u = jnp.zeros((n, k), dtype)
+            c = jnp.zeros((n, k), dtype)
     else:
         u = jnp.zeros((n, k), dtype)
         c = jnp.zeros((n, k), dtype)
@@ -189,10 +219,12 @@ def gcrodr(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
 
 def _orthonormalize_cu(op, comm, u):
-    """Given raw U, set C = A U, QR(C) → C orthonormal, U ← U R⁻¹."""
+    """Given raw U, set C = A U, QR(C) → C orthonormal, U ← U R⁻¹.
+    Third return is False when the panel is numerically rank-deficient
+    (cholqr2 rank flags) — callers then drop the recycle space."""
     c_raw = op(u)
     from .ortho import cholqr2
 
     c_q, r_c, ok = cholqr2(comm, c_raw)
     u_new = lax.linalg.triangular_solve(r_c, u, left_side=False, lower=False)
-    return u_new, c_q, True
+    return u_new, c_q, bool(jnp.all(ok))
