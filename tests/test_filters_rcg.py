@@ -161,3 +161,36 @@ def test_condest_lanczos():
     got = condest(op, npad, method="lanczos", iters=30)
     want = float(np.linalg.cond(a.to_dense()))
     assert abs(got - want) / want < 0.05
+
+
+def test_rcg_recycle_across_changed_matrix():
+    """Sequence-of-systems reuse: the deflation factors AU/(U^T A U)^-1
+    must be re-mapped onto the CURRENT operator (stale factors from the
+    previous system break A-orthogonality and the span(U) correction's
+    idempotence — the gcrodr defect class)."""
+    import jax.numpy as jnp
+    from trilinos_tpu.galeri import laplace2d
+    from trilinos_tpu.ops import formats as F
+    from trilinos_tpu.ops import matvec as S
+    from trilinos_tpu.ops.formats import CsrHost
+    from trilinos_tpu.solvers.rcg import rcg
+
+    a1 = laplace2d(20, 20)
+    dev1 = F.csr_to_dia(a1)
+    n, npad = a1.shape[0], dev1.n_rows_pad
+    rng = np.random.default_rng(4)
+    b = np.zeros(npad)
+    b[:n] = rng.standard_normal(n)
+    r1, rec = rcg(lambda v: S.spmv(dev1, v), jnp.asarray(b),
+                  recycle_dim=6, rtol=1e-9)
+    assert bool(r1.converged)
+
+    bump = 0.5 * (a1.cols == np.repeat(np.arange(n), a1.row_lengths()))
+    a2 = CsrHost(a1.row_ptr, a1.cols, a1.vals + bump, a1.shape)
+    dev2 = F.csr_to_dia(a2)
+    r2, _ = rcg(lambda v: S.spmv(dev2, v), jnp.asarray(b),
+                recycle_dim=6, rtol=1e-9, recycle=rec)
+    assert bool(r2.converged)
+    x = np.asarray(r2.x)[:n]
+    rel = np.linalg.norm(b[:n] - a2.to_dense() @ x) / np.linalg.norm(b[:n])
+    assert rel <= 1e-8

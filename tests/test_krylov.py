@@ -489,3 +489,14 @@ def test_unattainable_rtol_exits_on_stagnation():
     assert not bool(res.converged)
     # stagnation exit: far fewer than the full budget
     assert int(res.iters) < 2000
+
+
+def test_bf16_basis_multivector_vmap():
+    """basis_dtype composes with the pseudo-block (vmap) path: each
+    column's basis is stored bf16, per-column convergence certified."""
+    a = laplace2d(16, 16)
+    op, b, dense, n = make_problem(a, nrhs=3)
+    res = gmres(op, b, restart=25, rtol=1e-5, maxiter=600,
+                basis_dtype=jnp.bfloat16)
+    assert bool(np.asarray(res.converged).all())
+    assert (true_rel_res(b, dense, res.x, n) <= 1e-5).all()

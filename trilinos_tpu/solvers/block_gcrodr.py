@@ -30,8 +30,9 @@ from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
 from .base import Operator, SolveResult
-from .gcrodr import RecycleSpace, _orthonormalize_cu
-from .ortho import cgs2_project, cholqr2
+from .gcrodr import (RecycleSpace, _orthonormalize_cu,
+                     _right_prec_solve)
+from .ortho import cgs2_project, cholqr2, masked_lstsq
 
 
 @functools.partial(jax.jit, static_argnames=("op", "m", "comm"))
@@ -74,20 +75,8 @@ def _block_cycle(op, m, comm, b, x, u, c, has_recycle):
 
     rhs = jnp.zeros((mp1, nb), dtype)
     rhs = lax.dynamic_update_slice(rhs, r0, (0, 0))
-    q_h, r_h = jnp.linalg.qr(h)
-    # happy-breakdown guard (see gcrodr._cycle): converged-mid-cycle
-    # trailing columns make R near-singular and the unguarded solve
-    # corrupts x — mask dependent columns to y = 0
-    mk = m * nb
-    diag = jnp.abs(jnp.diag(r_h))
-    good = diag > 10 * jnp.finfo(dtype).eps * jnp.max(diag)
-    idxs = jnp.arange(mk)
-    badm = jnp.logical_or(~good[None, :], ~good[:, None])
-    eye = (idxs[None, :] == idxs[:, None]).astype(dtype)
-    r_m = jnp.where(badm, eye, r_h)
-    qtr = jnp.where(good[:, None], q_h.T @ rhs, 0.0)
-    y = jax.scipy.linalg.solve_triangular(r_m, qtr, lower=False)
-    y = jnp.where(good[:, None], y, 0.0)
+    # masked LS = the happy-breakdown guard (ortho.masked_lstsq)
+    y = masked_lstsq(h, rhs)
     x = x + v[:, : m * nb] @ y - u @ jnp.where(has_recycle,
                                                bmat @ y, 0)
     r = b - op(x)
@@ -153,19 +142,12 @@ def block_gcrodr(op: Operator, b: jax.Array,
     if b.ndim != 2:
         raise ValueError("block_gcrodr expects a 2-D multivector RHS")
     if prec is not None:
-        from ..ops.blas import local_dot as _ld
-
-        x_base = jnp.zeros_like(b) if x0 is None else x0
-        r0 = b if x0 is None else b - op(x_base)
-        bnorm = np.asarray(jnp.sqrt(comm.psum(_ld(b, b))))
-        tol_abs = rtol * np.where(bnorm > 0, bnorm, 1.0) + atol
-        res, rec = block_gcrodr(
-            lambda v: op(prec(v)), r0, num_blocks=num_blocks,
-            recycle_dim=recycle_dim, max_cycles=max_cycles, rtol=0.0,
-            atol=tol_abs, comm=comm, recycle=recycle)
-        return (SolveResult(x=x_base + prec(res.x), iters=res.iters,
-                            resnorm=res.resnorm, converged=res.converged),
-                rec)
+        return _right_prec_solve(
+            lambda opc, r0, ta: block_gcrodr(
+                opc, r0, num_blocks=num_blocks, recycle_dim=recycle_dim,
+                max_cycles=max_cycles, rtol=0.0, atol=ta, comm=comm,
+                recycle=recycle),
+            op, prec, b, x0, rtol, atol, comm)
     from ..ops.blas import local_dot
 
     m = num_blocks

@@ -25,7 +25,7 @@ from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
 from .base import Operator, SolveResult, safe_divide
-from .ortho import cgs2_project
+from .ortho import cgs2_project, masked_lstsq
 
 
 class RecycleSpace:
@@ -38,6 +38,25 @@ class RecycleSpace:
     @property
     def size(self) -> int:
         return 0 if self.u is None else self.u.shape[1]
+
+
+def _right_prec_solve(inner, op, prec, b, x0, rtol, atol, comm):
+    """Shared right-preconditioning wrapper (gcrodr/block_gcrodr —
+    BelosGCRODRSolMgr's preconditioned mode): solve (A∘M) y = r0 with
+    x = x0 + M y. Composed-system residuals ARE the true residuals of
+    A x = b, so rtol·‖b‖ (columnwise for multivectors) translates to an
+    absolute tolerance on the inner solve and certification carries
+    over exactly. ``inner(op_composed, r0, tol_abs) -> (res, rec)``."""
+    from ..ops.blas import local_dot
+
+    x_base = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b if x0 is None else b - op(x_base)
+    bnorm = np.asarray(jnp.sqrt(comm.psum(local_dot(b, b))))
+    tol_abs = rtol * np.where(bnorm > 0, bnorm, 1.0) + atol
+    res, rec = inner(lambda v: op(prec(v)), r0, tol_abs)
+    return (SolveResult(x=x_base + prec(res.x), iters=res.iters,
+                        resnorm=res.resnorm, converged=res.converged),
+            rec)
 
 
 @functools.partial(jax.jit, static_argnames=("op", "m", "comm"))
@@ -77,23 +96,10 @@ def _cycle(op, m, comm, b, x, u, c, has_recycle):
 
     v, h, bm = lax.fori_loop(0, m, body, (v, h, bm))
     e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-    q_h, r_h = jnp.linalg.qr(h)
-    # happy breakdown guard: the cycle runs all m steps, so once the
-    # residual is captured mid-cycle the remaining Arnoldi columns are
-    # ~zero and R turns singular — the unguarded triangular solve then
-    # CORRUPTS x with inf/garbage (observed: ILU-composed operators
-    # converge inside one cycle and stalled at 1e-3 instead of 1e-6).
-    # Mask the dependent trailing columns: unit diagonal + zero rhs
-    # decouples their y to 0, leaving the LS solution on the good prefix.
-    diag = jnp.abs(jnp.diag(r_h))
-    good = diag > 10 * jnp.finfo(dtype).eps * jnp.max(diag)
-    idx = jnp.arange(m)
-    bad = jnp.logical_or(~good[None, :], ~good[:, None])
-    eye = (idx[None, :] == idx[:, None]).astype(dtype)
-    r_m = jnp.where(bad, eye, r_h)
-    rhs = jnp.where(good, q_h.T @ e1, 0.0)
-    y = jax.scipy.linalg.solve_triangular(r_m, rhs, lower=False)
-    y = jnp.where(good, y, 0.0)
+    # masked LS = the happy-breakdown guard: the cycle runs all m steps,
+    # so a mid-cycle-captured residual leaves ~zero trailing columns
+    # whose unguarded solve would corrupt x (ortho.masked_lstsq)
+    y = masked_lstsq(h, e1)
     # GCRO update (Parks et al.; BelosGCRODRIter): A U = C exactly, so
     # x += V y − U (Cᵀ A V) y cancels the C-components of A V y and the
     # residual reduction equals the deflated-space LS reduction — without
@@ -156,17 +162,12 @@ def gcrodr(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     only across solves with the SAME preconditioner."""
     comm = comm or SerialComm()
     if prec is not None:
-        x_base = jnp.zeros_like(b) if x0 is None else x0
-        r0 = b if x0 is None else b - op(x_base)
-        bnorm = float(norm2(comm, b))
-        tol_abs = rtol * (bnorm if bnorm > 0 else 1.0) + atol
-        res, rec = gcrodr(lambda v: op(prec(v)), r0,
-                          num_blocks=num_blocks, recycle_dim=recycle_dim,
-                          max_cycles=max_cycles, rtol=0.0, atol=tol_abs,
-                          comm=comm, recycle=recycle)
-        return (SolveResult(x=x_base + prec(res.x), iters=res.iters,
-                            resnorm=res.resnorm, converged=res.converged),
-                rec)
+        return _right_prec_solve(
+            lambda opc, r0, ta: gcrodr(
+                opc, r0, num_blocks=num_blocks, recycle_dim=recycle_dim,
+                max_cycles=max_cycles, rtol=0.0, atol=ta, comm=comm,
+                recycle=recycle),
+            op, prec, b, x0, rtol, atol, comm)
     m = num_blocks
     k = recycle_dim
     x = jnp.zeros_like(b) if x0 is None else x0

@@ -288,3 +288,25 @@ def resolve_method(name: str) -> str:
     except KeyError:
         raise ValueError(
             f"unknown orthogonalization {name!r}; valid: {valid_methods()}")
+
+
+def masked_lstsq(h: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Least squares min ‖rhs − H y‖ for a full-length Arnoldi cycle's
+    (m+1, m) Hessenberg, with numerically dependent trailing columns
+    masked to y = 0 — the happy-breakdown guard: once the residual is
+    captured mid-cycle the remaining columns are ~zero and the
+    unguarded QR/triangular solve would corrupt the update (unit
+    diagonal + zero rhs decouples the bad columns exactly because R is
+    upper triangular). Shared by the GCRODR cycles."""
+    dtype = h.dtype
+    mk = h.shape[1]
+    q_h, r_h = jnp.linalg.qr(h)
+    diag = jnp.abs(jnp.diag(r_h))
+    good = diag > 10 * jnp.finfo(dtype).eps * jnp.max(diag)
+    r_m = jnp.where(jnp.logical_or(~good[None, :], ~good[:, None]),
+                    jnp.eye(mk, dtype=dtype), r_h)
+    rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
+    qtr = jnp.where(good[:, None], q_h.T @ rhs2, 0.0)
+    y = lax.linalg.triangular_solve(r_m, qtr, left_side=True, lower=False)
+    y = jnp.where(good[:, None], y, 0.0)
+    return y[:, 0] if rhs.ndim == 1 else y

@@ -75,6 +75,17 @@ def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
     if recycle is None or recycle.u is None:
         r0 = b - op(x)
         recycle = _build_recycle(op, comm, r0, recycle_dim)
+    else:
+        # re-map the recycle space onto THIS operator: the deflation
+        # projector and the span(U) exact solve use A U and (UᵀAU)⁻¹ —
+        # stale factors from a previous system of the sequence break
+        # A-orthogonality and the idempotence the tighten-retry relies
+        # on (same defect class fixed in gcrodr). Costs k applies.
+        u0 = recycle.u
+        au0 = op(u0)
+        utau = comm.psum(u0.T @ au0)
+        recycle = CgRecycleSpace(
+            u0, au0, jnp.linalg.inv((utau + utau.T) / 2))
     u, au, utau_inv = recycle.u, recycle.au, recycle.utau_inv
 
     def deflate(v):
