@@ -500,3 +500,18 @@ def test_bf16_basis_multivector_vmap():
                 basis_dtype=jnp.bfloat16)
     assert bool(np.asarray(res.converged).all())
     assert (true_rel_res(b, dense, res.x, n) <= 1e-5).all()
+
+
+def test_sstep_overshoot_cycle_no_corruption():
+    """A cycle that captures the residual mid-way leaves rank-deficient
+    trailing basis columns; the masked LS must keep x intact (the GCRODR
+    happy-breakdown defect class). m = s*t_blocks far beyond what the
+    problem needs."""
+    from trilinos_tpu.solvers.sstep_gmres import sstep_gmres
+
+    a = laplace2d(6, 6)  # n=36; m=4*12=48 >> n
+    op, b, dense, n = make_problem(a)
+    res = sstep_gmres(op, b, s=4, t_blocks=12, max_restarts=3, rtol=1e-8)
+    assert bool(res.converged)
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert true_rel_res(b, dense, res.x, n) <= 1e-7

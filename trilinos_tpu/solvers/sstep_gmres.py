@@ -286,8 +286,13 @@ def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
 
         v, ex, fy = lax.fori_loop(0, t_blocks, blk_body, (v, ex, fy))
         e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        q_h, r_h = jnp.linalg.qr(fy)
-        y = jax.scipy.linalg.solve_triangular(r_h, q_h.T @ e1, lower=False)
+        # masked LS (ortho.masked_lstsq): the cycle always generates all
+        # m basis vectors, so a mid-cycle-captured residual leaves
+        # rank-deficient trailing columns in fy whose unguarded QR solve
+        # would corrupt x (the GCRODR happy-breakdown defect class)
+        from .ortho import masked_lstsq
+
+        y = masked_lstsq(fy, e1)
         x = x + M(jnp.einsum("nm,m->n", v, ex @ y,
                              preferred_element_type=dtype))
         return x
