@@ -24,10 +24,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: shard_map/while-loop programs dominate suite
-# wall time; cache survives across pytest processes.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("TT_JAX_CACHE", "/tmp/tt-jax-cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# wall time; cache survives across pytest processes (TT_JAX_CACHE=0
+# disables it).
+_cache = os.environ.get("TT_JAX_CACHE", "/tmp/tt-jax-cache")
+if _cache and _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
@@ -36,6 +38,24 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# The XLA:CPU compiler deterministically SEGFAULTS after ~535
+# compilations in one process on this box (independent of which test
+# lands there and of the persistent cache — measured by bisecting a
+# single-process run; every test passes in per-file runs). Bound the
+# in-process compiler state by dropping JAX's compiled-program caches
+# every N tests; recompiles reload from the persistent cache cheaply.
+_TEST_COUNT = [0]
+_CLEAR_EVERY = int(os.environ.get("TT_CLEAR_CACHES_EVERY", "150"))
+
+
+@pytest.fixture(autouse=True)
+def _bound_compiler_state():
+    yield
+    _TEST_COUNT[0] += 1
+    if _CLEAR_EVERY and _TEST_COUNT[0] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):
