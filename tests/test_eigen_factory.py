@@ -135,11 +135,24 @@ def test_mass_matrix_rejected_for_standard_only_kinds():
     """Kinds that do not honor EigenProblem.m must raise instead of
     silently returning standard-problem eigenpairs for Ax = lambda Mx."""
     prob, _ = make_problem(m=lambda v: 2.0 * v)
-    for name in ("Block Davidson", "Generalized Davidson", "RTR",
-                 "Lanczos"):
+    for name in ("RTR", "Lanczos"):
         mgr = create_eigensolver(name)
         with pytest.raises(ValueError, match="mass"):
             mgr.solve(prob)
+
+
+def test_mass_matrix_accepted_by_davidson_kinds():
+    """Block/Generalized Davidson honor EigenProblem.m (round 5): the
+    pencil A x = λ (2I) x has halved eigenvalues."""
+    prob, w_a = make_problem(m=lambda v: 2.0 * v)
+    w = w_a / 2.0
+    for name, which in (("Block Davidson", "SA"),
+                        ("Generalized Davidson", "SR")):
+        mgr = create_eigensolver(name, {"Which": which,
+                                        "Convergence Tolerance": 1e-9})
+        res = mgr.solve(prob)
+        got = np.sort(np.real(np.asarray(res.eigenvalues)))[:prob.nev]
+        np.testing.assert_allclose(got, np.sort(w)[:prob.nev], rtol=1e-7)
 
 
 def test_dist_eigsolve_rejects_mass_for_unsupported():

@@ -13,7 +13,8 @@ import scipy.sparse.linalg as spla
 import jax.numpy as jnp
 
 from trilinos_tpu import fem
-from trilinos_tpu.eigen import block_krylov_schur, lobpcg, tracemin
+from trilinos_tpu.eigen import (block_davidson, block_krylov_schur,
+                                generalized_davidson, lobpcg, tracemin)
 from trilinos_tpu.fem.mesh import structured_tri_mesh
 from trilinos_tpu.ops import formats as F
 from trilinos_tpu.ops import matvec as S
@@ -102,6 +103,54 @@ class TestSerialGeneralized:
         np.testing.assert_allclose(
             np.sort(np.real(res.eigenvalues)), w_ref, rtol=1e-5)
 
+    def test_block_davidson_generalized(self, fe_pencil, rng):
+        """Block Davidson on the pencil: M-orthonormal search space →
+        standard projected problem (AnasaziBlockDavidson setM)."""
+        ka, ma, w_ref = fe_pencil
+        op, mop, n, npad = padded_ops(ka, ma)
+        v0 = np.zeros((npad, 4))
+        v0[:n] = rng.standard_normal((n, 4))
+        res = block_davidson(op, npad, 4, which="SA", tol=1e-8,
+                             maxiter=300, v0=jnp.asarray(v0), m=mop)
+        assert res.converged
+        np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                                   w_ref, rtol=1e-6)
+        # pencil residual of the returned pairs
+        x = jnp.asarray(res.eigenvectors)
+        lam = np.asarray(res.eigenvalues)
+        r = np.asarray(op(x)) - lam[None, :] * np.asarray(mop(x))
+        assert np.linalg.norm(r, axis=0).max() < 1e-6
+
+    def test_block_davidson_standard_unchanged(self, fe_pencil, rng):
+        """m=None must reproduce the standard eigenvalues of K alone."""
+        ka, _, _ = fe_pencil
+        op, _, n, npad = padded_ops(ka, ka)
+        v0 = np.zeros((npad, 3))
+        v0[:n] = rng.standard_normal((n, 3))
+        res = block_davidson(op, npad, 3, which="SA", tol=1e-9,
+                             maxiter=300, v0=jnp.asarray(v0))
+        k_sp = sp.csr_matrix((ka.vals, ka.cols, ka.row_ptr),
+                             shape=ka.shape)
+        w_ref = np.sort(spla.eigsh(k_sp, k=3, sigma=0, which="LM",
+                                   return_eigenvectors=False))
+        np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                                   w_ref, rtol=1e-6)
+
+    def test_generalized_davidson_pencil(self, fe_pencil, rng):
+        """GeneralizedDavidson (the Anasazi solver DESIGNED for pencils,
+        AnasaziGeneralizedDavidson.hpp QZ path) — here the M-orthonormal
+        space reduces the projected pencil to a standard Schur problem;
+        the SPD pencil's smallest-real eigenvalues must match eigsh."""
+        ka, ma, w_ref = fe_pencil
+        op, mop, n, npad = padded_ops(ka, ma)
+        v0 = np.zeros((npad, 4))
+        v0[:n] = rng.standard_normal((n, 4))
+        res = generalized_davidson(op, npad, 4, which="SR", tol=1e-8,
+                                   maxiter=300, v0=jnp.asarray(v0), m=mop)
+        assert res.converged
+        vals = np.sort(np.real(np.asarray(res.eigenvalues)))[:4]
+        np.testing.assert_allclose(vals, w_ref, rtol=1e-6)
+
     def test_eigvec_pencil_residual(self, fe_pencil, rng):
         """‖K x − λ M x‖ small for every returned pair (LOBPCG)."""
         ka, ma, _ = fe_pencil
@@ -131,5 +180,21 @@ class TestDistributedGeneralized:
         res = drv.dist_eigsolve(lobpcg, dm_k, 4, mesh=mesh,
                                 mass_matrix=dm_m, which="SM", tol=1e-9,
                                 maxiter=300)
+        np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                                   w_ref, rtol=1e-6)
+
+    def test_dist_block_davidson_generalized(self, fe_pencil):
+        from trilinos_tpu.parallel import distmatrix as D
+        from trilinos_tpu.parallel import driver as drv
+
+        ka, ma, w_ref = fe_pencil
+        n_shards = 4
+        dm_k = D.distribute(ka, n_shards, fmt="ell")
+        dm_m = D.distribute(ma, n_shards, fmt="ell", rmap=dm_k.row_map)
+        mesh = drv.make_mesh(n_shards)
+        res = drv.dist_eigsolve(block_davidson, dm_k, 4, mesh=mesh,
+                                mass_matrix=dm_m, which="SA", tol=1e-8,
+                                maxiter=300)
+        assert res.converged
         np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
                                    w_ref, rtol=1e-6)

@@ -25,31 +25,39 @@ import jax.numpy as jnp
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator
 from ..solvers.ortho import cgs2_project, cholqr2
-from .krylov_schur import EigsResult
+from .krylov_schur import EigsResult, _mcholqr, _mortho_block
 
 
 def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                    smax: int | None = None, prec=None, which: str = "SA",
                    tol: float = 1e-8, maxiter: int = 200,
                    v0: jax.Array | None = None, comm: Comm | None = None,
-                   dtype=jnp.float64) -> EigsResult:
+                   dtype=jnp.float64, m=None) -> EigsResult:
     """``nev`` extreme eigenpairs of a SYMMETRIC operator.
 
     which: SA (smallest algebraic, the Davidson sweet spot with an SPD
     preconditioner) or LA. ``prec`` approximates (A - sigma I)^-1 — any
     preconditioner apply works.
+
+    ``m``: optional SPD mass operator → GENERALIZED pencil A x = λ M x
+    (AnasaziBasicEigenproblem.hpp:60 setM; BlockDavidson is written for
+    pencils). The search space is kept M-orthonormal (SᵀMS = I) so the
+    Rayleigh-Ritz projection stays a STANDARD symmetric eigenproblem;
+    residuals are r = A x − (M x) θ. No M-solve is needed — Davidson
+    expansion is preconditioned residuals, not a Krylov space of M⁻¹A.
     """
     comm = comm or SerialComm()
     nb = nb or nev
     smax = smax or max(4 * nev, 6 * nb)
     smax = min((smax // nb) * nb, (n // nb) * nb)
     prec = prec or (lambda r: r)
+    mass = m
     rng = np.random.default_rng(7)
 
     @functools.lru_cache(maxsize=None)
     def make_step(k):
         @jax.jit
-        def step(s, as_):
+        def step(s, as_, ms_):
             kmat = comm.psum(s[:, :k].T @ as_[:, :k])
             kmat = (kmat + kmat.T) / 2
             theta, z = jnp.linalg.eigh(kmat)  # ascending
@@ -65,23 +73,35 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                 tblk = theta[k - nb:][::-1]
             x = s[:, :k] @ zsel
             ax = as_[:, :k] @ zsel
-            r = ax - x * tsel[None, :]
+            mx = ms_[:, :k] @ zsel if mass is not None else x
+            r = ax - mx * tsel[None, :]
             resn = jnp.sqrt(comm.psum(jnp.sum(r * r, axis=0)))
             # expansion block: preconditioned residuals of the leading nb
-            xb = s[:, :k] @ zblk
+            xb = (ms_ if mass is not None else s)[:, :k] @ zblk
             rb = as_[:, :k] @ zblk - xb * tblk[None, :]
             t = prec(rb)
-            t2, _ = cgs2_project(comm, s, t)  # full padded basis is fine
-            q, _, _ = cholqr2(comm, t2)
-            return tsel, x, resn, q
+            if mass is None:
+                t2, _ = cgs2_project(comm, s, t)  # padded basis is fine
+                q, _, _ = cholqr2(comm, t2)
+                mq = q
+            else:
+                q, mq = _mortho_block(comm, mass, s, ms_, t)
+            return tsel, x, resn, q, mq
 
         return step
 
     if v0 is None:
         v0 = jnp.asarray(rng.standard_normal((n, nb)), dtype=dtype)
-    q0, _, _ = cholqr2(comm, v0.astype(dtype))
+    if mass is None:
+        q0, _, _ = cholqr2(comm, v0.astype(dtype))
+        mq0 = q0
+    else:
+        q0, mq0, _ = _mcholqr(comm, mass, v0.astype(dtype))
+        q0, mq0, _ = _mcholqr(comm, mass, q0)  # second pass (CholQR2)
     s = jnp.zeros((n, smax), dtype).at[:, :nb].set(q0)
     as_ = jnp.zeros((n, smax), dtype).at[:, :nb].set(op(q0))
+    ms_ = (jnp.zeros((n, smax), dtype).at[:, :nb].set(mq0)
+           if mass is not None else s)
     k = nb
     theta = x = resn = None
     converged = False
@@ -89,28 +109,36 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
 
     for it in range(maxiter):
         iters = it + 1
-        theta, x, resn, q = make_step(k)(s, as_)
+        theta, x, resn, q, mq = make_step(k)(s, as_, ms_)
         scale = np.maximum(np.abs(np.asarray(theta)), 1.0)
         converged = bool((np.asarray(resn) <= tol * scale).all())
         if converged:
             break
         if k + nb > smax:
-            # restart: collapse to the leading Ritz block(s)
+            # restart: collapse to the leading Ritz block(s). zk has
+            # orthonormal columns, so S·zk stays (M-)orthonormal:
+            # (S zk)ᵀ M (S zk) = zkᵀ (SᵀMS) zk = zkᵀ zk = I.
             keep = min(max(2 * nev, nb), smax - nb)
             keep = max((keep // nb) * nb, nb)
-            km = make_step(k)
-            # recompute a keep-sized Ritz basis on device
             kmat = comm.psum(s[:, :k].T @ as_[:, :k])
             kmat = (kmat + kmat.T) / 2
             _, z = jnp.linalg.eigh(kmat)
             zk = z[:, :keep] if which == "SA" else z[:, k - keep:]
             s_new = jnp.zeros_like(s).at[:, :keep].set(s[:, :k] @ zk)
             as_new = jnp.zeros_like(as_).at[:, :keep].set(as_[:, :k] @ zk)
+            if mass is not None:
+                ms_ = jnp.zeros_like(ms_).at[:, :keep].set(ms_[:, :k] @ zk)
             s, as_ = s_new, as_new
+            if mass is None:
+                ms_ = s
             k = keep
             continue
         s = s.at[:, k:k + nb].set(q)
         as_ = as_.at[:, k:k + nb].set(op(q))
+        if mass is not None:
+            ms_ = ms_.at[:, k:k + nb].set(mq)
+        else:
+            ms_ = s
         k += nb
 
     return EigsResult(

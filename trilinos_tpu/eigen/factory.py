@@ -123,14 +123,15 @@ class EigenSolverManager:
         comm = self.comm
         op, n, dtype = problem.op, problem.n, problem.dtype
 
-        if problem.m is not None and self.kind not in ("bks", "lobpcg",
-                                                       "tracemin"):
+        if problem.m is not None and self.kind not in (
+                "bks", "lobpcg", "tracemin", "davidson", "gen_davidson"):
             # honest surface: only these kinds honor the generalized
             # pencil (Anasazi setM) — silently returning standard-problem
             # eigenpairs for Ax=λMx would be numerically wrong
             raise ValueError(
                 f"{self.name!r} does not support a mass matrix (M); "
-                "use 'Block Krylov-Schur', 'LOBPCG', or 'TraceMin' "
+                "use 'Block Krylov-Schur', 'LOBPCG', 'TraceMin', "
+                "'Block Davidson', or 'Generalized Davidson' "
                 "for generalized problems")
 
         if self.kind == "bks":
@@ -158,7 +159,7 @@ class EigenSolverManager:
                 which=_SYM_WHICH[which], tol=tol, maxiter=maxiter,
                 v0=(jnp.asarray(problem.v0, dtype=dtype)
                     if problem.v0 is not None else None),
-                comm=comm, dtype=dtype)
+                comm=comm, dtype=dtype, m=problem.m)
         if self.kind == "gen_davidson":
             return generalized_davidson(
                 op, n, nev, nb=bs or None,
@@ -166,7 +167,7 @@ class EigenSolverManager:
                 which=which, tol=tol, maxiter=maxiter,
                 v0=(jnp.asarray(problem.v0, dtype=dtype)
                     if problem.v0 is not None else None),
-                comm=comm, dtype=dtype)
+                comm=comm, dtype=dtype, m=problem.m)
         if self.kind == "tracemin":
             return tracemin(op, n, nev, block=bs or None, m=problem.m,
                             inner_iters=int(p["Inner Iterations"]), tol=tol,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator
 from ..solvers.ortho import cgs2_project, cholqr2
-from .krylov_schur import EigsResult
+from .krylov_schur import EigsResult, _mcholqr, _mortho_block
 
 
 def _schur_select(h: np.ndarray, nsel: int, which: str):
@@ -62,19 +62,30 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
                          prec=None, which: str = "LM", tol: float = 1e-8,
                          maxiter: int = 200, v0: jax.Array | None = None,
                          comm: Comm | None = None,
-                         dtype=jnp.float64) -> EigsResult:
+                         dtype=jnp.float64, m=None) -> EigsResult:
     """``nev`` eigenvalues of a general (nonsymmetric) real operator.
 
     which: LM/SM/LR/SR (largest/smallest magnitude, largest/smallest real
     part). Eigenvalues are returned as a complex array; ``eigenvectors``
     spans the real invariant subspace (columns pair up for complex
     conjugate eigenvalues, the reference's real-Schur convention).
+
+    ``m``: optional SPD mass operator → GENERALIZED pencil A x = λ M x
+    (AnasaziGeneralizedDavidson.hpp solves the projected pencil via QZ).
+    Here the search space is kept M-orthonormal instead (SᵀMS = I), so
+    the projected pencil (SᵀAS, SᵀMS) degenerates to the STANDARD
+    nonsymmetric problem SᵀAS z = λ z and the real-Schur machinery is
+    unchanged; the pencil residual is r = A x − (M x)·T. Schur restart
+    preserves M-orthonormality (zk has orthonormal columns). Requires M
+    SPD (an FE mass matrix) — the reference's indefinite-B QZ path is
+    out of scope.
     """
     comm = comm or SerialComm()
     nb = nb or nev
     smax = smax or max(4 * nev, 6 * nb)
     smax = min(smax, (n // nb) * nb)
     prec = prec or (lambda r: r)
+    mass = m
     rng = np.random.default_rng(13)
 
     @functools.lru_cache(maxsize=None)
@@ -85,12 +96,13 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
         return proj
 
     @functools.lru_cache(maxsize=None)
-    def resid_fn(k, m):
+    def resid_fn(k, msel):
         @jax.jit
-        def resid(s, as_, z, tmm):
+        def resid(s, as_, ms_, z, tmm):
             x = s[:, :k] @ z
             ax = as_[:, :k] @ z
-            r = ax - x @ tmm
+            mx = ms_[:, :k] @ z if mass is not None else x
+            r = ax - mx @ tmm
             resn = jnp.sqrt(comm.psum(jnp.sum(r * r, axis=0)))
             return x, r, resn
         return resid
@@ -98,17 +110,26 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
     @functools.lru_cache(maxsize=None)
     def expand_fn(k):
         @jax.jit
-        def expand(s, t):
-            t2, _ = cgs2_project(comm, s, t)
-            q, _, _ = cholqr2(comm, t2)
-            return q
+        def expand(s, ms_, t):
+            if mass is None:
+                t2, _ = cgs2_project(comm, s, t)
+                q, _, _ = cholqr2(comm, t2)
+                return q, q
+            return _mortho_block(comm, mass, s, ms_, t)
         return expand
 
     if v0 is None:
         v0 = jnp.asarray(rng.standard_normal((n, nb)), dtype=dtype)
-    q0, _, _ = cholqr2(comm, v0.astype(dtype))
+    if mass is None:
+        q0, _, _ = cholqr2(comm, v0.astype(dtype))
+        mq0 = q0
+    else:
+        q0, mq0, _ = _mcholqr(comm, mass, v0.astype(dtype))
+        q0, mq0, _ = _mcholqr(comm, mass, q0)  # second pass (CholQR2)
     s = jnp.zeros((n, smax), dtype).at[:, :nb].set(q0)
     as_ = jnp.zeros((n, smax), dtype).at[:, :nb].set(op(q0))
+    ms_ = (jnp.zeros((n, smax), dtype).at[:, :nb].set(mq0)
+           if mass is not None else s)
     k = nb
     vals = x = resn = None
     converged = False
@@ -117,36 +138,49 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
     for it in range(maxiter):
         iters = it + 1
         h = np.asarray(proj_fn(k)(s, as_))
-        t, z, w, m = _schur_select(h, nev, which)
-        m = min(m, k)
-        zsel = jnp.asarray(z[:, :m], dtype=dtype)
-        tmm = jnp.asarray(t[:m, :m], dtype=dtype)
-        x, r, resn = resid_fn(k, m)(s, as_, zsel, tmm)
-        vals = w[:m]
+        t, z, w, msel = _schur_select(h, nev, which)
+        msel = min(msel, k)
+        zsel = jnp.asarray(z[:, :msel], dtype=dtype)
+        tmm = jnp.asarray(t[:msel, :msel], dtype=dtype)
+        x, r, resn = resid_fn(k, msel)(s, as_, ms_, zsel, tmm)
+        vals = w[:msel]
         scale = np.maximum(np.abs(np.asarray(vals)), 1.0)
         converged = bool(
-            (np.asarray(resn)[:min(nev, m)] <= tol * scale[:min(nev, m)])
-            .all())
+            (np.asarray(resn)[:min(nev, msel)]
+             <= tol * scale[:min(nev, msel)]).all())
         if converged:
             break
         if k + nb > smax:
             # restart: collapse onto the leading sorted Schur basis
             keep = min(max(2 * nev, nb), smax - nb, k)
             zk = jnp.asarray(z[:, :keep], dtype=dtype)
-            s = jnp.zeros_like(s).at[:, :keep].set(s[:, :k] @ zk)
+            s_new = jnp.zeros_like(s).at[:, :keep].set(s[:, :k] @ zk)
             as_ = jnp.zeros_like(as_).at[:, :keep].set(as_[:, :k] @ zk)
+            if mass is not None:
+                ms_ = jnp.zeros_like(ms_).at[:, :keep].set(ms_[:, :k] @ zk)
+            s = s_new
+            if mass is None:
+                ms_ = s
             k = keep
             continue
         # expansion: preconditioned residual block of the leading
-        # min(nb, m) directions
-        blk = r[:, : min(nb, m)]
+        # min(nb, msel) directions
+        blk = r[:, : min(nb, msel)]
         if blk.shape[1] < nb:
-            blk = jnp.concatenate(
-                [blk, jnp.asarray(rng.standard_normal(
-                    (n, nb - blk.shape[1])), dtype=dtype)], axis=1)
-        q = expand_fn(k)(s, prec(blk))
+            # fill with random combinations of the CACHED A·S columns:
+            # fresh Krylov-type directions that stay in the true (zero-
+            # pad-row) subspace — raw random vectors would inject pad
+            # components that are (A=0, M=0)-degenerate
+            c = jnp.asarray(rng.standard_normal((k, nb - blk.shape[1])),
+                            dtype=dtype)
+            blk = jnp.concatenate([blk, as_[:, :k] @ c], axis=1)
+        q, mq = expand_fn(k)(s, ms_, prec(blk))
         s = s.at[:, k:k + nb].set(q)
         as_ = as_.at[:, k:k + nb].set(op(q))
+        if mass is not None:
+            ms_ = ms_.at[:, k:k + nb].set(mq)
+        else:
+            ms_ = s
         k += nb
 
     return EigsResult(

@@ -97,6 +97,38 @@ def _mcholqr(comm, m_op, w):
     return q, mq, r
 
 
+def _mortho_block(comm, m_op, v, vm, w):
+    """Robust M-orthonormalization of an expansion block against a basis
+    (DGKS-style renormalized CGS2 in the M metric).
+
+    Plain project²+CholQR collapses when a column of ``w`` is nearly in
+    span(v) (a CONVERGED Davidson residual is eps-level noise): the
+    projected remainder is cancellation junk, the CholQR floor then
+    yields a near-zero-M-norm column, and the projected matrix grows a
+    spurious ≈0 eigenvalue that SM/SR selection picks up. The classical
+    remedy (BelosDGKSOrthoManager.hpp:99-107 renormalizes when the norm
+    drops): rescale every column to unit M-norm BETWEEN passes, so a
+    cancellation-dominated direction re-enters the next projection as an
+    honest unit vector and leaves block-orthonormalized. All inputs keep
+    exactly-zero pad rows, so junk directions stay in the true subspace.
+    Returns (q, mq) with qᵀMq ≈ I."""
+    tiny = jnp.finfo(w.dtype).tiny
+
+    def renorm(x, mx):
+        d = comm.psum(jnp.einsum("nk,nk->k", x, mx,
+                                 preferred_element_type=x.dtype))
+        inv = 1.0 / jnp.sqrt(jnp.maximum(d, tiny))
+        return x * inv[None, :], mx * inv[None, :]
+
+    w, _ = renorm(w, m_op(w))
+    w, _ = _mproject(comm, v, vm, w)
+    q, mq, _ = _mcholqr(comm, m_op, w)
+    w, _ = renorm(q, mq)
+    w, _ = _mproject(comm, v, vm, w)
+    q, mq, _ = _mcholqr(comm, m_op, w)
+    return q, mq
+
+
 def _extend_gen(op, m_op, m_solve, comm, m, nb):
     """Generalized block-Lanczos expansion in the M inner product:
     K = M⁻¹A applies (``m_solve`` approximating M⁻¹), projections

@@ -1206,12 +1206,14 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
         mop = global_operator(mass_matrix, mesh)
         if "mass" in params:
             kw["mass"] = mop
-        elif name in ("lobpcg", "tracemin"):
+        elif name in ("lobpcg", "tracemin", "block_davidson",
+                      "generalized_davidson"):
             kw["m"] = mop
         else:
             raise ValueError(
                 f"{name or eigsolver!r} does not support a mass matrix; "
-                "use lobpcg, tracemin, or block_krylov_schur for "
+                "use lobpcg, tracemin, block_davidson, "
+                "generalized_davidson, or block_krylov_schur for "
                 "generalized pencils")
 
     if len(params) > 1 and params[1] == "n":
