@@ -21,11 +21,13 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator
 from ..solvers.ortho import cgs2_project, cholqr2
-from .krylov_schur import EigsResult, _mcholqr, _mortho_block
+from .krylov_schur import (EigsResult, _mcholqr, _mortho_block,
+                           _select_expansion_columns)
 
 
 def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
@@ -54,13 +56,39 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
     mass = m
     rng = np.random.default_rng(7)
 
+    def _whitened_eigh(kmat, s, ms_):
+        """Rayleigh-Ritz against the MEASURED M-Gram (whitened pencil):
+        G = SᵀMS, K̃ = L⁻¹ K L⁻ᵀ with G = LLᵀ, z = L⁻ᵀ z̃. With an exact
+        G this is plain eigh; with the f32 drift the basis accumulates
+        (M-orthonormality error compounds across restarts), it keeps the
+        REPORTED Ritz values exact for the actual space — basis drift
+        then costs efficiency, never accuracy (the SVQB-style whitening
+        tracemin.py already uses). mass=None → G = I exactly."""
+        k = kmat.shape[0]
+        if mass is None:
+            return jnp.linalg.eigh(kmat)
+        gmat = comm.psum(s[:, :k].T @ ms_[:, :k])
+        gmat = (gmat + gmat.T) / 2
+        eps = jnp.finfo(kmat.dtype).eps
+        gmat = gmat + (10 * eps) * (jnp.trace(gmat) / k) * jnp.eye(
+            k, dtype=gmat.dtype)
+        l = jnp.linalg.cholesky(gmat)
+        y = lax.linalg.triangular_solve(l, kmat, left_side=True,
+                                        lower=True)
+        hw = lax.linalg.triangular_solve(l, y.T, left_side=True,
+                                         lower=True).T
+        theta, zt = jnp.linalg.eigh((hw + hw.T) / 2)
+        z = lax.linalg.triangular_solve(l, zt, left_side=True,
+                                        lower=True, transpose_a=True)
+        return theta, z
+
     @functools.lru_cache(maxsize=None)
     def make_step(k):
         @jax.jit
         def step(s, as_, ms_):
             kmat = comm.psum(s[:, :k].T @ as_[:, :k])
             kmat = (kmat + kmat.T) / 2
-            theta, z = jnp.linalg.eigh(kmat)  # ascending
+            theta, z = _whitened_eigh(kmat, s, ms_)  # ascending
             if which == "SA":
                 zsel = z[:, :nev]
                 tsel = theta[:nev]
@@ -84,9 +112,23 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                 t2, _ = cgs2_project(comm, s, t)  # padded basis is fine
                 q, _, _ = cholqr2(comm, t2)
                 mq = q
+                bq = jnp.eye(nb, dtype=q.dtype)
+                cmax = jnp.zeros((nb,), q.dtype)
             else:
                 q, mq = _mortho_block(comm, mass, s, ms_, t)
-            return tsel, x, resn, q, mq
+                # block quality: the TRUE M-Gram qᵀMq and worst cross-
+                # Gram entry vs the basis. In f32 a near-singular
+                # expansion block (converged residuals) defeats M-CholQR
+                # — the Gram's rounding noise is the same order as the
+                # chol floor — and inserting such a column poisons the
+                # projected matrix with spurious Ritz values (observed
+                # on chip: λ 30-75× λmax). The host filters/rescales via
+                # _select_expansion_columns.
+                bq = comm.psum(jnp.einsum("nk,nm->km", q, mq,
+                                          preferred_element_type=q.dtype))
+                cmax = jnp.max(jnp.abs(comm.psum(
+                    ms_[:, :k].T @ q)), axis=0)
+            return tsel, x, resn, q, mq, bq, cmax
 
         return step
 
@@ -109,11 +151,15 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
 
     for it in range(maxiter):
         iters = it + 1
-        theta, x, resn, q, mq = make_step(k)(s, as_, ms_)
+        theta, x, resn, q, mq, bq, cmax = make_step(k)(s, as_, ms_)
         scale = np.maximum(np.abs(np.asarray(theta)), 1.0)
         converged = bool((np.asarray(resn) <= tol * scale).all())
         if converged:
             break
+        if mass is not None:
+            good, colscale = _select_expansion_columns(bq, cmax)
+            if len(good) == 0:
+                break  # expansion fully degenerate: honest stagnation
         if k + nb > smax:
             # restart: collapse to the leading Ritz block(s). zk has
             # orthonormal columns, so S·zk stays (M-)orthonormal:
@@ -122,7 +168,7 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
             keep = max((keep // nb) * nb, nb)
             kmat = comm.psum(s[:, :k].T @ as_[:, :k])
             kmat = (kmat + kmat.T) / 2
-            _, z = jnp.linalg.eigh(kmat)
+            _, z = _whitened_eigh(kmat, s, ms_)
             zk = z[:, :keep] if which == "SA" else z[:, k - keep:]
             s_new = jnp.zeros_like(s).at[:, :keep].set(s[:, :k] @ zk)
             as_new = jnp.zeros_like(as_).at[:, :keep].set(as_[:, :k] @ zk)
@@ -133,13 +179,19 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                 ms_ = s
             k = keep
             continue
-        s = s.at[:, k:k + nb].set(q)
-        as_ = as_.at[:, k:k + nb].set(op(q))
         if mass is not None:
-            ms_ = ms_.at[:, k:k + nb].set(mq)
+            idx = jnp.asarray(good)
+            inv = jnp.asarray(colscale[good], q.dtype)[None, :]
+            q = jnp.take(q, idx, axis=1) * inv
+            mq = jnp.take(mq, idx, axis=1) * inv
+        g = q.shape[1]
+        s = s.at[:, k:k + g].set(q)
+        as_ = as_.at[:, k:k + g].set(op(q))
+        if mass is not None:
+            ms_ = ms_.at[:, k:k + g].set(mq)
         else:
             ms_ = s
-        k += nb
+        k += g
 
     return EigsResult(
         eigenvalues=np.asarray(theta), eigenvectors=np.asarray(x),

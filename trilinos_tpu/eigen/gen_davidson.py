@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator
 from ..solvers.ortho import cgs2_project, cholqr2
-from .krylov_schur import EigsResult, _mcholqr, _mortho_block
+from .krylov_schur import (EigsResult, _mcholqr, _mortho_block,
+                           _select_expansion_columns)
 
 
 def _schur_select(h: np.ndarray, nsel: int, which: str):
@@ -91,9 +92,34 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
     @functools.lru_cache(maxsize=None)
     def proj_fn(k):
         @jax.jit
-        def proj(s, as_):
-            return comm.psum(s[:, :k].T @ as_[:, :k])
+        def proj(s, as_, ms_):
+            h = comm.psum(s[:, :k].T @ as_[:, :k])
+            g = (comm.psum(s[:, :k].T @ ms_[:, :k])
+                 if mass is not None else jnp.eye(k, dtype=s.dtype))
+            return h, g
         return proj
+
+    def _whitened_schur(h, g):
+        """Sorted real Schur of the projected pencil against the
+        MEASURED M-Gram: G = LLᵀ, h̃ = L⁻¹ h L⁻ᵀ, z = L⁻ᵀ z̃. Keeps the
+        reported Ritz values exact for the actual space under f32
+        basis-orthonormality drift (see davidson._whitened_eigh); the
+        returned z columns are M-orthonormal combinations, so Schur
+        restarts preserve M-orthonormality too. mass=None → G = I."""
+        import scipy.linalg as sla
+
+        if mass is None:
+            return _schur_select(h, nev, which)
+        g = (g + g.T) / 2
+        eps = np.finfo(h.dtype).eps
+        k = h.shape[0]
+        lmat = np.linalg.cholesky(
+            g + (10 * eps) * (np.trace(g) / k) * np.eye(k, dtype=g.dtype))
+        y = sla.solve_triangular(lmat, h, lower=True)
+        hw = sla.solve_triangular(lmat, y.T, lower=True).T
+        t, zt, vals, sdim = _schur_select(hw, nev, which)
+        z = sla.solve_triangular(lmat.T, zt, lower=False)
+        return t, z, vals, sdim
 
     @functools.lru_cache(maxsize=None)
     def resid_fn(k, msel):
@@ -111,11 +137,20 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
     def expand_fn(k):
         @jax.jit
         def expand(s, ms_, t):
+            nb_ = t.shape[1]
             if mass is None:
                 t2, _ = cgs2_project(comm, s, t)
                 q, _, _ = cholqr2(comm, t2)
-                return q, q
-            return _mortho_block(comm, mass, s, ms_, t)
+                return q, q, jnp.ones((nb_,), q.dtype), \
+                    jnp.zeros((nb_,), q.dtype)
+            q, mq = _mortho_block(comm, mass, s, ms_, t)
+            # block quality (see davidson.py: f32 M-CholQR on a
+            # near-singular block yields columns whose true M-norm is
+            # far from 1 — the host filters/rescales before insertion)
+            bq = comm.psum(jnp.einsum("nk,nm->km", q, mq,
+                                      preferred_element_type=q.dtype))
+            cmax = jnp.max(jnp.abs(comm.psum(ms_[:, :k].T @ q)), axis=0)
+            return q, mq, bq, cmax
         return expand
 
     if v0 is None:
@@ -137,8 +172,8 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
 
     for it in range(maxiter):
         iters = it + 1
-        h = np.asarray(proj_fn(k)(s, as_))
-        t, z, w, msel = _schur_select(h, nev, which)
+        h, g = proj_fn(k)(s, as_, ms_)
+        t, z, w, msel = _whitened_schur(np.asarray(h), np.asarray(g))
         msel = min(msel, k)
         zsel = jnp.asarray(z[:, :msel], dtype=dtype)
         tmm = jnp.asarray(t[:msel, :msel], dtype=dtype)
@@ -174,14 +209,23 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
             c = jnp.asarray(rng.standard_normal((k, nb - blk.shape[1])),
                             dtype=dtype)
             blk = jnp.concatenate([blk, as_[:, :k] @ c], axis=1)
-        q, mq = expand_fn(k)(s, ms_, prec(blk))
-        s = s.at[:, k:k + nb].set(q)
-        as_ = as_.at[:, k:k + nb].set(op(q))
+        q, mq, bq, cmax = expand_fn(k)(s, ms_, prec(blk))
         if mass is not None:
-            ms_ = ms_.at[:, k:k + nb].set(mq)
+            good, colscale = _select_expansion_columns(bq, cmax)
+            if len(good) == 0:
+                break  # expansion fully degenerate: honest stagnation
+            idx = jnp.asarray(good)
+            inv = jnp.asarray(colscale[good], q.dtype)[None, :]
+            q = jnp.take(q, idx, axis=1) * inv
+            mq = jnp.take(mq, idx, axis=1) * inv
+        g = q.shape[1]
+        s = s.at[:, k:k + g].set(q)
+        as_ = as_.at[:, k:k + g].set(op(q))
+        if mass is not None:
+            ms_ = ms_.at[:, k:k + g].set(mq)
         else:
             ms_ = s
-        k += nb
+        k += g
 
     return EigsResult(
         eigenvalues=np.asarray(vals), eigenvectors=np.asarray(x),

@@ -129,6 +129,37 @@ def _mortho_block(comm, m_op, v, vm, w):
     return q, mq
 
 
+def _select_expansion_columns(b, cmax, *, corr_tol=2e-3, basis_tol=2e-3):
+    """Host-side quality filter for an M-orthonormalized expansion block.
+
+    ``b``: the block's TRUE M-Gram qᵀMq (nb×nb, recomputed after CholQR —
+    in f32 the CholQR-implied identity can be far from the truth when the
+    block was near-singular); ``cmax``: per-column max |(MS)ᵀq| vs the
+    basis. Keeps column j iff its M-norm² is bounded away from 0, its
+    cross-Gram vs the basis is tight, and its correlation with every
+    previously-kept column is below ``corr_tol`` (greedy). Returns
+    (kept_indices, per-column 1/√(M-norm²) rescale) — rescaling the kept
+    columns to exactly unit M-norm removes the first-order Rayleigh-
+    quotient inflation that un-checked junk columns cause (observed on
+    chip: spurious Ritz values 30-75× λmax). Healthy f64 blocks pass
+    untouched (d≈1, off-diag≈1e-15)."""
+    b = np.asarray(b)
+    cmax = np.asarray(cmax)
+    d = np.diag(b)
+    kept = []
+    for j in range(b.shape[0]):
+        if not np.isfinite(d[j]) or d[j] < 0.25:
+            continue
+        if cmax[j] > basis_tol * np.sqrt(d[j]):
+            continue
+        if any(abs(b[i, j]) / np.sqrt(d[i] * d[j]) > corr_tol
+               for i in kept):
+            continue
+        kept.append(j)
+    return (np.asarray(kept, dtype=int),
+            1.0 / np.sqrt(np.maximum(d, 1e-300)))
+
+
 def _extend_gen(op, m_op, m_solve, comm, m, nb):
     """Generalized block-Lanczos expansion in the M inner product:
     K = M⁻¹A applies (``m_solve`` approximating M⁻¹), projections
