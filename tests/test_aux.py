@@ -162,6 +162,38 @@ class TestKomplex:
         want = np.linalg.solve(az, bz)
         np.testing.assert_allclose(z, want, rtol=1e-6, atol=1e-8)
 
+    def test_solve_complex_driver(self):
+        """One-call Komplex_LinearProblem driver: ERF build + factory
+        solver×prec + complex extraction."""
+        rng = np.random.default_rng(3)
+        n = 40
+        az = (rng.standard_normal((n, n))
+              + 1j * rng.standard_normal((n, n)) + 10 * np.eye(n))
+        bz = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        z, res = komplex.solve_complex(
+            az, bz,
+            {"Linear Solver Type": "GMRES",
+             "Solver Types": {"GMRES": {"Convergence Tolerance": 1e-10,
+                                        "Num Blocks": 60}},
+             "Preconditioner Type": "RELAXATION"})
+        assert bool(res.converged)
+        np.testing.assert_allclose(z, np.linalg.solve(az, bz),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_solve_complex_pair_input_and_bad_rhs(self):
+        rng = np.random.default_rng(4)
+        n = 16
+        ar = F.CsrHost.from_dense(rng.standard_normal((n, n))
+                                  + 6 * np.eye(n))
+        ai = F.CsrHost.from_dense(0.3 * rng.standard_normal((n, n)))
+        bz = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        z, res = komplex.solve_complex((ar, ai), bz)
+        az = ar.to_dense() + 1j * ai.to_dense()
+        np.testing.assert_allclose(z, np.linalg.solve(az, bz),
+                                   rtol=1e-5, atol=1e-7)
+        with pytest.raises(ValueError, match="rhs length"):
+            komplex.solve_complex((ar, ai), bz[:-1])
+
 
 class TestPartition:
     def test_rcb_balanced(self, rng):

@@ -68,3 +68,47 @@ def real_vec_to_complex(x, n: int, n_pad: int | None = None):
     x = np.asarray(x)
     half = n_pad if n_pad is not None else n
     return x[:n] + 1j * x[half:half + n]
+
+
+def solve_complex(a, b, params=None, comm=None):
+    """End-to-end complex solve — the ``Komplex_LinearProblem`` driver
+    (packages/komplex/src/Komplex_LinearProblem.h: build the equivalent
+    real form, hand it to AztecOO, extract the complex solution; here the
+    solver×preconditioner pair comes from the Stratimikos-style
+    ``factory.build`` ParameterList).
+
+    ``a``: complex dense array, CsrHost with complex values, or an
+    ``(ar, ai)`` CsrHost pair. ``b``: complex vector. ``params`` uses the
+    ``build`` layout, e.g.::
+
+        {"Linear Solver Type": "GMRES",
+         "Solver Types": {"GMRES": {"Convergence Tolerance": 1e-10}},
+         "Preconditioner Type": "ILUT"}
+
+    Returns ``(z, result)``: the complex solution and the real-form
+    SolveResult (resnorm is measured on the equivalent real system;
+    ‖r_real‖₂ = ‖r_complex‖₂, so tolerances carry over exactly).
+    """
+    from . import choose_format, spmv
+    from ..solvers.factory import build
+    from ..solvers.linear_problem import LinearProblem
+
+    if isinstance(a, tuple):
+        erf = complex_to_real_csr(*a)
+    else:
+        erf = complex_matrix_to_real(a)
+    n = erf.shape[0] // 2
+    b = np.asarray(b)
+    if b.shape[0] != n:
+        raise ValueError(f"rhs length {b.shape[0]} != matrix order {n}")
+
+    mgr, prec = build(params or {"Linear Solver Type": "GMRES"}, a_csr=erf,
+                      comm=comm)
+    dev = choose_format(erf)
+    npad = dev.n_rows_pad
+    b_real = np.zeros(npad, dtype=erf.vals.dtype)
+    b_real[: 2 * n] = np.asarray(complex_vec_to_real(b))
+    problem = LinearProblem(op=lambda x: spmv(dev, x),
+                            b=jnp.asarray(b_real), right_prec=prec)
+    res = mgr.solve(problem)
+    return real_vec_to_complex(np.asarray(res.x), n), res
