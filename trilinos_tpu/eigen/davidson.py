@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
-from ..solvers.base import Operator
+from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
 from .krylov_schur import (EigsResult, _mcholqr, _mortho_block,
                            _select_expansion_columns)
 
 
+@hi_precision
 def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                    smax: int | None = None, prec=None, which: str = "SA",
                    tol: float = 1e-8, maxiter: int = 200,

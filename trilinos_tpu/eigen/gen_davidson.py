@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..parallel.comm import Comm, SerialComm
-from ..solvers.base import Operator
+from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
 from .krylov_schur import (EigsResult, _mcholqr, _mortho_block,
                            _select_expansion_columns)
@@ -58,6 +58,7 @@ def _schur_select(h: np.ndarray, nsel: int, which: str):
     return t, z, vals_sorted, max(int(sdim), 1)
 
 
+@hi_precision
 def generalized_davidson(op: Operator, n: int, nev: int, *,
                          nb: int | None = None, smax: int | None = None,
                          prec=None, which: str = "LM", tol: float = 1e-8,

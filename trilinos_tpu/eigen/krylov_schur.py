@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
-from ..solvers.base import Operator, safe_divide
+from ..solvers.base import Operator, safe_divide, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
 
 
@@ -221,6 +221,7 @@ def _ordschur(hm: np.ndarray, which: str, keep: int):
     return t_mat, q, theta_sorted
 
 
+@hi_precision
 def block_krylov_schur(op: Operator, n: int, nev: int, *,
                        m: int | None = None, nb: int = 1,
                        which: str = "LM", tol: float = 1e-8,

@@ -16,10 +16,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
-from ..solvers.base import Operator, safe_divide
+from ..solvers.base import Operator, safe_divide, hi_precision
 from ..solvers.ortho import cgs2_project
 
 
+@hi_precision
 def arnoldi(op: Operator, v0: jax.Array, m: int, *,
             comm: Comm | None = None):
     """m-step Arnoldi with CGS2: returns (V (n, m+1), H (m+1, m))."""
@@ -47,6 +48,7 @@ def arnoldi(op: Operator, v0: jax.Array, m: int, *,
     return v, h
 
 
+@hi_precision
 def lanczos_eigs(op: Operator, v0: jax.Array, nev: int, m: int | None = None,
                  *, which: str = "LM", comm: Comm | None = None):
     """Symmetric eigenpairs via a full-reorthogonalized Lanczos run of

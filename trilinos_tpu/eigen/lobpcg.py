@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
-from ..solvers.base import Operator, identity_prec
+from ..solvers.base import Operator, identity_prec, hi_precision
 from ..solvers.ortho import cholqr2
 
 
@@ -68,6 +68,7 @@ def _rayleigh_ritz(comm: Comm, s: jax.Array, a_s: jax.Array, nev: int,
     return theta[:nev], y[:, :nev]
 
 
+@hi_precision
 def lobpcg(op: Operator, x0: jax.Array, *, prec: Operator | None = None,
            m: Operator | None = None,
            which: str = "SM", tol: float = 1e-6, maxiter: int = 200,
@@ -141,6 +142,7 @@ def lobpcg(op: Operator, x0: jax.Array, *, prec: Operator | None = None,
                        resnorms=rn)
 
 
+@hi_precision
 def power_method(op: Operator, v0: jax.Array, *, maxiter: int = 100,
                  tol: float = 1e-8, comm: Comm | None = None):
     """Largest-|λ| eigenpair (the reference uses this inside Chebyshev,

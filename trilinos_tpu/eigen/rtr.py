@@ -26,11 +26,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
-from ..solvers.base import Operator
+from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cholqr2
 from .krylov_schur import EigsResult
 
 
+@hi_precision
 def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         tol: float = 1e-8, maxiter: int = 100, max_inner: int | None = None,
         v0: jax.Array | None = None, comm: Comm | None = None,

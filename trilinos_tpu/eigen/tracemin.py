@@ -20,11 +20,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
-from ..solvers.base import Operator
+from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cholqr2
 from .krylov_schur import EigsResult
 
 
+@hi_precision
 def tracemin(op: Operator, n: int, nev: int, *, block: int | None = None,
              m: Operator | None = None,
              inner_iters: int = 15, tol: float = 1e-8, maxiter: int = 100,

@@ -20,6 +20,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Solver-grade GEMM precision. TPU's DEFAULT matmul precision feeds the
+# MXU with f32 inputs TRUNCATED TO bf16 (~4e-3 relative error per
+# contraction) — measured on chip as pencil Rayleigh quotients exceeding
+# λmax by 3e-3 and basis-orthonormality drift at the same scale. Every
+# dot/Gram/projection here is tall-skinny and HBM-bandwidth-bound, so the
+# extra MXU passes of HIGHEST are free; correctness-critical reductions
+# (CG/GMRES dots, CholQR Grams, Rayleigh-Ritz projections) must not run
+# at bf16 precision in an f32 solver.
+HI = jax.lax.Precision.HIGHEST
+
 
 def axpby(alpha, x: jax.Array, beta, y: jax.Array) -> jax.Array:
     """alpha*x + beta*y (KokkosBlas1::axpby)."""
@@ -38,8 +48,8 @@ def scale(alpha, x: jax.Array) -> jax.Array:
 def local_dot(x: jax.Array, y: jax.Array) -> jax.Array:
     """Columnwise dot of two (n, k) multivectors → (k,) (local part)."""
     if x.ndim == 1:
-        return jnp.vdot(x, y)
-    return jnp.einsum("nk,nk->k", x, y)
+        return jnp.vdot(x, y, precision=HI)
+    return jnp.einsum("nk,nk->k", x, y, precision=HI)
 
 
 def local_norm2_sq(x: jax.Array) -> jax.Array:
@@ -49,7 +59,8 @@ def local_norm2_sq(x: jax.Array) -> jax.Array:
 def mv_trans_mv(a: jax.Array, b: jax.Array, alpha=1.0) -> jax.Array:
     """C = alpha * aᵀ b for (n, ka), (n, kb) → (ka, kb). The Krylov block
     inner product: one MXU GEMM locally, one psum globally."""
-    c = jnp.einsum("nk,nm->km", a, b, preferred_element_type=a.dtype)
+    c = jnp.einsum("nk,nm->km", a, b, preferred_element_type=a.dtype,
+                   precision=HI)
     return alpha * c
 
 
@@ -58,7 +69,7 @@ def mv_times_mat_add_mv(alpha, a: jax.Array, b_small: jax.Array,
     """C = alpha * A @ B + beta * C — the MvTimesMatAddMv rank-k update
     (A is (n, ka), B a small replicated (ka, kc) host-ish matrix)."""
     prod = jnp.einsum("nk,km->nm", a, b_small.astype(a.dtype),
-                      preferred_element_type=a.dtype)
+                      preferred_element_type=a.dtype, precision=HI)
     if isinstance(beta, (int, float)) and beta == 0:
         return alpha * prod
     return alpha * prod + beta * c

@@ -43,6 +43,24 @@ class SolveResult:
     history: jax.Array | None = None
 
 
+def hi_precision(fn: Callable) -> Callable:
+    """Trace the wrapped driver under ``jax.default_matmul_precision
+    ("highest")``: TPU's DEFAULT matmul precision truncates f32 inputs to
+    bf16 (~4e-3 relative per contraction — see ops/blas.py HI), which
+    poisons Rayleigh-Ritz projections and basis collapses written with
+    plain ``@``. The context applies at TRACE time, so inner ``jax.jit``
+    closures created inside the call inherit it. The eigensolver GEMMs
+    are tall-skinny and HBM-bound — the extra MXU passes are free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def identity_prec(x: jax.Array) -> jax.Array:
     return x
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.blas import HI
 from ..parallel.comm import Comm, SerialComm
 
 # Reference default thresholds (BelosDGKSOrthoManager.hpp:99-107).
@@ -38,8 +39,10 @@ def project_block(comm: Comm, v: jax.Array, w: jax.Array):
     vector — the inexact-Krylov storage mode): the GEMMs then run
     bf16×f32 on the MXU with accumulation in w's dtype, halving basis
     HBM traffic. Returns (w_new, c) in w's dtype."""
-    c = comm.psum(jnp.einsum("nm,nk->mk", v, w, preferred_element_type=w.dtype))
-    return w - jnp.einsum("nm,mk->nk", v, c, preferred_element_type=w.dtype), c
+    c = comm.psum(jnp.einsum("nm,nk->mk", v, w,
+                             preferred_element_type=w.dtype, precision=HI))
+    return w - jnp.einsum("nm,mk->nk", v, c,
+                          preferred_element_type=w.dtype, precision=HI), c
 
 
 def cgs2_project(comm: Comm, v: jax.Array, w: jax.Array):
@@ -84,7 +87,7 @@ def mgs_project(comm: Comm, v: jax.Array, w: jax.Array, n_valid: int | jax.Array
     def body(j, carry):
         w, c = carry
         vj = v[:, j]
-        cj = comm.psum(jnp.einsum("nk,n->k", w, vj))
+        cj = comm.psum(jnp.einsum("nk,n->k", w, vj, precision=HI))
         cj = jnp.where(j < n_valid, cj, 0)
         w = w - vj[:, None] * cj[None, :]
         return w, c.at[j].set(cj)
@@ -98,7 +101,8 @@ def cholqr(comm: Comm, w: jax.Array, eps: float | None = None):
 
     Returns (q, r, rank_ok) where rank_ok flags columns that were not
     numerically dependent (diagonal of R above sing_tol)."""
-    g = comm.psum(jnp.einsum("nk,nm->km", w, w, preferred_element_type=w.dtype))
+    g = comm.psum(jnp.einsum("nk,nm->km", w, w,
+                             preferred_element_type=w.dtype, precision=HI))
     eps = eps or float(jnp.finfo(w.dtype).eps)
     k = g.shape[0]
     # regularize hard-singular blocks so chol stays finite; flagged below.
@@ -130,7 +134,8 @@ def svqb(comm: Comm, w: jax.Array):
     Q = w U Λ^(−1/2) — the Anasazi SVQB manager
     (packages/anasazi/src/AnasaziSVQBOrthoManager.hpp). More robust than
     CholQR for nearly-dependent blocks; one psum + one small eigh."""
-    g = comm.psum(jnp.einsum("nk,nm->km", w, w, preferred_element_type=w.dtype))
+    g = comm.psum(jnp.einsum("nk,nm->km", w, w,
+                             preferred_element_type=w.dtype, precision=HI))
     eps = jnp.finfo(w.dtype).eps
     # scale to unit diagonal first (the SVQB trick)
     d = jnp.sqrt(jnp.maximum(jnp.diag(g), eps))
@@ -139,7 +144,8 @@ def svqb(comm: Comm, w: jax.Array):
     lam, u = jnp.linalg.eigh((g_s + g_s.T) / 2)
     lam_floor = jnp.maximum(lam, 10 * eps * jnp.max(lam))
     rank_ok = lam > 10 * eps * jnp.max(lam)
-    q = (w * dinv[None, :]) @ (u * (1.0 / jnp.sqrt(lam_floor))[None, :])
+    q = jnp.matmul(w * dinv[None, :],
+                   u * (1.0 / jnp.sqrt(lam_floor))[None, :], precision=HI)
     return q, rank_ok
 
 
@@ -193,7 +199,7 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
 
         def br(v, w):
             c = jnp.einsum("nc,nk->ck", v[:, :ncol], w,
-                           preferred_element_type=w.dtype)
+                           preferred_element_type=w.dtype, precision=HI)
             return jnp.pad(c, ((0, mp - ncol), (0, 0)))
 
         return br
@@ -206,7 +212,8 @@ def project_block_window(comm: Comm, v: jax.Array, w: jax.Array,
 
         def br(v, c, w):
             return w - jnp.einsum("nc,ck->nk", v[:, :ncol], c[:ncol],
-                                  preferred_element_type=w.dtype)
+                                  preferred_element_type=w.dtype,
+                                  precision=HI)
 
         return br
 
@@ -306,7 +313,8 @@ def masked_lstsq(h: jax.Array, rhs: jax.Array) -> jax.Array:
     r_m = jnp.where(jnp.logical_or(~good[None, :], ~good[:, None]),
                     jnp.eye(mk, dtype=dtype), r_h)
     rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
-    qtr = jnp.where(good[:, None], q_h.T @ rhs2, 0.0)
+    qtr = jnp.where(good[:, None],
+                    jnp.matmul(q_h.T, rhs2, precision=HI), 0.0)
     y = lax.linalg.triangular_solve(r_m, qtr, left_side=True, lower=False)
     y = jnp.where(good[:, None], y, 0.0)
     return y[:, 0] if rhs.ndim == 1 else y
