@@ -28,8 +28,8 @@ from jax import lax
 
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm
-from .base import (Operator, SolveResult, certified_solve, identity_prec,
-                   rhs_norm_scale)
+from .base import (Operator, SolveResult, certified_solve, hi_precision,
+                   identity_prec, rhs_norm_scale)
 
 
 def _block_dot(comm: Comm, u: jax.Array, v: jax.Array) -> jax.Array:
@@ -44,6 +44,7 @@ def _ls_solve(a: jax.Array, rhs: jax.Array) -> jax.Array:
     return jnp.linalg.lstsq(a, rhs)[0]
 
 
+@hi_precision
 def block_cg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
              prec: Operator | None = None, rtol: float = 1e-8,
              atol: float = 0.0, maxiter: int = 1000,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
-from .base import Operator, SolveResult
+from .base import Operator, SolveResult, hi_precision
 from .gcrodr import (RecycleSpace, _orthonormalize_cu,
                      _right_prec_solve)
 from .ortho import cgs2_project, cholqr2, masked_lstsq
@@ -121,6 +121,7 @@ def _block_harmonic_recycle(v_np, h_np, k):
     return v_np[:, :mnb] @ p
 
 
+@hi_precision
 def block_gcrodr(op: Operator, b: jax.Array,
                  x0: jax.Array | None = None, *, num_blocks: int = 20,
                  recycle_dim: int = 8, max_cycles: int = 40,

@@ -27,10 +27,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm
-from .base import Operator, SolveResult, identity_prec, rhs_norm_scale
+from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, hi_precision
 from .ortho import cgs2_project, cholqr2, dgks_project, resolve_method
 
 
+@hi_precision
 def block_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 prec: Operator | None = None, num_blocks: int = 30,
                 max_restarts: int = 20, rtol: float = 1e-8,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
-from .base import Operator, SolveResult, safe_divide
+from .base import Operator, SolveResult, safe_divide, hi_precision
 from .ortho import cgs2_project, masked_lstsq
 
 
@@ -144,6 +144,7 @@ def _harmonic_ritz_recycle(v_np, h_np, k):
     return v_np[:, :m] @ p
 
 
+@hi_precision
 def gcrodr(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
            num_blocks: int = 30, recycle_dim: int = 8,
            max_cycles: int = 40, rtol: float = 1e-8, atol: float = 0.0,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
-from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
+from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide, hi_precision
 from .ortho import (cgs2_project, cgs2_project_window, dgks_project,
                     dgks_project_window, mgs_project, resolve_method)
 
@@ -311,6 +311,7 @@ def _gmres_single(op: Operator, b: jax.Array, x0: jax.Array, *,
     return x, total, res_true, res_true <= tol, ce, st[4]
 
 
+@hi_precision
 def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
           prec: Operator | None = None, flexible: bool = False,
           restart: int = 30, maxiter: int = 1000, rtol: float = 1e-8,
@@ -389,6 +390,7 @@ def gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                        condest=ce, history=hist)
 
 
+@hi_precision
 def fgmres(op: Operator, b: jax.Array, x0: jax.Array | None = None,
            **kw) -> SolveResult:
     """Flexible GMRES (variable right preconditioner per iteration)."""

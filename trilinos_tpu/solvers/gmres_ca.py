@@ -27,7 +27,7 @@ from jax import lax
 
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm, norm2
-from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
+from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide, hi_precision
 from .gmres import _givens_apply
 
 
@@ -199,6 +199,7 @@ def _wrap(core_single, op, b, x0, prec, restart, maxiter, rtol, atol, comm):
     return SolveResult(x=x, iters=iters, resnorm=res, converged=conv)
 
 
+@hi_precision
 def gmres_single_reduce(op: Operator, b: jax.Array,
                         x0: jax.Array | None = None, *,
                         prec: Operator | None = None, restart: int = 30,
@@ -210,6 +211,7 @@ def gmres_single_reduce(op: Operator, b: jax.Array,
                  comm)
 
 
+@hi_precision
 def gmres_pipeline(op: Operator, b: jax.Array,
                    x0: jax.Array | None = None, *,
                    prec: Operator | None = None, restart: int = 30,

@@ -26,7 +26,8 @@ from jax import lax
 from ..ops.blas import local_dot
 from ..parallel.comm import Comm, SerialComm
 from .base import (Operator, SolveResult, bcast_cols, certified_solve,
-                   identity_prec, rhs_norm_scale, safe_divide)
+                   hi_precision, identity_prec, rhs_norm_scale,
+                   safe_divide)
 
 
 class CgRecycleSpace:
@@ -52,6 +53,7 @@ def _build_recycle(op, comm, v0, k: int):
     return CgRecycleSpace(u, au, utau_inv)
 
 
+@hi_precision
 def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
         recycle_dim: int = 8, rtol: float = 1e-8, atol: float = 0.0,
         maxiter: int = 1000, comm: Comm | None = None,
@@ -137,6 +139,7 @@ def rcg(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
             recycle)
 
 
+@hi_precision
 def pcpg(op: Operator, b: jax.Array, constraint_basis: jax.Array,
          x0: jax.Array | None = None, *, rtol: float = 1e-8,
          atol: float = 0.0, maxiter: int = 1000,

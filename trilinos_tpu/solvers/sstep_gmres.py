@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel.comm import Comm, SerialComm, norm2
-from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide
+from .base import Operator, SolveResult, identity_prec, rhs_norm_scale, safe_divide, hi_precision
 from .ortho import cgs2_project, cholqr2
 
 
@@ -121,6 +121,7 @@ def newton_basis_stages(shifts, sigma: float):
     return out
 
 
+@hi_precision
 def sstep_gmres(op: Operator, b: jax.Array, x0: jax.Array | None = None, *,
                 s: int = 4, t_blocks: int = 8, max_restarts: int = 20,
                 rtol: float = 1e-8, atol: float = 0.0, sigma: float | None = None,
