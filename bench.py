@@ -231,6 +231,36 @@ def _timed_solve(run, n_timed=4):
     return r, best
 
 
+def _timed_solve_chain(run_raw, extra_args=(), n_chain=8, n_timed=3):
+    """Chain ``n_chain`` independent solves (fresh keys each → no
+    result-caching/folding) inside ONE jitted lax.scan and report
+    total/n_chain — the same big-reps rule the kernel benches follow.
+    Whole-solve benches short enough to finish in ≲10 ms (AMG-PCG) are
+    otherwise ~all tunnel dispatch: one solve per call measured 25 ms
+    where the chained device time is ~8 ms. Returns
+    ((iters, max_resnorm) of the last chained solve, seconds/solve)."""
+    @jax.jit
+    def chain(keys, *extra):
+        def body(carry, key):
+            r = run_raw(key, *extra)
+            return carry, (jnp.max(r.resnorm), r.iters)
+        _, (rn, its) = lax.scan(body, 0, keys)
+        return rn[-1], its[-1]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chain)
+    rn, its = chain(keys, *extra_args)
+    float(rn)  # hard sync + warmup compile
+    best = 1e9
+    for i in range(n_timed + 1):
+        keys = jax.random.split(jax.random.PRNGKey(i + 1), n_chain)
+        t0 = time.perf_counter()
+        rn, its = chain(keys, *extra_args)
+        float(rn)
+        if i > 0:  # discard first timed call (residual warmup)
+            best = min(best, time.perf_counter() - t0)
+    return (int(its), float(rn)), best / n_chain
+
+
 def bench_bdia_solve(nx=64, ny=64, nz=48, iters=400):
     """BDIA solve path on 3-D Q1 elasticity (27 block offsets, b=3):
     CG over bdia_plane_solver_op (pack once per solve, plane-layout
@@ -272,11 +302,12 @@ def bench_amg_pcg(nx=64, ny=64, nz=64, rtol=1e-5):
     n, npad = op.n_rows, op.n_rows_pad
     mk = _device_rhs(npad, n)
     st = m.state()  # hierarchy as jit ARGUMENT (not baked constants)
-    run = jax.jit(lambda key, ss: cg(
-        lambda v: mv.spmv(op, v), mk(key),
-        prec=lambda v: m.apply_state(ss, v), rtol=rtol, maxiter=200))
-    r, best = _timed_solve(lambda key: run(key, st))
-    return int(r.iters), best
+    (iters, _), per_solve = _timed_solve_chain(
+        lambda key, ss: cg(lambda v: mv.spmv(op, v), mk(key),
+                           prec=lambda v: m.apply_state(ss, v), rtol=rtol,
+                           maxiter=200),
+        extra_args=(st,))
+    return iters, per_solve
 
 
 def bench_elasticity_amg(nx=32, ny=32, nz=24, rtol=1e-5):
@@ -299,10 +330,10 @@ def bench_elasticity_amg(nx=32, ny=32, nz=24, rtol=1e-5):
     dev = m.levels[0]["a"]
     n, npad = a.shape[0], m.levels[0]["n_f"]
     mk = _device_rhs(npad, n)
-    run = jax.jit(lambda key: cg(lambda v: mv.spmv(dev, v), mk(key),
-                                 prec=m, rtol=rtol, maxiter=100))
-    r, best = _timed_solve(run)
-    return int(r.iters), best
+    (iters, _), per_solve = _timed_solve_chain(
+        lambda key: cg(lambda v: mv.spmv(dev, v), mk(key), prec=m,
+                       rtol=rtol, maxiter=100))
+    return iters, per_solve
 
 
 def bench_ortho(n=2 * 1024 * 1024, k=8, reps=100):
