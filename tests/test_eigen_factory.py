@@ -135,7 +135,7 @@ def test_mass_matrix_rejected_for_standard_only_kinds():
     """Kinds that do not honor EigenProblem.m must raise instead of
     silently returning standard-problem eigenpairs for Ax = lambda Mx."""
     prob, _ = make_problem(m=lambda v: 2.0 * v)
-    for name in ("RTR", "Lanczos"):
+    for name in ("Lanczos",):
         mgr = create_eigensolver(name)
         with pytest.raises(ValueError, match="mass"):
             mgr.solve(prob)

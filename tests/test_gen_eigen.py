@@ -151,6 +151,21 @@ class TestSerialGeneralized:
         vals = np.sort(np.real(np.asarray(res.eigenvalues)))[:4]
         np.testing.assert_allclose(vals, w_ref, rtol=1e-6)
 
+    def test_rtr_generalized(self, fe_pencil, rng):
+        """RTR on the pencil: M-orthonormal iterates + M-weighted
+        tangent projector (AnasaziRTRBase's B-operator support)."""
+        from trilinos_tpu.eigen import rtr
+
+        ka, ma, w_ref = fe_pencil
+        op, mop, n, npad = padded_ops(ka, ma)
+        v0 = np.zeros((npad, 4))
+        v0[:n] = rng.standard_normal((n, 4))
+        res = rtr(op, npad, 4, tol=1e-8, maxiter=200,
+                  v0=jnp.asarray(v0), m=mop)
+        assert res.converged
+        np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                                   w_ref, rtol=1e-6)
+
     def test_eigvec_pencil_residual(self, fe_pencil, rng):
         """‖K x − λ M x‖ small for every returned pair (LOBPCG)."""
         ka, ma, _ = fe_pencil

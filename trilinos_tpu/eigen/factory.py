@@ -124,7 +124,8 @@ class EigenSolverManager:
         op, n, dtype = problem.op, problem.n, problem.dtype
 
         if problem.m is not None and self.kind not in (
-                "bks", "lobpcg", "tracemin", "davidson", "gen_davidson"):
+                "bks", "lobpcg", "tracemin", "davidson", "gen_davidson",
+                "rtr"):
             # honest surface: only these kinds honor the generalized
             # pencil (Anasazi setM) — silently returning standard-problem
             # eigenpairs for Ax=λMx would be numerically wrong
@@ -180,7 +181,7 @@ class EigenSolverManager:
                        maxiter=maxiter,
                        v0=(jnp.asarray(problem.v0, dtype=dtype)
                            if problem.v0 is not None else None),
-                       comm=comm, dtype=dtype)
+                       comm=comm, dtype=dtype, m=problem.m)
         if self.kind == "lanczos":
             v0 = self._v0(problem, 0)
             return lanczos_eigs(op, v0, nev, m=(nb or None), which=which,

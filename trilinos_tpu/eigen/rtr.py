@@ -2,18 +2,23 @@
 
 TPU-native analogue of Anasazi::RTRSolMgr / IRTR
 (packages/anasazi/src/AnasaziRTRSolMgr.hpp, AnasaziRTRBase.hpp,
-AnasaziIRTR.hpp): minimize f(X) = trace(XᵀAX) over the Grassmann
-manifold {X : XᵀX = I} with a trust-region outer iteration whose model
-subproblem is solved by truncated CG (Steihaug–Toint) in the tangent
-space (Xᵀη = 0), Hess[η] = P(Aη − η·(XᵀAX)), P = I − XXᵀ.
+AnasaziIRTR.hpp): minimize f(X) = trace(XᵀAX) over the (generalized)
+Grassmann manifold {X : XᵀMX = I} with a trust-region outer iteration
+whose model subproblem is solved by truncated CG (Steihaug–Toint) in the
+tangent space {η : (MX)ᵀη = 0}, Hess[η] = P(Aη − Mη·(XᵀAX)), where P is
+the Euclidean-orthogonal projector onto the tangent space,
+P(v) = v − MX·(XᵀM²X)⁻¹·(MX)ᵀv. With M = I this degenerates exactly to
+the standard Grassmann geometry (P = I − XXᵀ). The reference's RTRBase
+supports the same B-operator through its Eigenproblem (setM,
+AnasaziBasicEigenproblem.hpp:60).
 
 Structure: the whole tCG inner solve is ONE jitted lax.while_loop (fixed
 shapes, no host round-trips per inner step); the outer loop (retraction
-via CholQR, ρ-ratio trust-region update) runs on host with a handful of
-jitted device calls per iteration. Converges to the ``nev`` smallest
-eigenpairs of a symmetric operator — the RTR sweet spot the reference
-documents (strong preconditioner-free convergence for well-separated
-small eigenvalues).
+via (M-)CholQR2, ρ-ratio trust-region update) runs on host with a
+handful of jitted device calls per iteration. Converges to the ``nev``
+smallest eigenpairs — the RTR sweet spot the reference documents
+(strong preconditioner-free convergence for well-separated smallest
+eigenvalues).
 """
 from __future__ import annotations
 
@@ -28,37 +33,62 @@ from jax import lax
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cholqr2
-from .krylov_schur import EigsResult
+from .krylov_schur import EigsResult, _mcholqr
 
 
 @hi_precision
 def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         tol: float = 1e-8, maxiter: int = 100, max_inner: int | None = None,
         v0: jax.Array | None = None, comm: Comm | None = None,
-        dtype=jnp.float64) -> EigsResult:
-    """``nev`` smallest eigenpairs of a symmetric operator via RTR."""
+        dtype=jnp.float64, m=None) -> EigsResult:
+    """``nev`` smallest eigenpairs of a symmetric operator via RTR.
+
+    ``m``: optional SPD mass operator → GENERALIZED pencil A x = λ M x.
+    Iterates are kept M-orthonormal (retraction = M-metric CholQR2), the
+    Rayleigh-Ritz block XᵀAX is then the projected pencil, and the tCG
+    model Hessian uses the pencil residual Aη − Mη·Θ with the
+    M-weighted tangent projector. No M-solve is needed.
+    """
     comm = comm or SerialComm()
     p = block or nev
     max_inner = max_inner or max(4 * p, 40)
+    mass = m
     rng = np.random.default_rng(17)
     if v0 is None:
         v0 = jnp.asarray(rng.standard_normal((n, p)), dtype=dtype)
 
-    def inner(x, ax, eta):
-        """<x, eta> summed per... full Frobenius inner product."""
-        return comm.psum(jnp.sum(x * eta))
+    def small_chol_solve(gram, rhs):
+        """(p×p SPD) gram⁻¹ rhs via Cholesky with a tiny floor."""
+        eps = jnp.finfo(rhs.dtype).eps
+        k = gram.shape[0]
+        l = jnp.linalg.cholesky((gram + gram.T) / 2
+                                + 10 * eps * jnp.eye(k, dtype=gram.dtype))
+        y = lax.linalg.triangular_solve(l, rhs, left_side=True, lower=True)
+        return lax.linalg.triangular_solve(l, y, left_side=True, lower=True,
+                                           transpose_a=True)
+
+    def make_proj(x, mx, gram_mm):
+        """Euclidean-orthogonal projector onto {η : (MX)ᵀη = 0}.
+        gram_mm = (MX)ᵀ(MX); with M = I (mass=None) mx is x, gram ≈ I
+        and this is the standard P = I − XXᵀ."""
+        def proj(v):
+            c = comm.psum(mx.T @ v)
+            return v - mx @ small_chol_solve(gram_mm, c)
+        return proj
 
     @jax.jit
-    def rayleigh(x):
+    def rayleigh(x, mx):
         ax = op(x)
-        m = comm.psum(x.T @ ax)
-        m = (m + m.T) / 2
-        g = ax - x @ m  # Riemannian gradient (X orthonormal)
+        mmat = comm.psum(x.T @ ax)
+        mmat = (mmat + mmat.T) / 2
+        gram_mm = comm.psum(mx.T @ mx)
+        proj = make_proj(x, mx, gram_mm)
+        g = proj(ax - mx @ mmat)  # projected pencil residual
         gn = jnp.sqrt(comm.psum(jnp.sum(g * g)))
-        return ax, m, g, gn
+        return ax, mmat, gram_mm, g, gn
 
     @jax.jit
-    def tcg(x, m, g, delta):
+    def tcg(x, mx, gram_mm, mmat, g, delta):
         """Truncated CG for Hess[η] = −g, trust radius ``delta``.
 
         Returns (eta, heta, stop_code). Standard Steihaug: negative
@@ -68,10 +98,12 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         gnorm0 = jnp.sqrt(comm.psum(jnp.sum(g * g)))
         kappa, theta = 0.1, 1.0
         stop_tol = gnorm0 * jnp.minimum(kappa, gnorm0 ** theta)
+        proj = make_proj(x, mx, gram_mm)
 
         def hess(eta):
-            heta = op(eta) - eta @ m
-            return heta - x @ comm.psum(x.T @ heta)  # tangent projection
+            heta = op(eta) - (mass(eta) if mass is not None
+                              else eta) @ mmat
+            return proj(heta)
 
         def boundary_step(eta, d, dd, ed):
             ee = comm.psum(jnp.sum(eta * eta))
@@ -119,15 +151,20 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
 
     @jax.jit
     def retract(x, eta):
-        q, _, _ = cholqr2(comm, x + eta)
-        return q
+        w = x + eta
+        if mass is None:
+            q, _, _ = cholqr2(comm, w)
+            return q, q
+        q, mq, _ = _mcholqr(comm, mass, w)
+        q, mq, _ = _mcholqr(comm, mass, q)  # second pass (CholQR2)
+        return q, mq
 
     @jax.jit
     def model_decrease(g, eta, heta):
         return -(comm.psum(jnp.sum(g * eta))
                  + 0.5 * comm.psum(jnp.sum(eta * heta)))
 
-    x, _, _ = cholqr2(comm, v0.astype(dtype))
+    x, mx = retract(v0.astype(dtype), jnp.zeros_like(v0, dtype=dtype))
     delta = float(np.sqrt(p))  # initial trust radius ~ ||X||_F
     delta_bar = 10 * delta
     rho_prime = 0.1
@@ -135,26 +172,27 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
     theta = resn = None
     converged = False
     iters = 0
-    ax, m, g, gn = rayleigh(x)
-    f_cur = float(np.trace(np.asarray(m)))
+    ax, mmat, gram_mm, g, gn = rayleigh(x, mx)
+    f_cur = float(np.trace(np.asarray(mmat)))
 
     for it in range(maxiter):
         iters = it + 1
-        # convergence: per-column Ritz residuals
-        mm = np.asarray(m)
+        # convergence: per-column pencil Ritz residuals
+        mm = np.asarray(mmat)
         w, z = np.linalg.eigh((mm + mm.T) / 2)
         theta = w[:nev]
         xa = np.asarray(x) @ z
-        ra = np.asarray(ax) @ z - xa * w[None, :]
+        ra = np.asarray(ax) @ z - np.asarray(mx) @ z * w[None, :]
         resn = np.linalg.norm(ra[:, :nev], axis=0)
         scale = np.maximum(np.abs(theta), 1.0)
         converged = bool((resn <= tol * scale).all())
         if converged:
             break
-        eta, heta, in_it, code = tcg(x, m, g, jnp.asarray(delta, dtype))
-        x_try = retract(x, eta)
-        ax_t, m_t, g_t, gn_t = rayleigh(x_try)
-        f_try = float(np.trace(np.asarray(m_t)))
+        eta, heta, in_it, code = tcg(x, mx, gram_mm, mmat, g,
+                                     jnp.asarray(delta, dtype))
+        x_try, mx_try = retract(x, eta)
+        ax_t, mmat_t, gram_t, g_t, gn_t = rayleigh(x_try, mx_try)
+        f_try = float(np.trace(np.asarray(mmat_t)))
         mdec = float(model_decrease(g, eta, heta))
         # rho regularization (AnasaziRTRBase's fx-vs-model guard, same
         # cure as Manopt's rho_regularization): near convergence both
@@ -167,13 +205,14 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         elif rho > 0.75 and int(code) in (1, 2):
             delta = min(2 * delta, delta_bar)
         if rho > rho_prime:
-            x, ax, m, g, gn, f_cur = x_try, ax_t, m_t, g_t, gn_t, f_try
+            x, mx, ax, mmat, gram_mm, g, gn, f_cur = (
+                x_try, mx_try, ax_t, mmat_t, gram_t, g_t, gn_t, f_try)
 
     # final Ritz extraction
-    mm = np.asarray(m)
+    mm = np.asarray(mmat)
     w, z = np.linalg.eigh((mm + mm.T) / 2)
     xa = np.asarray(x) @ z
-    ra = np.asarray(ax) @ z - xa * w[None, :]
+    ra = np.asarray(ax) @ z - np.asarray(mx) @ z * w[None, :]
     return EigsResult(
         eigenvalues=w[:nev], eigenvectors=xa[:, :nev],
         resnorms=np.linalg.norm(ra[:, :nev], axis=0), iters=iters,

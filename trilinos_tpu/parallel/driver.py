@@ -1207,7 +1207,7 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
         if "mass" in params:
             kw["mass"] = mop
         elif name in ("lobpcg", "tracemin", "block_davidson",
-                      "generalized_davidson"):
+                      "generalized_davidson", "rtr"):
             kw["m"] = mop
         else:
             raise ValueError(
