@@ -342,3 +342,65 @@ class TestHierarchyGold:
             np.testing.assert_array_equal(a1.vals, a2.vals)
             np.testing.assert_array_equal(p1.vals, p2.vals)
         np.testing.assert_array_equal(c1.vals, c2.vals)
+
+
+class TestIluK:
+    """ILU(k) level-of-fill (Ifpack2::RILUK "fact: iluk level-of-fill"
+    via IlukGraph, packages/ifpack2/src/Ifpack2_IlukGraph.hpp)."""
+
+    def test_level0_pattern_is_a(self):
+        from trilinos_tpu.precond.ilu import iluk_pattern
+
+        a = laplace2d(8, 8)
+        ptr, cols = iluk_pattern(a, 0)
+        np.testing.assert_array_equal(ptr, a.row_ptr)
+        np.testing.assert_array_equal(cols, a.cols)
+
+    def test_native_matches_python_fallback(self):
+        from trilinos_tpu.precond.ilu import iluk_pattern
+        import trilinos_tpu.precond.ilu as ilu_mod
+        import trilinos_tpu.native as nat
+
+        a = recirc2d(10, 10, diff=1e-2)
+        for k in (1, 2, 3):
+            ptr_n, cols_n = iluk_pattern(a, k)
+            # force the python fallback
+            orig = nat.iluk_native
+            nat.iluk_native = lambda *args: None
+            try:
+                ptr_p, cols_p = iluk_pattern(a, k)
+            finally:
+                nat.iluk_native = orig
+            np.testing.assert_array_equal(ptr_n, ptr_p)
+            np.testing.assert_array_equal(cols_n, cols_p)
+
+    def test_fill_monotone_in_level(self):
+        from trilinos_tpu.precond.ilu import iluk_pattern
+
+        a = laplace2d(10, 10)
+        nnz = [iluk_pattern(a, k)[0][-1] for k in (0, 1, 2, 4)]
+        assert nnz[0] < nnz[1] < nnz[2] < nnz[3]
+
+    def test_large_level_is_complete_lu(self):
+        """kfill >= n: the pattern holds ALL elimination fill, so
+        L@U == A exactly (ILU(k) → complete LU)."""
+        from trilinos_tpu.precond.ilu import iluk_augment
+
+        a = laplace2d(6, 6)
+        n = a.shape[0]
+        aug = iluk_augment(a, n)
+        L, U = precond.ilu0_factor(aug)
+        np.testing.assert_allclose(L.to_dense() @ U.to_dense(),
+                                   a.to_dense(), atol=1e-10)
+
+    def test_higher_level_fewer_iterations(self):
+        a = recirc2d(16, 16, diff=1e-2)
+        op, b, dense, n = make_problem(a)
+        its = {}
+        for k in (0, 2):
+            m = precond.Ilu0(a, {"fact: sweeps": 8,
+                                 "fact: iluk level-of-fill": k}).compute()
+            r = gmres(op, b, prec=m, restart=30, rtol=1e-8, maxiter=2000)
+            assert rel_res(b, dense, r.x, n) <= 1e-6
+            its[k] = int(r.iters)
+        assert its[2] < its[0]

@@ -107,6 +107,12 @@ def lib():
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.float64)]
+        l.tt_iluk.restype = i64
+        l.tt_iluk.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32), i64, i64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32)]
         l.tt_ghost_slots.restype = i64
         l.tt_ghost_slots.argtypes = [
             i64, np.ctypeslib.ndpointer(np.int64),
@@ -230,6 +236,27 @@ def ilut_native(n: int, row_ptr: np.ndarray, cols: np.ndarray,
                     u_ptr, u_cols[: u_ptr[n]], u_vals[: u_ptr[n]])
         cap = max(int(-r) * 2, cap * 2)
     raise RuntimeError("tt_ilut: fill capacity retry limit exceeded")
+
+
+def iluk_native(n: int, row_ptr: np.ndarray, cols: np.ndarray,
+                kfill: int):
+    """ILU(k) symbolic level-of-fill pattern (Ifpack2::IlukGraph role).
+    Returns (row_ptr, cols) of the augmented pattern, or None if the
+    native library is unavailable."""
+    l = lib()
+    if l is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    cap = max(int(row_ptr[-1]) * (kfill + 2), 16)
+    for _ in range(3):
+        out_ptr = np.empty(n + 1, np.int64)
+        out_cols = np.empty(cap, np.int32)
+        need = l.tt_iluk(n, row_ptr, cols, kfill, cap, out_ptr, out_cols)
+        if need <= cap:
+            return out_ptr, out_cols[:need]
+        cap = int(need)
+    return None  # pragma: no cover
 
 
 def ghost_slots_native(bc_cols: np.ndarray):

@@ -24,6 +24,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <queue>
+#include <set>
 #include <vector>
 
 extern "C" {
@@ -523,6 +524,76 @@ int64_t tt_ilut(int64_t n, const int64_t* a_ptr, const int32_t* a_cols,
     }
   }
   return lnnz + unnz;
+}
+
+// ---------------------------------------------------------------------------
+// ILU(k) symbolic level-of-fill (Ifpack2::IlukGraph analogue,
+// packages/ifpack2/src/Ifpack2_IlukGraph.hpp): the augmented sparsity
+// pattern with fill level <= kfill. Row-merge formulation: row i starts
+// at the levels of A's entries (0); each pivot k < i in the working row
+// (ascending; std::set insertions of j > k keep iterators valid) merges
+// row k's stored strict-upper pattern at level lev(i,k)+lev(k,j)+1,
+// keeping entries with level <= kfill. ILU(0) on this pattern (zeros at
+// fill positions) IS ILU(k) — the classical reduction the Python side
+// uses. Capacity protocol like tt_splu: returns required nnz; out
+// arrays are fully valid only when the result <= cap (out_ptr is always
+// filled, so the caller can retry with the exact size).
+// ---------------------------------------------------------------------------
+
+int64_t tt_iluk(int64_t n, const int64_t* a_ptr, const int32_t* a_cols,
+                int64_t kfill, int64_t cap,
+                int64_t* out_ptr, int32_t* out_cols) {
+  const int32_t ABSENT = INT32_MAX;
+  std::vector<int32_t> lev(n, ABSENT);
+  std::vector<int64_t> uptr(n + 1, 0);  // strict-upper pattern storage
+  std::vector<int32_t> ucols;
+  std::vector<int32_t> ulevs;
+  ucols.reserve(a_ptr[n]);
+  ulevs.reserve(a_ptr[n]);
+  int64_t total = 0;
+  out_ptr[0] = 0;
+  std::set<int32_t> act;
+  for (int64_t i = 0; i < n; ++i) {
+    act.clear();
+    for (int64_t p = a_ptr[i]; p < a_ptr[i + 1]; ++p) {
+      const int32_t c = a_cols[p];
+      if (lev[c] == ABSENT) act.insert(c);
+      lev[c] = 0;
+    }
+    for (auto it = act.begin(); it != act.end(); ++it) {
+      const int32_t k = *it;
+      if (k >= i) break;
+      const int32_t lk = lev[k];
+      for (int64_t p = uptr[k]; p < uptr[k + 1]; ++p) {
+        const int32_t j = ucols[p];
+        const int64_t nl = (int64_t)lk + ulevs[p] + 1;
+        if (nl <= kfill) {
+          if (lev[j] == ABSENT) {
+            act.insert(j);  // j > k: not yet visited in this traversal
+            lev[j] = (int32_t)nl;
+          } else if ((int32_t)nl < lev[j]) {
+            lev[j] = (int32_t)nl;
+          }
+        }
+      }
+    }
+    const int64_t cnt = (int64_t)act.size();
+    if (total + cnt <= cap) {
+      int64_t q = total;
+      for (int32_t c : act) out_cols[q++] = c;
+    }
+    total += cnt;
+    out_ptr[i + 1] = total;
+    for (int32_t c : act) {  // ascending: store strict upper + levels
+      if (c > i) {
+        ucols.push_back(c);
+        ulevs.push_back(lev[c]);
+      }
+      lev[c] = ABSENT;
+    }
+    uptr[i + 1] = (int64_t)ucols.size();
+  }
+  return total;
 }
 
 // ---------------------------------------------------------------------------

@@ -1,10 +1,13 @@
-"""ILU(0) with TPU-friendly iterative triangular solves.
+"""ILU(k) with TPU-friendly iterative triangular solves.
 
-TPU-native analogue of Ifpack2::RILUK at fill level 0
+TPU-native analogue of Ifpack2::RILUK
 (packages/ifpack2/src/Ifpack2_RILUK_decl.hpp:243 — initialize builds the
-fill graph, compute does the numeric factor, apply is two triangular
-solves via LocalSparseTriangularSolver,
-Ifpack2_LocalSparseTriangularSolver_decl.hpp:77).
+level-of-fill graph via IlukGraph (Ifpack2_IlukGraph.hpp; here
+``iluk_pattern``, native C++ tt_iluk), compute does the numeric factor,
+apply is two triangular solves via LocalSparseTriangularSolver,
+Ifpack2_LocalSparseTriangularSolver_decl.hpp:77). Fill level k > 0 uses
+the classical reduction: ILU(0) numerics on the level-k-augmented
+pattern ("fact: iluk level-of-fill", the reference's parameter name).
 
 Hard-part decision (SURVEY.md §7 hard-parts #4): level-scheduled sparse
 tri-solve is a TPU anti-pattern (many tiny sequential levels), so the
@@ -34,8 +37,84 @@ from .base import Preconditioner
 _SPECS = {
     "fact: sweeps": Param("fact: sweeps", 6,
                           doc="Jacobi sweeps per triangular solve"),
+    "fact: iluk level-of-fill": Param(
+        "fact: iluk level-of-fill", 0,
+        doc="ILU(k) fill level (Ifpack2::RILUK parameter): the numeric "
+            "factor runs on the level-k-augmented pattern"),
     "dtype": Param("dtype", None),
 }
+
+
+def iluk_pattern(a: CsrHost, kfill: int):
+    """ILU(k) symbolic level-of-fill pattern (Ifpack2::IlukGraph,
+    packages/ifpack2/src/Ifpack2_IlukGraph.hpp). Returns (row_ptr, cols)
+    of the augmented pattern. Native C++ fast path (tt_iluk); the Python
+    fallback is the same row-merge algorithm with a heap standing in for
+    the ordered working set."""
+    from ..native import iluk_native
+
+    n = a.shape[0]
+    out = iluk_native(n, a.row_ptr, a.cols, int(kfill))
+    if out is not None:
+        return out
+    import heapq
+
+    ABSENT = -1
+    lev = np.full(n, ABSENT, dtype=np.int64)
+    u_cols: list[np.ndarray] = []
+    u_levs: list[np.ndarray] = []
+    out_ptr = np.zeros(n + 1, np.int64)
+    out_cols: list[np.ndarray] = []
+    for i in range(n):
+        ci = a.cols[a.row_ptr[i]:a.row_ptr[i + 1]].astype(np.int64)
+        heap = list(ci)
+        heapq.heapify(heap)
+        lev[ci] = 0
+        seen = []
+        while heap:
+            k = heapq.heappop(heap)
+            if seen and k == seen[-1]:
+                continue  # duplicate push
+            seen.append(k)
+            if k >= i:
+                continue
+            lk = lev[k]
+            for j, lj in zip(u_cols[k], u_levs[k]):
+                nl = lk + lj + 1
+                if nl <= kfill:
+                    if lev[j] == ABSENT:
+                        lev[j] = nl
+                        heapq.heappush(heap, int(j))
+                    elif nl < lev[j]:
+                        lev[j] = nl
+        row = np.asarray(seen, dtype=np.int64)
+        out_cols.append(row)
+        out_ptr[i + 1] = out_ptr[i] + len(row)
+        up = row[row > i]
+        u_cols.append(up)
+        u_levs.append(lev[up].copy())
+        lev[row] = ABSENT
+    return out_ptr, np.concatenate(out_cols) if out_cols else np.zeros(
+        0, np.int64)
+
+
+def iluk_augment(a: CsrHost, kfill: int) -> CsrHost:
+    """A with EXPLICIT ZEROS at the ILU(k) fill positions: ILU(0) numeric
+    factorization on this pattern IS ILU(k) — the classical reduction."""
+    if kfill <= 0:
+        return a
+    ptr, cols = iluk_pattern(a, kfill)
+    n = a.shape[0]
+    vals = np.zeros(len(cols), dtype=np.float64)
+    # scatter A's values into the augmented (sorted-per-row) pattern
+    for i in range(n):
+        seg = slice(ptr[i], ptr[i + 1])
+        ac, av = a.row(i)
+        pos = np.searchsorted(cols[seg], ac) + ptr[i]
+        vals[pos] = av
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    return CsrHost.from_coo(rows, cols.astype(np.int64), vals, a.shape,
+                            sum_duplicates=False)
 
 
 def ilu0_factor(a: CsrHost) -> tuple[CsrHost, CsrHost]:
@@ -122,7 +201,8 @@ class Ilu0(Preconditioner):
     def _do_compute(self) -> None:
         dtype = self.params["dtype"] or self.a.vals.dtype
         sweeps = int(self.params["fact: sweeps"])
-        l_m, u_m = ilu0_factor(self.a)
+        lof = int(self.params["fact: iluk level-of-fill"])
+        l_m, u_m = ilu0_factor(iluk_augment(self.a, lof))
         n = self.a.shape[0]
         npad = round_up(n, ROW_ALIGN)
         self._l = choose_format(l_m, dtype=dtype)
