@@ -116,6 +116,7 @@ def create(name: str, a, params: ParameterList | dict | None = None,
         "RELAXATION": Relaxation,
         "CHEBYSHEV": Chebyshev,
         "RILUK": Ilu0,
+        "RBILUK": Ilu0,  # "fact: block size" > 1 → block-level ILU(k)
         "ILU": Ilu0,
         "ILU(0)": Ilu0,
         "ILUT": Ilut,

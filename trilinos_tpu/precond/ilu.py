@@ -41,6 +41,10 @@ _SPECS = {
         "fact: iluk level-of-fill", 0,
         doc="ILU(k) fill level (Ifpack2::RILUK parameter): the numeric "
             "factor runs on the level-k-augmented pattern"),
+    "fact: block size": Param(
+        "fact: block size", 1,
+        doc="b > 1 → RBILUK: block-level ILU(k) on the BSR block graph "
+            "(Ifpack2::Experimental::RBILUK)"),
     "dtype": Param("dtype", None),
 }
 
@@ -115,6 +119,55 @@ def iluk_augment(a: CsrHost, kfill: int) -> CsrHost:
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
     return CsrHost.from_coo(rows, cols.astype(np.int64), vals, a.shape,
                             sum_duplicates=False)
+
+
+def rbiluk_augment(a: CsrHost, block_size: int, kfill: int = 0) -> CsrHost:
+    """RBILUK pattern (Ifpack2::Experimental::RBILUK,
+    packages/ifpack2/src/Ifpack2_Experimental_RBILUK_decl.hpp): block-
+    level ILU(k) on the BSR block graph. Reduction used here: block LU
+    without pivoting equals SCALAR LU on the dense-block pattern, so the
+    factorization is (1) block graph of A, (2) level-k fill on the BLOCK
+    graph (``iluk_pattern``), (3) expand every kept block to a dense
+    b×b scalar patch (A's values where present, explicit zeros at fill),
+    (4) scalar ILU(0) numerics on that pattern."""
+    b = int(block_size)
+    n = a.shape[0]
+    if b <= 1:
+        return iluk_augment(a, kfill)
+    if n % b:
+        raise ValueError(f"matrix order {n} not a multiple of block "
+                         f"size {b}")
+    nb = n // b
+    rows_rep = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+    bkey = (rows_rep // b) * nb + a.cols.astype(np.int64) // b
+    bkey = np.unique(bkey)
+    brows, bcols_ = bkey // nb, bkey % nb
+    bptr = np.zeros(nb + 1, np.int64)
+    np.add.at(bptr, brows + 1, 1)
+    bptr = np.cumsum(bptr)
+    bgraph = CsrHost(bptr, bcols_.astype(np.int32),
+                     np.ones(len(bcols_)), (nb, nb))
+    if kfill > 0:
+        bptr, bcols_ = iluk_pattern(bgraph, kfill)
+        bcols_ = bcols_.astype(np.int64)
+    # expand each block to a dense b×b scalar patch
+    nblk = len(bcols_)
+    blk_rows = np.repeat(np.repeat(np.arange(nb), np.diff(bptr)), b * b)
+    blk_cols = np.repeat(bcols_, b * b)
+    ii = np.tile(np.repeat(np.arange(b), b), nblk)
+    jj = np.tile(np.tile(np.arange(b), b), nblk)
+    rows_s = blk_rows * b + ii
+    cols_s = blk_cols * b + jj
+    pattern = CsrHost.from_coo(rows_s, cols_s, np.zeros(len(rows_s)),
+                               a.shape, sum_duplicates=False)
+    # scatter A's values into the (sorted-per-row) expanded pattern
+    vals = pattern.vals.copy()
+    for i in range(n):
+        seg = slice(pattern.row_ptr[i], pattern.row_ptr[i + 1])
+        ac, av = a.row(i)
+        pos = np.searchsorted(pattern.cols[seg], ac) + pattern.row_ptr[i]
+        vals[pos] = av
+    return CsrHost(pattern.row_ptr, pattern.cols, vals, a.shape)
 
 
 def ilu0_factor(a: CsrHost) -> tuple[CsrHost, CsrHost]:
@@ -202,7 +255,10 @@ class Ilu0(Preconditioner):
         dtype = self.params["dtype"] or self.a.vals.dtype
         sweeps = int(self.params["fact: sweeps"])
         lof = int(self.params["fact: iluk level-of-fill"])
-        l_m, u_m = ilu0_factor(iluk_augment(self.a, lof))
+        bs = int(self.params["fact: block size"])
+        aug = (rbiluk_augment(self.a, bs, lof) if bs > 1
+               else iluk_augment(self.a, lof))
+        l_m, u_m = ilu0_factor(aug)
         n = self.a.shape[0]
         npad = round_up(n, ROW_ALIGN)
         self._l = choose_format(l_m, dtype=dtype)
