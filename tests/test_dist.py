@@ -270,3 +270,27 @@ class TestDistIlu:
         rel = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
         assert rel <= 1e-6
         assert int(res.iters) < int(plain.iters)
+
+
+class TestDistIluK:
+    def test_dist_iluk_fill_reduces_iterations(self):
+        """fill_level plumbs through the distributed local-ILU path."""
+        from trilinos_tpu.galeri import recirc2d
+        from trilinos_tpu.parallel import distmatrix as D
+        from trilinos_tpu.parallel import driver as drv
+        from trilinos_tpu.solvers import gmres
+
+        a = recirc2d(16, 16, diff=1e-2)
+        n = a.shape[0]
+        b = np.random.default_rng(3).standard_normal(n)
+        dm = D.distribute(a, 4)
+        mesh = drv.make_mesh(4)
+        bg = jnp.asarray(dm.row_map.to_padded(b))
+        its = {}
+        for k in (0, 2):
+            prec = drv.dist_ilu0(a, dm.row_map, sweeps=8, fill_level=k)
+            res = drv.dist_solve(gmres, dm, bg, mesh=mesh, prec=prec,
+                                 rtol=1e-8, maxiter=1000, restart=30)
+            assert bool(res.converged)
+            its[k] = int(res.iters)
+        assert its[2] < its[0]

@@ -435,16 +435,18 @@ def dist_cheb_fused(op, n_shards: int, degree: int = 4,
 
 
 def dist_ilu0(a: CsrHost, rmap: Map, sweeps: int = 6,
-              dtype=None) -> DistPrecond:
-    """Per-shard local ILU(0) (block-Jacobi ILU): each shard factors its
+              dtype=None, fill_level: int = 0) -> DistPrecond:
+    """Per-shard local ILU(k) (block-Jacobi ILU): each shard factors its
     LocalFilter (off-shard couplings dropped) — exactly the reference's
     parallel ILU composition (Ifpack2 LocalFilter + RILUK, SURVEY §3.5);
-    the apply is the fixed-sweep Jacobi triangular solve."""
+    the apply is the fixed-sweep Jacobi triangular solve. ``fill_level``
+    > 0 augments each local pattern with ILU(k) level-fill
+    (precond.ilu.iluk_pattern, the IlukGraph analogue)."""
     import jax.numpy as jnp
     import numpy as np
 
     from ..ops.formats import csr_to_ell
-    from ..precond.ilu import ilu0_factor
+    from ..precond.ilu import ilu0_factor, iluk_augment
 
     dtype = dtype or a.vals.dtype
     npl = rmap.n_local_pad
@@ -458,7 +460,7 @@ def dist_ilu0(a: CsrHost, rmap: Map, sweeps: int = 6,
         keep = (cs >= lo) & (cs < hi)
         local = CsrHost.from_coo(rs[keep] - lo, cs[keep] - lo, vs[keep],
                                  (hi - lo, hi - lo))
-        l_m, u_m = ilu0_factor(local)
+        l_m, u_m = ilu0_factor(iluk_augment(local, fill_level))
         shards.append((l_m, u_m))
     kl = max(max(l.max_row_length() for l, _ in shards), 1)
     ku = max(max(u.max_row_length() for _, u in shards), 1)
