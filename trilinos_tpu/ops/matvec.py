@@ -22,6 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .blas import HI
 from .formats import (BdiaMatrix, BsrMatrix, DiaMatrix, EllMatrix,
                       SparseMatrix)
 
@@ -45,7 +46,11 @@ def ell_spmm(a: EllMatrix, x: jax.Array) -> jax.Array:
     """y[i] = sum_k vals[i,k] * x[cols[i,k]]  (padding entries have val 0)."""
     x2, was_1d = _ensure_2d(x)
     gathered = x2.at[a.cols].get(mode="promise_in_bounds")
-    y = jnp.einsum("rk,rkn->rn", a.vals, gathered.astype(a.vals.dtype))
+    # precision pinned: this is an OPERATOR apply (ILU factors, AMG
+    # transfers, general ELL matrices) — the default bf16 input
+    # truncation would be a silent ~4e-3 perturbation of A itself
+    y = jnp.einsum("rk,rkn->rn", a.vals, gathered.astype(a.vals.dtype),
+                   precision=HI)
     return _restore(y, was_1d)
 
 
@@ -73,7 +78,7 @@ def bsr_spmm(a: BsrMatrix, x: jax.Array) -> jax.Array:
     panels = xb.at[a.bcols].get(mode="promise_in_bounds")
     # (nbr, kb, b, b) @ (nbr, kb, b, nrhs) -> (nbr, b, nrhs)
     y = jnp.einsum("rkij,rkjn->rin", a.bvals, panels.astype(a.bvals.dtype),
-                   preferred_element_type=a.bvals.dtype)
+                   preferred_element_type=a.bvals.dtype, precision=HI)
     y = y.reshape(-1, nrhs)
     return _restore(y, was_1d)
 
@@ -191,7 +196,7 @@ def bsr_spmm_t(a: BsrMatrix, x: jax.Array) -> jax.Array:
     xb = x2.reshape(-1, b, nrhs)[: a.n_brows_pad]
     # contribution of block (r,k): bvals[r,k]^T @ xb[r] into block bcols[r,k]
     contrib = jnp.einsum("rkij,rin->rkjn", a.bvals, xb.astype(a.bvals.dtype),
-                         preferred_element_type=a.bvals.dtype)
+                         preferred_element_type=a.bvals.dtype, precision=HI)
     n_bout = max(a.n_brows_pad, -(-a.n_cols // b))
     y = jnp.zeros((n_bout, b, nrhs), dtype=contrib.dtype)
     y = y.at[a.bcols.reshape(-1)].add(contrib.reshape(-1, b, nrhs),

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.blas import HI
 from ..ops.formats import (BsrMatrix, CsrHost, DiaMatrix, EllMatrix,
                            ROW_ALIGN, csr_to_dia, csr_to_ell, round_up)
 from ..ops.matvec import spmv
@@ -844,7 +845,8 @@ def apply_local(mat_interior, mat_boundary: BoundaryPart, plan: HaloPlan,
     ext = jnp.concatenate([x2, g2.astype(x2.dtype)], axis=0)
     gathered = ext.at[mat_boundary.cols].get(mode="promise_in_bounds")
     contrib = jnp.einsum("rk,rkn->rn", mat_boundary.vals,
-                         gathered.astype(mat_boundary.vals.dtype))
+                         gathered.astype(mat_boundary.vals.dtype),
+                         precision=HI)
     y2 = y[:, None] if was_1d else y
     y2 = y2.at[mat_boundary.rows_idx].add(contrib, mode="promise_in_bounds")
     return y2[:, 0] if was_1d else y2
