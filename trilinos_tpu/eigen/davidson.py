@@ -26,8 +26,9 @@ from jax import lax
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
-from .krylov_schur import (EigsResult, _mcholqr, _mortho_block,
-                           _select_expansion_columns)
+from .krylov_schur import (EigsResult, _expansion_quality,
+                           _filter_rescale_block, _mcholqr2,
+                           _mortho_block)
 
 
 @hi_precision
@@ -116,19 +117,15 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                 bq = jnp.eye(nb, dtype=q.dtype)
                 cmax = jnp.zeros((nb,), q.dtype)
             else:
+                # In f32 a near-singular expansion block (converged
+                # residuals) defeats M-CholQR — the Gram's rounding
+                # noise is the same order as the chol floor — and
+                # inserting such a column poisons the projected matrix
+                # with spurious Ritz values (observed on chip: λ 30-75×
+                # λmax). The host filters/rescales on the quality
+                # measures (_select_expansion_columns).
                 q, mq = _mortho_block(comm, mass, s, ms_, t)
-                # block quality: the TRUE M-Gram qᵀMq and worst cross-
-                # Gram entry vs the basis. In f32 a near-singular
-                # expansion block (converged residuals) defeats M-CholQR
-                # — the Gram's rounding noise is the same order as the
-                # chol floor — and inserting such a column poisons the
-                # projected matrix with spurious Ritz values (observed
-                # on chip: λ 30-75× λmax). The host filters/rescales via
-                # _select_expansion_columns.
-                bq = comm.psum(jnp.einsum("nk,nm->km", q, mq,
-                                          preferred_element_type=q.dtype))
-                cmax = jnp.max(jnp.abs(comm.psum(
-                    ms_[:, :k].T @ q)), axis=0)
+                bq, cmax = _expansion_quality(comm, q, mq, ms_, k)
             return tsel, x, resn, q, mq, bq, cmax
 
         return step
@@ -139,8 +136,7 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
         q0, _, _ = cholqr2(comm, v0.astype(dtype))
         mq0 = q0
     else:
-        q0, mq0, _ = _mcholqr(comm, mass, v0.astype(dtype))
-        q0, mq0, _ = _mcholqr(comm, mass, q0)  # second pass (CholQR2)
+        q0, mq0 = _mcholqr2(comm, mass, v0.astype(dtype))
     s = jnp.zeros((n, smax), dtype).at[:, :nb].set(q0)
     as_ = jnp.zeros((n, smax), dtype).at[:, :nb].set(op(q0))
     ms_ = (jnp.zeros((n, smax), dtype).at[:, :nb].set(mq0)
@@ -157,10 +153,6 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
         converged = bool((np.asarray(resn) <= tol * scale).all())
         if converged:
             break
-        if mass is not None:
-            good, colscale = _select_expansion_columns(bq, cmax)
-            if len(good) == 0:
-                break  # expansion fully degenerate: honest stagnation
         if k + nb > smax:
             # restart: collapse to the leading Ritz block(s). zk has
             # orthonormal columns, so S·zk stays (M-)orthonormal:
@@ -181,10 +173,10 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
             k = keep
             continue
         if mass is not None:
-            idx = jnp.asarray(good)
-            inv = jnp.asarray(colscale[good], q.dtype)[None, :]
-            q = jnp.take(q, idx, axis=1) * inv
-            mq = jnp.take(mq, idx, axis=1) * inv
+            filtered = _filter_rescale_block(q, mq, bq, cmax)
+            if filtered is None:
+                break  # expansion fully degenerate: honest stagnation
+            q, mq = filtered
         g = q.shape[1]
         s = s.at[:, k:k + g].set(q)
         as_ = as_.at[:, k:k + g].set(op(q))

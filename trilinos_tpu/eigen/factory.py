@@ -83,8 +83,9 @@ class EigenProblem:
     v0: np.ndarray | None = None  # initial block (n, w) or vector (n,)
     dtype: object = jnp.float64
     # optional SPD mass operator -> GENERALIZED pencil A x = lam M x
-    # (BasicEigenproblem setM, AnasaziBasicEigenproblem.hpp:60);
-    # honored by LOBPCG / TraceMin / Block Krylov-Schur
+    # (BasicEigenproblem setM, AnasaziBasicEigenproblem.hpp:60); honored
+    # by every symmetric kind (LOBPCG / TraceMin / Block Krylov-Schur /
+    # Block Davidson / RTR) plus Generalized Davidson
     m: Callable | None = None
 
 
@@ -132,7 +133,7 @@ class EigenSolverManager:
             raise ValueError(
                 f"{self.name!r} does not support a mass matrix (M); "
                 "use 'Block Krylov-Schur', 'LOBPCG', 'TraceMin', "
-                "'Block Davidson', or 'Generalized Davidson' "
+                "'Block Davidson', 'Generalized Davidson', or 'RTR' "
                 "for generalized problems")
 
         if self.kind == "bks":

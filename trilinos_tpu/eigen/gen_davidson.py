@@ -25,8 +25,9 @@ import jax.numpy as jnp
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
-from .krylov_schur import (EigsResult, _mcholqr, _mortho_block,
-                           _select_expansion_columns)
+from .krylov_schur import (EigsResult, _expansion_quality,
+                           _filter_rescale_block, _mcholqr2,
+                           _mortho_block)
 
 
 def _schur_select(h: np.ndarray, nsel: int, which: str):
@@ -148,9 +149,7 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
             # block quality (see davidson.py: f32 M-CholQR on a
             # near-singular block yields columns whose true M-norm is
             # far from 1 — the host filters/rescales before insertion)
-            bq = comm.psum(jnp.einsum("nk,nm->km", q, mq,
-                                      preferred_element_type=q.dtype))
-            cmax = jnp.max(jnp.abs(comm.psum(ms_[:, :k].T @ q)), axis=0)
+            bq, cmax = _expansion_quality(comm, q, mq, ms_, k)
             return q, mq, bq, cmax
         return expand
 
@@ -160,8 +159,7 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
         q0, _, _ = cholqr2(comm, v0.astype(dtype))
         mq0 = q0
     else:
-        q0, mq0, _ = _mcholqr(comm, mass, v0.astype(dtype))
-        q0, mq0, _ = _mcholqr(comm, mass, q0)  # second pass (CholQR2)
+        q0, mq0 = _mcholqr2(comm, mass, v0.astype(dtype))
     s = jnp.zeros((n, smax), dtype).at[:, :nb].set(q0)
     as_ = jnp.zeros((n, smax), dtype).at[:, :nb].set(op(q0))
     ms_ = (jnp.zeros((n, smax), dtype).at[:, :nb].set(mq0)
@@ -212,13 +210,10 @@ def generalized_davidson(op: Operator, n: int, nev: int, *,
             blk = jnp.concatenate([blk, as_[:, :k] @ c], axis=1)
         q, mq, bq, cmax = expand_fn(k)(s, ms_, prec(blk))
         if mass is not None:
-            good, colscale = _select_expansion_columns(bq, cmax)
-            if len(good) == 0:
+            filtered = _filter_rescale_block(q, mq, bq, cmax)
+            if filtered is None:
                 break  # expansion fully degenerate: honest stagnation
-            idx = jnp.asarray(good)
-            inv = jnp.asarray(colscale[good], q.dtype)[None, :]
-            q = jnp.take(q, idx, axis=1) * inv
-            mq = jnp.take(mq, idx, axis=1) * inv
+            q, mq = filtered
         g = q.shape[1]
         s = s.at[:, k:k + g].set(q)
         as_ = as_.at[:, k:k + g].set(op(q))

@@ -160,6 +160,39 @@ def _select_expansion_columns(b, cmax, *, corr_tol=2e-3, basis_tol=2e-3):
             1.0 / np.sqrt(np.maximum(d, 1e-300)))
 
 
+def _filter_rescale_block(q, mq, bq, cmax):
+    """Host-side application of ``_select_expansion_columns``: keep the
+    healthy columns of an M-orthonormalized expansion block, rescaled to
+    exactly unit M-norm. Returns (q, mq) or None when every column is
+    degenerate (the caller should stop: honest stagnation). Shared by
+    the Davidson-family solvers."""
+    good, colscale = _select_expansion_columns(bq, cmax)
+    if len(good) == 0:
+        return None
+    idx = jnp.asarray(good)
+    inv = jnp.asarray(colscale[good], q.dtype)[None, :]
+    return jnp.take(q, idx, axis=1) * inv, jnp.take(mq, idx, axis=1) * inv
+
+
+def _mcholqr2(comm, m_op, w):
+    """Two M-metric CholQR passes (the CholQR2 of the M inner product):
+    returns (q, mq) with qᵀMq ≈ I to working precision for
+    well-conditioned panels."""
+    q, mq, _ = _mcholqr(comm, m_op, w)
+    q, mq, _ = _mcholqr(comm, m_op, q)
+    return q, mq
+
+
+def _expansion_quality(comm, q, mq, ms_, k):
+    """Block quality measures for the host-side expansion filter: the
+    TRUE M-Gram qᵀMq and the worst cross-Gram entry vs the basis prefix
+    (see _select_expansion_columns). Shared by the Davidson family."""
+    bq = comm.psum(jnp.einsum("nk,nm->km", q, mq,
+                              preferred_element_type=q.dtype))
+    cmax = jnp.max(jnp.abs(comm.psum(ms_[:, :k].T @ q)), axis=0)
+    return bq, cmax
+
+
 def _extend_gen(op, m_op, m_solve, comm, m, nb):
     """Generalized block-Lanczos expansion in the M inner product:
     K = M⁻¹A applies (``m_solve`` approximating M⁻¹), projections
@@ -290,8 +323,7 @@ def block_krylov_schur(op: Operator, n: int, nev: int, *,
         q0, _, _ = cholqr2(comm, v0.astype(dtype))
         mq0 = None
     else:
-        q0, mq0, _ = _mcholqr(comm, mass, v0.astype(dtype))
-        q0, mq0, _ = _mcholqr(comm, mass, q0)  # second pass (CholQR2)
+        q0, mq0 = _mcholqr2(comm, mass, v0.astype(dtype))
     v = jnp.zeros((n, m + nb), dtype)
     v = v.at[:, :nb].set(q0)
     vm = (jnp.zeros((n, m + nb), dtype).at[:, :nb].set(mq0)

@@ -33,7 +33,7 @@ from jax import lax
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cholqr2
-from .krylov_schur import EigsResult, _mcholqr
+from .krylov_schur import EigsResult, _mcholqr2
 
 
 @hi_precision
@@ -58,11 +58,15 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         v0 = jnp.asarray(rng.standard_normal((n, p)), dtype=dtype)
 
     def small_chol_solve(gram, rhs):
-        """(p×p SPD) gram⁻¹ rhs via Cholesky with a tiny floor."""
+        """(p×p SPD) gram⁻¹ rhs via Cholesky, floor scaled by the Gram's
+        own magnitude (trace/k) — an absolute eps floor would dominate
+        when ‖M‖ is small (FE mass diagonals scale like h²)."""
         eps = jnp.finfo(rhs.dtype).eps
         k = gram.shape[0]
-        l = jnp.linalg.cholesky((gram + gram.T) / 2
-                                + 10 * eps * jnp.eye(k, dtype=gram.dtype))
+        l = jnp.linalg.cholesky(
+            (gram + gram.T) / 2
+            + (10 * eps) * (jnp.trace(gram) / k)
+            * jnp.eye(k, dtype=gram.dtype))
         y = lax.linalg.triangular_solve(l, rhs, left_side=True, lower=True)
         return lax.linalg.triangular_solve(l, y, left_side=True, lower=True,
                                            transpose_a=True)
@@ -155,9 +159,7 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         if mass is None:
             q, _, _ = cholqr2(comm, w)
             return q, q
-        q, mq, _ = _mcholqr(comm, mass, w)
-        q, mq, _ = _mcholqr(comm, mass, q)  # second pass (CholQR2)
-        return q, mq
+        return _mcholqr2(comm, mass, w)
 
     @jax.jit
     def model_decrease(g, eta, heta):

@@ -1215,7 +1215,7 @@ def dist_eigsolve(eigsolver: Callable, a: DistMatrix, nev: int, *,
             raise ValueError(
                 f"{name or eigsolver!r} does not support a mass matrix; "
                 "use lobpcg, tracemin, block_davidson, "
-                "generalized_davidson, or block_krylov_schur for "
+                "generalized_davidson, rtr, or block_krylov_schur for "
                 "generalized pencils")
 
     if len(params) > 1 and params[1] == "n":

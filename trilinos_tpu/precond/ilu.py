@@ -109,7 +109,7 @@ def iluk_augment(a: CsrHost, kfill: int) -> CsrHost:
         return a
     ptr, cols = iluk_pattern(a, kfill)
     n = a.shape[0]
-    vals = np.zeros(len(cols), dtype=np.float64)
+    vals = np.zeros(len(cols), dtype=a.vals.dtype)
     # scatter A's values into the augmented (sorted-per-row) pattern
     for i in range(n):
         seg = slice(ptr[i], ptr[i + 1])
@@ -158,7 +158,8 @@ def rbiluk_augment(a: CsrHost, block_size: int, kfill: int = 0) -> CsrHost:
     jj = np.tile(np.tile(np.arange(b), b), nblk)
     rows_s = blk_rows * b + ii
     cols_s = blk_cols * b + jj
-    pattern = CsrHost.from_coo(rows_s, cols_s, np.zeros(len(rows_s)),
+    pattern = CsrHost.from_coo(rows_s, cols_s,
+                               np.zeros(len(rows_s), dtype=a.vals.dtype),
                                a.shape, sum_duplicates=False)
     # scatter A's values into the (sorted-per-row) expanded pattern
     vals = pattern.vals.copy()
