@@ -166,6 +166,31 @@ class TestSerialGeneralized:
         np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
                                    w_ref, rtol=1e-6)
 
+    def test_small_norm_mass_scaling(self, fe_pencil, rng):
+        """‖M‖ ≪ 1 (fine-mesh FE mass diagonals scale like h²): the
+        Gram floors must scale with the Gram, not with eps — an
+        absolute floor swamps the projector/whitening and corrupts
+        results (round-5 review finding on rtr.small_chol_solve)."""
+        from trilinos_tpu.eigen import rtr
+
+        ka, ma, w_ref = fe_pencil
+        scale = 1e-6
+        ma2 = F.CsrHost(ma.row_ptr, ma.cols, ma.vals * scale, ma.shape)
+        op, mop, n, npad = padded_ops(ka, ma2)
+        v0 = np.zeros((npad, 4))
+        v0[:n] = rng.standard_normal((n, 4))
+        res = rtr(op, npad, 4, tol=1e-8, maxiter=200,
+                  v0=jnp.asarray(v0), m=mop)
+        assert res.converged
+        np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                                   w_ref / scale, rtol=1e-6)
+        res_bd = block_davidson(op, npad, 4, which="SA", tol=1e-8,
+                                maxiter=300, v0=jnp.asarray(v0), m=mop)
+        assert res_bd.converged
+        np.testing.assert_allclose(
+            np.sort(np.asarray(res_bd.eigenvalues)), w_ref / scale,
+            rtol=1e-6)
+
     def test_eigvec_pencil_residual(self, fe_pencil, rng):
         """‖K x − λ M x‖ small for every returned pair (LOBPCG)."""
         ka, ma, _ = fe_pencil

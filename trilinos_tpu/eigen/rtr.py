@@ -167,7 +167,11 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
                  + 0.5 * comm.psum(jnp.sum(eta * heta)))
 
     x, mx = retract(v0.astype(dtype), jnp.zeros_like(v0, dtype=dtype))
-    delta = float(np.sqrt(p))  # initial trust radius ~ ||X||_F
+    # initial trust radius = the ACTUAL ‖X‖_F: an M-orthonormal block has
+    # Euclidean column norms ~ 1/√‖M‖ (√p only when M = I), and the tCG
+    # steps live in that Euclidean scale — a fixed √p radius strangles
+    # the steps whenever ‖M‖ ≪ 1 (h²-scaled FE mass matrices)
+    delta = float(np.sqrt(comm.psum(jnp.sum(x * x))))
     delta_bar = 10 * delta
     rho_prime = 0.1
 
