@@ -104,6 +104,44 @@ def main():
     ok = bool(jnp.all(res2.converged))
     check("config 2 (Jacobi-GMRES nrhs=4, SpMM kernel)", ok,
           f"iters={int(res2.iters)} t={time.time()-t0:.0f}s")
+
+    # --- round 5: solver-reduction precision (HIGHEST vs MXU bf16) ------
+    # A unit-norm f32 Gram must come out exact to ~1e-6; the default MXU
+    # path truncates inputs to bf16 (~4e-3) — this catches the precision
+    # pin regressing (ops/blas.py HI, docs/PRECISION.md rule 3).
+    from trilinos_tpu.ops.blas import local_dot, mv_trans_mv
+
+    rng5 = np.random.default_rng(5)
+    w = np.linalg.qr(rng5.standard_normal((1 << 15, 6)))[0]
+    wd = jnp.asarray(w, jnp.float32)
+    g = np.asarray(jax.jit(lambda v: mv_trans_mv(v, v))(wd), np.float64)
+    gerr = float(np.max(np.abs(g - w.T @ w)))
+    check("Gram precision (HIGHEST pin)", gerr < 1e-5, f"err={gerr:.1e}")
+    dd = np.asarray(jax.jit(local_dot)(wd, wd), np.float64)
+    derr = float(np.max(np.abs(dd - np.sum(w * w, axis=0))))
+    check("dot precision (HIGHEST pin)", derr < 1e-5, f"err={derr:.1e}")
+
+    # --- round 5: generalized pencil Davidson on chip (f32) -------------
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from trilinos_tpu.eigen import block_davidson
+
+    nn = 256
+    a5 = sp.diags([2.0 + rng5.random(nn), -0.9 * np.ones(nn - 1),
+                   -0.9 * np.ones(nn - 1)], [0, -1, 1]).tocsr()
+    m5 = sp.diags([2.0 + rng5.random(nn), 0.3 * np.ones(nn - 1),
+                   0.3 * np.ones(nn - 1)], [0, -1, 1]).tocsr()
+    ad = jnp.asarray(a5.toarray(), jnp.float32)
+    md = jnp.asarray(m5.toarray(), jnp.float32)
+    res5 = block_davidson(lambda v: ad @ v, nn, 3, which="LA", tol=1e-4,
+                          maxiter=200, m=lambda v: md @ v,
+                          dtype=jnp.float32)
+    w_ref = np.sort(spla.eigsh(a5, k=3, M=m5, which="LM",
+                               return_eigenvectors=False))
+    perr = float(np.max(np.abs(np.sort(res5.eigenvalues) - w_ref)
+                        / np.abs(w_ref)))
+    check("pencil Davidson f32 on chip", perr < 1e-3,
+          f"rel_err={perr:.1e} conv={res5.converged}")
     print("chip_verify: ALL PASS", flush=True)
 
 
