@@ -112,11 +112,12 @@ def _mortho_block(comm, m_op, v, vm, w):
     honest unit vector and leaves block-orthonormalized. All inputs keep
     exactly-zero pad rows, so junk directions stay in the true subspace.
     Returns (q, mq) with qᵀMq ≈ I."""
+    from ..ops.blas import local_dot
+
     tiny = jnp.finfo(w.dtype).tiny
 
     def renorm(x, mx):
-        d = comm.psum(jnp.einsum("nk,nk->k", x, mx,
-                                 preferred_element_type=x.dtype))
+        d = comm.psum(local_dot(x, mx))
         inv = 1.0 / jnp.sqrt(jnp.maximum(d, tiny))
         return x * inv[None, :], mx * inv[None, :]
 
@@ -169,6 +170,8 @@ def _filter_rescale_block(q, mq, bq, cmax):
     good, colscale = _select_expansion_columns(bq, cmax)
     if len(good) == 0:
         return None
+    if len(good) == bq.shape[0] and np.allclose(colscale, 1.0, atol=1e-3):
+        return q, mq  # healthy block: skip the device gather/rescale
     idx = jnp.asarray(good)
     inv = jnp.asarray(colscale[good], q.dtype)[None, :]
     return jnp.take(q, idx, axis=1) * inv, jnp.take(mq, idx, axis=1) * inv
@@ -187,9 +190,10 @@ def _expansion_quality(comm, q, mq, ms_, k):
     """Block quality measures for the host-side expansion filter: the
     TRUE M-Gram qᵀMq and the worst cross-Gram entry vs the basis prefix
     (see _select_expansion_columns). Shared by the Davidson family."""
-    bq = comm.psum(jnp.einsum("nk,nm->km", q, mq,
-                              preferred_element_type=q.dtype))
-    cmax = jnp.max(jnp.abs(comm.psum(ms_[:, :k].T @ q)), axis=0)
+    from ..ops.blas import mv_trans_mv
+
+    bq = comm.psum(mv_trans_mv(q, mq))
+    cmax = jnp.max(jnp.abs(comm.psum(mv_trans_mv(ms_[:, :k], q))), axis=0)
     return bq, cmax
 
 

@@ -102,6 +102,19 @@ def iluk_pattern(a: CsrHost, kfill: int):
         0, np.int64)
 
 
+def _scatter_positions(rows_pat, cols_pat, a: CsrHost) -> np.ndarray:
+    """Positions of A's entries inside a superset pattern (both
+    row-major sorted): ONE vectorized searchsorted over the combined
+    (row, col) keys — replaces a per-row Python loop on the setup
+    path."""
+    ncp1 = a.shape[1] + 1
+    keys_pat = rows_pat * ncp1 + cols_pat.astype(np.int64)
+    rows_a = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                       a.row_lengths())
+    keys_a = rows_a * ncp1 + a.cols.astype(np.int64)
+    return np.searchsorted(keys_pat, keys_a)
+
+
 def iluk_augment(a: CsrHost, kfill: int) -> CsrHost:
     """A with EXPLICIT ZEROS at the ILU(k) fill positions: ILU(0) numeric
     factorization on this pattern IS ILU(k) — the classical reduction."""
@@ -109,14 +122,9 @@ def iluk_augment(a: CsrHost, kfill: int) -> CsrHost:
         return a
     ptr, cols = iluk_pattern(a, kfill)
     n = a.shape[0]
-    vals = np.zeros(len(cols), dtype=a.vals.dtype)
-    # scatter A's values into the augmented (sorted-per-row) pattern
-    for i in range(n):
-        seg = slice(ptr[i], ptr[i + 1])
-        ac, av = a.row(i)
-        pos = np.searchsorted(cols[seg], ac) + ptr[i]
-        vals[pos] = av
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    vals = np.zeros(len(cols), dtype=a.vals.dtype)
+    vals[_scatter_positions(rows, cols, a)] = a.vals
     return CsrHost.from_coo(rows, cols.astype(np.int64), vals, a.shape,
                             sum_duplicates=False)
 
@@ -161,13 +169,10 @@ def rbiluk_augment(a: CsrHost, block_size: int, kfill: int = 0) -> CsrHost:
     pattern = CsrHost.from_coo(rows_s, cols_s,
                                np.zeros(len(rows_s), dtype=a.vals.dtype),
                                a.shape, sum_duplicates=False)
-    # scatter A's values into the (sorted-per-row) expanded pattern
     vals = pattern.vals.copy()
-    for i in range(n):
-        seg = slice(pattern.row_ptr[i], pattern.row_ptr[i + 1])
-        ac, av = a.row(i)
-        pos = np.searchsorted(pattern.cols[seg], ac) + pattern.row_ptr[i]
-        vals[pos] = av
+    rows_pat = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(pattern.row_ptr))
+    vals[_scatter_positions(rows_pat, pattern.cols, a)] = a.vals
     return CsrHost(pattern.row_ptr, pattern.cols, vals, a.shape)
 
 
