@@ -31,3 +31,18 @@ def test_kind_loop_reports_all_failures():
             run_all_solver_kinds(2)
     finally:
         del fct.ALIASES["__FAKE"]
+
+
+def test_every_eigen_kind_solves_on_mesh():
+    """Same contract for the eigensolver factory: every kind runs
+    distributed, mass-aware kinds also as a generalized pencil."""
+    from trilinos_tpu.eigen import factory as efct
+    from trilinos_tpu.parallel.solve_kinds import run_all_eigen_kinds
+
+    results = run_all_eigen_kinds(4)
+    base_kinds = {k.split("+")[0] for k in results}
+    assert base_kinds == set(efct.ALIASES.values())
+    # the six mass-aware kinds also ran as pencils
+    assert {k for k in results if k.endswith("+M")} == {
+        "lobpcg+M", "davidson+M", "gen_davidson+M", "tracemin+M",
+        "rtr+M", "bks+M"}

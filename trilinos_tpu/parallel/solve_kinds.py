@@ -191,3 +191,84 @@ def run_all_solver_kinds(n_devices: int, *, rtol: float = 1e-4,
             f"{len(failures)} distributed solver kind(s) FAILED on the "
             f"{n_devices}-device mesh:\n{lines}")
     return results
+
+
+def run_all_eigen_kinds(n_devices: int, *, tol: float = 1e-3,
+                        maxiter: int = 40, mesh=None) -> dict:
+    """Distributed-eigsolve every factory kind over the mesh — one small
+    SPD standard problem per kind, plus the generalized pencil for every
+    mass-aware kind (the Anasazi setM surface). Same contract as
+    ``run_all_solver_kinds``: coverage asserted against
+    ``eigen.factory.ALIASES``; raises listing every failing kind."""
+    from ..eigen import (block_davidson, block_krylov_schur,
+                         generalized_davidson, lanczos_eigs, lobpcg,
+                         power_method, rtr, tracemin)
+    from ..eigen import factory as efct
+    from ..galeri import laplace2d
+    from . import distmatrix as D
+    from . import driver as drv
+
+    a = laplace2d(8, 2 * n_devices, dtype=np.float64)
+    dm = D.distribute(a, n_devices, fmt="ell")
+    mesh = mesh or drv.make_mesh(n_devices)
+    common = dict(mesh=mesh, tol=tol, maxiter=maxiter)
+
+    def bks(**kw):
+        return drv.dist_eigsolve(block_krylov_schur, dm, 2, mesh=mesh,
+                                 tol=tol, **kw)
+
+    runners = {
+        "lobpcg": lambda: drv.dist_eigsolve(lobpcg, dm, 2, which="LM",
+                                            **common),
+        "davidson": lambda: drv.dist_eigsolve(block_davidson, dm, 2,
+                                              which="LA", **common),
+        "gen_davidson": lambda: drv.dist_eigsolve(
+            generalized_davidson, dm, 2, which="LR", **common),
+        "tracemin": lambda: drv.dist_eigsolve(tracemin, dm, 2, **common),
+        "rtr": lambda: drv.dist_eigsolve(rtr, dm, 2, **common),
+        "bks": bks,
+        "lanczos": lambda: drv.dist_eigsolve(lanczos_eigs, dm, 2,
+                                             mesh=mesh, which="LM"),
+        "power": lambda: drv.dist_eigsolve(power_method, dm, 1, mesh=mesh,
+                                           tol=tol, maxiter=maxiter),
+        # mass-aware kinds again as PENCILS (M = the same SPD matrix →
+        # eigenvalues 1; exercises the dist mass plumbing)
+        "lobpcg+M": lambda: drv.dist_eigsolve(
+            lobpcg, dm, 2, which="LM", mass_matrix=dm, **common),
+        "davidson+M": lambda: drv.dist_eigsolve(
+            block_davidson, dm, 2, which="LA", mass_matrix=dm, **common),
+        "gen_davidson+M": lambda: drv.dist_eigsolve(
+            generalized_davidson, dm, 2, which="LR", mass_matrix=dm,
+            **common),
+        "tracemin+M": lambda: drv.dist_eigsolve(
+            tracemin, dm, 2, mass_matrix=dm, **common),
+        "rtr+M": lambda: drv.dist_eigsolve(rtr, dm, 2, mass_matrix=dm,
+                                           **common),
+        "bks+M": lambda: bks(mass_matrix=dm, m_solve_iters=20),
+    }
+    missing = set(efct.ALIASES.values()) - {
+        k.split("+")[0] for k in runners}
+    if missing:
+        raise RuntimeError(
+            f"eigen kinds with no distributed coverage: {sorted(missing)}"
+            " — add runners in parallel/solve_kinds.py")
+
+    results, failures = {}, {}
+    for kind, run in sorted(runners.items()):
+        try:
+            res = run()
+            # lanczos_eigs returns (theta, vecs); the rest a result object
+            ev = np.asarray(res[0] if isinstance(res, tuple)
+                            else res.eigenvalues)
+            if not np.all(np.isfinite(ev)):
+                raise AssertionError(f"non-finite eigenvalues {ev}")
+            results[kind] = res
+        except Exception as e:  # noqa: BLE001 — gate reports ALL failures
+            failures[kind] = f"{type(e).__name__}: {e}"
+    if failures:
+        lines = "\n".join(f"  {k}: {v[:300]}" for k, v in
+                          sorted(failures.items()))
+        raise RuntimeError(
+            f"{len(failures)} distributed eigensolver kind(s) FAILED on "
+            f"the {n_devices}-device mesh:\n{lines}")
+    return results
