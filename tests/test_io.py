@@ -325,3 +325,82 @@ class TestVtk:
         write_vtk(ph, hexm)
         _, _, hconn, _, _ = read_vtk(ph)
         np.testing.assert_array_equal(hconn, hexm.connect)
+
+
+class TestComplexMatrixMarket:
+    """Complex / hermitian MatrixMarket files (the reference's templated
+    reader supports complex Scalars; here they compose with ops.komplex
+    equivalent-real solves)."""
+
+    def _write(self, tmp_path, text, name="z.mtx"):
+        p = tmp_path / name
+        p.write_text(text)
+        return str(p)
+
+    def test_complex_coordinate_general(self, tmp_path):
+        from trilinos_tpu.io.matrix_market import read_sparse
+
+        path = self._write(tmp_path, """%%MatrixMarket matrix coordinate complex general
+3 3 4
+1 1 2.0 1.0
+2 2 3.0 -0.5
+3 3 4.0 0.0
+1 3 0.5 0.25
+""")
+        a = read_sparse(path)
+        dense = a.to_dense()
+        assert dense.dtype.kind == "c"
+        assert dense[0, 0] == 2.0 + 1.0j
+        assert dense[0, 2] == 0.5 + 0.25j
+        assert dense[2, 0] == 0.0
+
+    def test_hermitian_coordinate(self, tmp_path):
+        from trilinos_tpu.io.matrix_market import read_sparse
+
+        path = self._write(tmp_path, """%%MatrixMarket matrix coordinate complex hermitian
+2 2 3
+1 1 2.0 0.0
+2 2 3.0 0.0
+2 1 1.0 0.5
+""")
+        a = read_sparse(path).to_dense()
+        assert a[1, 0] == 1.0 + 0.5j
+        assert a[0, 1] == 1.0 - 0.5j  # conjugate mirror
+
+    def test_complex_read_then_solve(self, tmp_path):
+        from trilinos_tpu.io.matrix_market import read_sparse
+        from trilinos_tpu.ops import komplex
+
+        rng = np.random.default_rng(9)
+        n = 12
+        az = (rng.standard_normal((n, n))
+              + 1j * rng.standard_normal((n, n)) + 8 * np.eye(n))
+        lines = [f"%%MatrixMarket matrix coordinate complex general",
+                 f"{n} {n} {n * n}"]
+        for i in range(n):
+            for j in range(n):
+                lines.append(
+                    f"{i+1} {j+1} {az[i, j].real:.17g} {az[i, j].imag:.17g}")
+        path = self._write(tmp_path, "\n".join(lines) + "\n")
+        a = read_sparse(path)
+        np.testing.assert_allclose(a.to_dense(), az, rtol=1e-14)
+        bz = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        z, res = komplex.solve_complex(a, bz)
+        np.testing.assert_allclose(z, np.linalg.solve(az, bz),
+                                   rtol=1e-5, atol=1e-8)
+
+    def test_complex_array_format(self, tmp_path):
+        from trilinos_tpu.io.matrix_market import read_sparse
+
+        path = self._write(tmp_path, """%%MatrixMarket matrix array complex general
+2 2
+1.0 0.5
+2.0 0.0
+3.0 -1.0
+4.0 0.25
+""")
+        a = read_sparse(path).to_dense()
+        # column-major: (1,1)=(1+0.5j) (2,1)=(2) (1,2)=(3-1j) (2,2)=(4+0.25j)
+        assert a[0, 0] == 1.0 + 0.5j
+        assert a[1, 0] == 2.0
+        assert a[0, 1] == 3.0 - 1.0j

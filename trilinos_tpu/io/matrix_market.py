@@ -79,14 +79,23 @@ def read_sparse(path_or_file) -> CsrHost:
             cols = data[:, 1].astype(np.int64) - 1
             if field == "pattern":
                 vals = np.ones(nnz)
+            elif field == "complex":
+                # four columns: row col Re Im (the reference's templated
+                # reader handles complex Scalars the same way,
+                # MatrixMarket_Tpetra.hpp; solve via ops.komplex)
+                vals = data[:, 2] + 1j * data[:, 3]
             else:
                 vals = data[:, 2]
-            if symm in ("symmetric", "skew-symmetric"):
+            if symm in ("symmetric", "skew-symmetric", "hermitian"):
                 off = rows != cols
-                sgn = -1.0 if symm == "skew-symmetric" else 1.0
+                mirrored = vals[off]
+                if symm == "skew-symmetric":
+                    mirrored = -mirrored
+                elif symm == "hermitian":
+                    mirrored = np.conj(mirrored)
                 rows = np.concatenate([rows, cols[off]])
                 cols2 = np.concatenate([cols, data[off, 0].astype(np.int64) - 1])
-                vals = np.concatenate([vals, sgn * vals[off]])
+                vals = np.concatenate([vals, mirrored])
                 cols = cols2
             elif symm != "general":
                 raise ValueError(f"unsupported symmetry {symm!r}")
@@ -94,6 +103,14 @@ def read_sparse(path_or_file) -> CsrHost:
                                     sum_duplicates=True)
         if fmt == "array":
             m, n = int(sizes[0]), int(sizes[1])
+            if field == "complex":
+                pairs = np.loadtxt(f, dtype=np.float64, ndmin=2)
+                if symm != "general":
+                    raise ValueError(
+                        "complex array MatrixMarket: only 'general' "
+                        "symmetry supported")
+                vals = pairs[:, 0] + 1j * pairs[:, 1]
+                return CsrHost.from_dense(vals.reshape((n, m)).T)
             vals = np.loadtxt(f, dtype=np.float64).reshape(-1)
             dense = vals.reshape((n, m)).T  # column-major on disk
             if symm == "symmetric":

@@ -51,6 +51,11 @@ int tt_read_mm_header(const char* path, int64_t* m, int64_t* n,
   if (std::sscanf(line, "%%%%MatrixMarket %63s %63s %63s %63s", obj, fmt,
                   field, sym) != 4) { std::fclose(f); return -4; }
   if (std::strcmp(fmt, "coordinate") != 0) { std::fclose(f); return -5; }
+  // complex entries carry FOUR value columns — this parser reads three,
+  // so defer complex (and hermitian symmetry) to the Python reader
+  if (std::strcmp(field, "real") != 0 &&
+      std::strcmp(field, "integer") != 0 &&
+      std::strcmp(field, "pattern") != 0) { std::fclose(f); return -8; }
   *pattern = std::strcmp(field, "pattern") == 0 ? 1 : 0;
   if (std::strcmp(sym, "symmetric") == 0) *symm = 1;
   else if (std::strcmp(sym, "skew-symmetric") == 0) *symm = 2;
