@@ -61,17 +61,27 @@ def stencil_csr(dims: tuple[int, ...], stencil: Stencil,
     """Assemble a stencil operator as host CSR (vectorized, no insert loop)."""
     n = int(np.prod(dims))
     coords = _grid_coords(dims)
+    # row gid is just the linear index, and a stencil offset's neighbor
+    # gid is gid + Σ o_k·stride_k (a CONSTANT shift) — no per-offset
+    # gid recomputation (profiled 8s of a 24s 128³ assembly)
+    idx = np.arange(n, dtype=np.int64)
+    strides = []
+    s = 1
+    for d in dims:
+        strides.append(s)
+        s *= d
     rows_all, cols_all, vals_all = [], [], []
     for off, coeff in stencil:
         valid = np.ones(n, dtype=bool)
-        nbr = []
-        for c, o, d in zip(coords, off, dims):
-            cn = c + o
-            valid &= (cn >= 0) & (cn < d)
-            nbr.append(cn)
+        lin = 0
+        for c, o, d, st in zip(coords, off, dims, strides):
+            if o:
+                cn = c + o
+                valid &= (cn >= 0) & (cn < d)
+            lin += o * st
         vals = _coeff_values(coeff, coords).astype(dtype)
-        rows_all.append(_gid(coords, dims)[valid])
-        cols_all.append(_gid([cn[valid] for cn in nbr], dims))
+        rows_all.append(idx[valid])
+        cols_all.append(idx[valid] + lin)
         vals_all.append(vals[valid])
     return CsrHost.from_coo(np.concatenate(rows_all), np.concatenate(cols_all),
                             np.concatenate(vals_all), (n, n),

@@ -75,8 +75,11 @@ class CsrHost:
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
         key = rows * np.int64(shape[1]) + cols
-        order = np.argsort(key, kind="stable")
-        key, vals = key[order], vals[order]
+        if len(key) and np.all(key[1:] >= key[:-1]):
+            pass  # already row-major sorted (from_dense, pattern scans)
+        else:
+            order = np.argsort(key, kind="stable")
+            key, vals = key[order], vals[order]
         if sum_duplicates and len(key):
             newseg = np.empty(len(key), dtype=bool)
             newseg[0] = True
@@ -447,10 +450,10 @@ def csr_to_dia(a: CsrHost, dtype=None, n_rows_pad: int | None = None,
     if max_diags is not None and len(uniq) > max_diags:
         raise ValueError(f"{len(uniq)} diagonals exceeds limit {max_diags}")
     data = np.zeros((len(uniq), n_rows_pad), dtype=dtype)
-    off_index = {int(o): i for i, o in enumerate(uniq)}
-    d_idx = np.array([off_index[int(o)] for o in offs], dtype=np.int64)
+    d_idx = np.searchsorted(uniq, offs)  # uniq is sorted
     data[d_idx, rows_rep] = a.vals.astype(dtype)
     offsets = tuple(int(o) for o in uniq)
+    off_index = {o: i for i, o in enumerate(offsets)}
     if m == n and 0 in off_index:
         # identity padding rows (keeps Jacobi diag invertible on the pad)
         data[off_index[0], m:n_rows_pad] = 1.0
