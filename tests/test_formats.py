@@ -383,3 +383,47 @@ class TestBf16Storage:
         y32 = np.asarray(S.spmv(d32, jnp.asarray(x), impl="xla"))
         rel = np.abs(y16 - y32).max() / np.abs(y32).max()
         assert rel < 2e-2
+
+
+def test_from_coo_fuzz_vs_scipy():
+    """Round-5 from_coo rewrite (single-sort + reduceat dedup): random
+    COO with duplicates, unsorted/sorted/empty, must match
+    scipy.coo_matrix's canonical CSR exactly."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(1, 40))
+        nnz = int(rng.integers(0, 4 * m))
+        rows = rng.integers(0, m, nnz)
+        cols = rng.integers(0, n, nnz)
+        vals = rng.standard_normal(nnz)
+        if trial % 3 == 0 and nnz:  # sorted-input fast path
+            order = np.lexsort((cols, rows))
+            rows, cols, vals = rows[order], cols[order], vals[order]
+        a = F.CsrHost.from_coo(rows, cols, vals, (m, n))
+        ref = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+        ref.sum_duplicates()
+        np.testing.assert_array_equal(a.row_ptr, ref.indptr)
+        np.testing.assert_array_equal(a.cols, ref.indices)
+        np.testing.assert_allclose(a.vals, ref.data, rtol=1e-14)
+
+
+def test_from_coo_complex_and_nodedup():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, 10, 30)
+    cols = rng.integers(0, 10, 30)
+    vals = rng.standard_normal(30) + 1j * rng.standard_normal(30)
+    a = F.CsrHost.from_coo(rows, cols, vals, (10, 10))
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(10, 10)).tocsr()
+    ref.sum_duplicates()
+    np.testing.assert_allclose(a.to_dense(), ref.toarray(), rtol=1e-14)
+    # sum_duplicates=False keeps every entry, stably ordered
+    b = F.CsrHost.from_coo(np.array([1, 0, 1]), np.array([2, 1, 2]),
+                           np.array([1.0, 2.0, 3.0]), (3, 3),
+                           sum_duplicates=False)
+    assert b.nnz == 3
+    np.testing.assert_allclose(b.row(1)[1], [1.0, 3.0])
