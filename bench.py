@@ -453,6 +453,30 @@ def _safe(fn, fallback):
 
 
 def main():
+    # startup watchdog: if the tunneled chip never answers (relay down),
+    # emit an honest JSON line and exit instead of hanging the driver —
+    # jax.devices() blocks indefinitely when the axon relay is gone
+    # (observed round 5: ~2h outage with no in-container recovery path)
+    import os as _os
+    import threading
+
+    ready = threading.Event()
+
+    def _startup_watchdog():
+        if not ready.wait(300):
+            print(json.dumps({
+                "metric": "spmv_effective_bandwidth", "value": 0.0,
+                "unit": "GB/s", "vs_baseline": 0.0,
+                "extra": {"error": "TPU device init did not complete "
+                                   "within 300s (axon tunnel down?)"}}),
+                  flush=True)
+            _os._exit(17)
+
+    threading.Thread(target=_startup_watchdog, daemon=True).start()
+    n_dev = len(jax.devices())
+    ready.set()
+    assert n_dev >= 1
+
     from trilinos_tpu.utils.perf_archive import PerfArchive
 
     triad = float(STREAM_OVERRIDE) if STREAM_OVERRIDE else _safe(
