@@ -28,7 +28,12 @@ import jax.numpy as jnp
 # extra MXU passes of HIGHEST are free; correctness-critical reductions
 # (CG/GMRES dots, CholQR Grams, Rayleigh-Ritz projections) must not run
 # at bf16 precision in an f32 solver.
-HI = jax.lax.Precision.HIGHEST
+# TT_GEMM_PRECISION=default reverts to the MXU fast path (A/B lever; also
+# disables the hi_precision driver decorator in solvers/base.py).
+import os as _os
+
+HI = (None if _os.environ.get("TT_GEMM_PRECISION") == "default"
+      else jax.lax.Precision.HIGHEST)
 
 
 def axpby(alpha, x: jax.Array, beta, y: jax.Array) -> jax.Array:

@@ -50,8 +50,13 @@ def hi_precision(fn: Callable) -> Callable:
     poisons Rayleigh-Ritz projections and basis collapses written with
     plain ``@``. The context applies at TRACE time, so inner ``jax.jit``
     closures created inside the call inherit it. The eigensolver GEMMs
-    are tall-skinny and HBM-bound — the extra MXU passes are free."""
+    are tall-skinny and HBM-bound — the extra MXU passes are free.
+    TT_GEMM_PRECISION=default disables (the ops/blas.py HI lever)."""
     import functools
+    import os
+
+    if os.environ.get("TT_GEMM_PRECISION") == "default":
+        return fn
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
