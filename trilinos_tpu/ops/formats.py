@@ -569,7 +569,7 @@ def csr_to_bdia(a: CsrHost, block_size: int, dtype=None,
         uniq = np.sort(np.append(uniq, 0))
         off_index = {int(o): i for i, o in enumerate(uniq)}
     data = np.zeros((nd, b, b, nbr_pad), dtype=dtype)
-    d_idx = np.array([off_index[int(o)] for o in offs], dtype=np.int64)
+    d_idx = np.searchsorted(uniq, offs)  # uniq is sorted
     data[d_idx, rows_rep % b, a.cols % b, brow] = a.vals.astype(dtype)
     if m == n:
         # identity blocks on padding block rows
