@@ -170,3 +170,55 @@ def test_dist_eigsolve_rejects_mass_for_unsupported():
     with pytest.raises(ValueError, match="mass"):
         drv.dist_eigsolve(lanczos_eigs, dm, 2, mesh=mesh,
                           mass_matrix=dm, dtype=np.float64)
+
+
+def test_block_davidson_locking():
+    """"Use Locking" (AnasaziBlockDavidsonSolMgr.hpp:153-157): converged
+    pairs freeze in a locked prefix; results match the unlocked solve
+    and scipy."""
+    import jax.numpy as jnp
+
+    from trilinos_tpu.eigen import block_davidson
+
+    prob, w = make_problem(nev=4)
+    res = block_davidson(prob.op, prob.n, 4, which="SA", tol=1e-9,
+                         maxiter=300, locking=True)
+    assert res.converged
+    np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                               np.sort(w)[:4], rtol=1e-8)
+    # eigenvector residuals (locked pairs included) honor the tolerance
+    x = jnp.asarray(res.eigenvectors)
+    lam = np.asarray(res.eigenvalues)
+    r = np.asarray(prob.op(x)) - np.asarray(x) * lam[None, :]
+    assert np.linalg.norm(r, axis=0).max() <= 1e-7
+
+    # factory surface
+    mgr = create_eigensolver("Block Davidson",
+                             {"Which": "SA", "Use Locking": True,
+                              "Convergence Tolerance": 1e-9})
+    res2 = mgr.solve(prob)
+    np.testing.assert_allclose(np.sort(np.asarray(res2.eigenvalues)),
+                               np.sort(w)[:prob.nev], rtol=1e-8)
+
+
+def test_block_davidson_locking_generalized():
+    """Locking composes with the mass-matrix pencil path."""
+    from trilinos_tpu.eigen import block_davidson
+
+    prob, w = make_problem(nev=3, m=lambda v: 2.0 * v)
+    res = block_davidson(prob.op, prob.n, 3, which="SA", tol=1e-9,
+                         maxiter=300, m=prob.m, locking=True)
+    assert res.converged
+    np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                               np.sort(w / 2.0)[:3], rtol=1e-8)
+
+
+def test_block_davidson_locking_la():
+    from trilinos_tpu.eigen import block_davidson
+
+    prob, w = make_problem(nev=3)
+    res = block_davidson(prob.op, prob.n, 3, which="LA", tol=1e-9,
+                         maxiter=300, locking=True, max_locked=2)
+    assert res.converged
+    np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)),
+                               np.sort(w)[-3:], rtol=1e-8)

@@ -4,14 +4,23 @@ TPU-native analogue of Anasazi::BlockDavidson
 (packages/anasazi/src/AnasaziBlockDavidsonSolMgr.hpp,
 AnasaziBlockDavidson.hpp): expand a search space with PRECONDITIONED
 residual blocks, Rayleigh-Ritz on the space, restart with the leading
-Ritz block when the space is full.
+Ritz block when the space is full; optional LOCKING of converged
+eigenpairs (SolMgr parameters "Use Locking" [default false],
+"Locking Tolerance" [default 0.1·tol], "Max Locked" [default nev] —
+AnasaziBlockDavidsonSolMgr.hpp:153-157).
 
 Structure: the per-step device work (Rayleigh-Ritz projection, residual,
 preconditioner apply, CGS2+CholQR2 orthogonalization of the new block)
-is jitted per active-space size k (a handful of distinct k values, cached
+is jitted per active-space size (a handful of distinct sizes, cached
 across restarts); the O(k^3) eigh of the projected matrix runs on device
 (small), the expansion bookkeeping on host — the MultiVec/LAPACK split of
 the reference.
+
+Locking layout: basis columns [0, nlock) hold frozen converged Ritz
+vectors; the ACTIVE space is columns [nlock, k). Rayleigh-Ritz runs on
+the active slice only; expansion blocks orthogonalize against the FULL
+basis (locked included), which keeps the active space deflated exactly
+like the reference's locked-vector projections.
 """
 from __future__ import annotations
 
@@ -36,7 +45,9 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                    smax: int | None = None, prec=None, which: str = "SA",
                    tol: float = 1e-8, maxiter: int = 200,
                    v0: jax.Array | None = None, comm: Comm | None = None,
-                   dtype=jnp.float64, m=None) -> EigsResult:
+                   dtype=jnp.float64, m=None, locking: bool = False,
+                   lock_tol: float | None = None,
+                   max_locked: int | None = None) -> EigsResult:
     """``nev`` extreme eigenpairs of a SYMMETRIC operator.
 
     which: SA (smallest algebraic, the Davidson sweet spot with an SPD
@@ -49,6 +60,11 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
     Rayleigh-Ritz projection stays a STANDARD symmetric eigenproblem;
     residuals are r = A x − (M x) θ. No M-solve is needed — Davidson
     expansion is preconditioned residuals, not a Krylov space of M⁻¹A.
+
+    ``locking``: freeze eigenpairs whose residual reaches ``lock_tol``
+    (default 0.1·tol) in a locked basis prefix; the active iteration
+    continues deflated against them. Up to ``max_locked`` (default nev)
+    pairs lock — the Anasazi "Use Locking" machinery.
     """
     comm = comm or SerialComm()
     nb = nb or nev
@@ -56,24 +72,27 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
     smax = min((smax // nb) * nb, (n // nb) * nb)
     prec = prec or (lambda r: r)
     mass = m
+    lock_tol = lock_tol if lock_tol is not None else 0.1 * tol
+    max_locked = max_locked if max_locked is not None else nev
     rng = np.random.default_rng(7)
 
-    def _whitened_eigh(kmat, s, ms_):
+    def _whitened_eigh(kmat, s_a, ms_a):
         """Rayleigh-Ritz against the MEASURED M-Gram (whitened pencil):
         G = SᵀMS, K̃ = L⁻¹ K L⁻ᵀ with G = LLᵀ, z = L⁻ᵀ z̃. With an exact
         G this is plain eigh; with the f32 drift the basis accumulates
         (M-orthonormality error compounds across restarts), it keeps the
         REPORTED Ritz values exact for the actual space — basis drift
         then costs efficiency, never accuracy (the SVQB-style whitening
-        tracemin.py already uses). mass=None → G = I exactly."""
-        k = kmat.shape[0]
+        tracemin.py already uses). mass=None → G = I exactly.
+        ``s_a``/``ms_a``: the ACTIVE basis slice (n, ka)."""
+        ka = kmat.shape[0]
         if mass is None:
             return jnp.linalg.eigh(kmat)
-        gmat = comm.psum(s[:, :k].T @ ms_[:, :k])
+        gmat = comm.psum(s_a.T @ ms_a)
         gmat = (gmat + gmat.T) / 2
         eps = jnp.finfo(kmat.dtype).eps
-        gmat = gmat + (10 * eps) * (jnp.trace(gmat) / k) * jnp.eye(
-            k, dtype=gmat.dtype)
+        gmat = gmat + (10 * eps) * (jnp.trace(gmat) / ka) * jnp.eye(
+            ka, dtype=gmat.dtype)
         l = jnp.linalg.cholesky(gmat)
         y = lax.linalg.triangular_solve(l, kmat, left_side=True,
                                         lower=True)
@@ -84,38 +103,43 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                                         lower=True, transpose_a=True)
         return theta, z
 
+    def _wanted_cols(z, theta, ka, width):
+        """Leading ``width`` wanted directions of the ACTIVE projection
+        (SA: ascending head; LA: descending tail)."""
+        if which == "SA":
+            return z[:, :width], theta[:width]
+        return z[:, ka - width:][:, ::-1], theta[ka - width:][::-1]
+
     @functools.lru_cache(maxsize=None)
-    def make_step(k):
+    def make_step(k, nlock):
+        ka = k - nlock
+        nsel = min(max(nev - nlock, 1), ka)
+        nbw = min(nb, ka)
+
         @jax.jit
         def step(s, as_, ms_):
-            kmat = comm.psum(s[:, :k].T @ as_[:, :k])
+            s_a, as_a = s[:, nlock:k], as_[:, nlock:k]
+            ms_a = ms_[:, nlock:k]
+            kmat = comm.psum(s_a.T @ as_a)
             kmat = (kmat + kmat.T) / 2
-            theta, z = _whitened_eigh(kmat, s, ms_)  # ascending
-            if which == "SA":
-                zsel = z[:, :nev]
-                tsel = theta[:nev]
-                zblk = z[:, :nb]
-                tblk = theta[:nb]
-            else:  # LA
-                zsel = z[:, k - nev:][:, ::-1]
-                tsel = theta[k - nev:][::-1]
-                zblk = z[:, k - nb:][:, ::-1]
-                tblk = theta[k - nb:][::-1]
-            x = s[:, :k] @ zsel
-            ax = as_[:, :k] @ zsel
-            mx = ms_[:, :k] @ zsel if mass is not None else x
+            theta, z = _whitened_eigh(kmat, s_a, ms_a)  # ascending
+            zsel, tsel = _wanted_cols(z, theta, ka, nsel)
+            zblk, tblk = _wanted_cols(z, theta, ka, nbw)
+            x = s_a @ zsel
+            ax = as_a @ zsel
+            mx = ms_a @ zsel if mass is not None else x
             r = ax - mx * tsel[None, :]
             resn = jnp.sqrt(comm.psum(jnp.sum(r * r, axis=0)))
-            # expansion block: preconditioned residuals of the leading nb
-            xb = (ms_ if mass is not None else s)[:, :k] @ zblk
-            rb = as_[:, :k] @ zblk - xb * tblk[None, :]
+            # expansion block: preconditioned residuals of the leading
+            xb = (ms_a if mass is not None else s_a) @ zblk
+            rb = as_a @ zblk - xb * tblk[None, :]
             t = prec(rb)
             if mass is None:
                 t2, _ = cgs2_project(comm, s, t)  # padded basis is fine
                 q, _, _ = cholqr2(comm, t2)
                 mq = q
-                bq = jnp.eye(nb, dtype=q.dtype)
-                cmax = jnp.zeros((nb,), q.dtype)
+                bq = jnp.eye(nbw, dtype=q.dtype)
+                cmax = jnp.zeros((nbw,), q.dtype)
             else:
                 # In f32 a near-singular expansion block (converged
                 # residuals) defeats M-CholQR — the Gram's rounding
@@ -126,9 +150,30 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
                 # measures (_select_expansion_columns).
                 q, mq = _mortho_block(comm, mass, s, ms_, t)
                 bq, cmax = _expansion_quality(comm, q, mq, ms_, k)
-            return tsel, x, resn, q, mq, bq, cmax
+            return theta, z, tsel, x, resn, q, mq, bq, cmax
 
         return step
+
+    @functools.lru_cache(maxsize=None)
+    def rotate_active(k, nlock, ka_new):
+        """S_a ← S_a z (and caches): make active columns Ritz vectors,
+        keeping ``ka_new`` of them. Used for locking and restarts."""
+        @jax.jit
+        def rot(s, as_, ms_, zk):
+            s_new = jnp.zeros_like(s[:, nlock:]).at[:, :ka_new].set(
+                s[:, nlock:k] @ zk)
+            as_new = jnp.zeros_like(s_new).at[:, :ka_new].set(
+                as_[:, nlock:k] @ zk)
+            out_s = lax.dynamic_update_slice(s, s_new, (0, nlock))
+            out_as = lax.dynamic_update_slice(as_, as_new, (0, nlock))
+            if mass is None:
+                return out_s, out_as, out_s
+            ms_new = jnp.zeros_like(s_new).at[:, :ka_new].set(
+                ms_[:, nlock:k] @ zk)
+            return out_s, out_as, lax.dynamic_update_slice(
+                ms_, ms_new, (0, nlock))
+
+        return rot
 
     if v0 is None:
         v0 = jnp.asarray(rng.standard_normal((n, nb)), dtype=dtype)
@@ -142,35 +187,55 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
     ms_ = (jnp.zeros((n, smax), dtype).at[:, :nb].set(mq0)
            if mass is not None else s)
     k = nb
+    nlock = 0
+    locked_theta: list[float] = []
+    locked_resn: list[float] = []
     theta = x = resn = None
     converged = False
     iters = 0
 
     for it in range(maxiter):
         iters = it + 1
-        theta, x, resn, q, mq, bq, cmax = make_step(k)(s, as_, ms_)
-        scale = np.maximum(np.abs(np.asarray(theta)), 1.0)
-        converged = bool((np.asarray(resn) <= tol * scale).all())
+        theta_a, z, tsel, x, resn, q, mq, bq, cmax = make_step(
+            k, nlock)(s, as_, ms_)
+        resn_np = np.asarray(resn)
+        tsel_np = np.asarray(tsel)
+        scale = np.maximum(np.abs(tsel_np), 1.0)
+        need = nev - nlock
+        conv_mask = resn_np[:need] <= tol * scale[:need]
+        converged = bool(conv_mask.all()) and need <= len(resn_np)
         if converged:
+            theta = tsel_np[:need]
             break
+        if locking and nlock < max_locked:
+            # lock the leading CONSECUTIVE pairs at the locking tolerance
+            lockable = resn_np <= lock_tol * scale
+            g = 0
+            while (g < len(lockable) and lockable[g]
+                   and nlock + g < max_locked):
+                g += 1
+            g = min(g, k - nlock - 1)  # keep ≥1 active column
+            if g > 0:
+                ka = k - nlock
+                # rotate the whole active space onto its Ritz basis
+                # (wanted-first order); the first g become locked
+                zfull, tfull = _wanted_cols(z, theta_a, ka, ka)
+                s, as_, ms_ = rotate_active(k, nlock, ka)(
+                    s, as_, ms_, zfull)
+                locked_theta.extend(np.asarray(tfull)[:g].tolist())
+                locked_resn.extend(resn_np[:g].tolist())
+                nlock += g
+                continue  # re-project against the shrunken active space
         if k + nb > smax:
-            # restart: collapse to the leading Ritz block(s). zk has
-            # orthonormal columns, so S·zk stays (M-)orthonormal:
-            # (S zk)ᵀ M (S zk) = zkᵀ (SᵀMS) zk = zkᵀ zk = I.
-            keep = min(max(2 * nev, nb), smax - nb)
-            keep = max((keep // nb) * nb, nb)
-            kmat = comm.psum(s[:, :k].T @ as_[:, :k])
-            kmat = (kmat + kmat.T) / 2
-            _, z = _whitened_eigh(kmat, s, ms_)
-            zk = z[:, :keep] if which == "SA" else z[:, k - keep:]
-            s_new = jnp.zeros_like(s).at[:, :keep].set(s[:, :k] @ zk)
-            as_new = jnp.zeros_like(as_).at[:, :keep].set(as_[:, :k] @ zk)
-            if mass is not None:
-                ms_ = jnp.zeros_like(ms_).at[:, :keep].set(ms_[:, :k] @ zk)
-            s, as_ = s_new, as_new
-            if mass is None:
-                ms_ = s
-            k = keep
+            # restart: collapse the ACTIVE space to the leading Ritz
+            # block(s). z has orthonormal columns, so S·z stays
+            # (M-)orthonormal: (S z)ᵀ M (S z) = zᵀ (SᵀMS) z = zᵀz = I.
+            ka = k - nlock
+            keep = min(max(2 * (nev - nlock), nb), smax - nlock - nb, ka)
+            keep = max(keep, 1)
+            zk, _ = _wanted_cols(z, theta_a, ka, keep)
+            s, as_, ms_ = rotate_active(k, nlock, keep)(s, as_, ms_, zk)
+            k = nlock + keep
             continue
         if mass is not None:
             filtered = _filter_rescale_block(q, mq, bq, cmax)
@@ -186,6 +251,21 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
             ms_ = s
         k += g
 
+    # assemble results: locked prefix + active leading pairs
+    n_active_out = nev - nlock
+    if n_active_out > 0 and x is not None:
+        theta_out = np.concatenate([np.asarray(locked_theta),
+                                    np.asarray(tsel)[:n_active_out]])
+        vecs_out = np.concatenate(
+            [np.asarray(s[:, :nlock]), np.asarray(x)[:, :n_active_out]],
+            axis=1)
+        resn_out = np.concatenate([np.asarray(locked_resn),
+                                   np.asarray(resn)[:n_active_out]])
+    else:
+        theta_out = np.asarray(locked_theta)[:nev]
+        vecs_out = np.asarray(s[:, :min(nlock, nev)])
+        resn_out = np.asarray(locked_resn)[:nev]
+        converged = len(theta_out) >= nev
     return EigsResult(
-        eigenvalues=np.asarray(theta), eigenvectors=np.asarray(x),
-        resnorms=np.asarray(resn), iters=iters, converged=converged)
+        eigenvalues=theta_out, eigenvectors=vecs_out,
+        resnorms=resn_out, iters=iters, converged=converged)

@@ -56,6 +56,10 @@ _SPECS = {
     "Convergence Tolerance": Param("Convergence Tolerance", 1e-8),
     "Maximum Iterations": Param("Maximum Iterations", 200),
     "Inner Iterations": Param("Inner Iterations", 15),  # TraceMin CG steps
+    # Block Davidson locking (AnasaziBlockDavidsonSolMgr.hpp:153-157)
+    "Use Locking": Param("Use Locking", False),
+    "Locking Tolerance": Param("Locking Tolerance", 0.0),  # 0 → 0.1·tol
+    "Max Locked": Param("Max Locked", 0),                  # 0 → nev
 }
 
 # symmetric-solver 'which' vocabulary: Anasazi sorts symmetric spectra by
@@ -161,7 +165,10 @@ class EigenSolverManager:
                 which=_SYM_WHICH[which], tol=tol, maxiter=maxiter,
                 v0=(jnp.asarray(problem.v0, dtype=dtype)
                     if problem.v0 is not None else None),
-                comm=comm, dtype=dtype, m=problem.m)
+                comm=comm, dtype=dtype, m=problem.m,
+                locking=bool(p["Use Locking"]),
+                lock_tol=float(p["Locking Tolerance"]) or None,
+                max_locked=int(p["Max Locked"]) or None)
         if self.kind == "gen_davidson":
             return generalized_davidson(
                 op, n, nev, nb=bs or None,
