@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.smalldense import chol_inv_small
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
@@ -93,14 +94,12 @@ def block_davidson(op: Operator, n: int, nev: int, *, nb: int | None = None,
         eps = jnp.finfo(kmat.dtype).eps
         gmat = gmat + (10 * eps) * (jnp.trace(gmat) / ka) * jnp.eye(
             ka, dtype=gmat.dtype)
-        l = jnp.linalg.cholesky(gmat)
-        y = lax.linalg.triangular_solve(l, kmat, left_side=True,
-                                        lower=True)
-        hw = lax.linalg.triangular_solve(l, y.T, left_side=True,
-                                         lower=True).T
+        # fused factor + explicit L⁻¹ (ops/smalldense.py): the three
+        # whitening solves become three small GEMMs
+        linv = chol_inv_small(gmat)[1]
+        hw = linv @ kmat @ linv.T
         theta, zt = jnp.linalg.eigh((hw + hw.T) / 2)
-        z = lax.linalg.triangular_solve(l, zt, left_side=True,
-                                        lower=True, transpose_a=True)
+        z = linv.T @ zt
         return theta, z
 
     def _wanted_cols(z, theta, ka, width):

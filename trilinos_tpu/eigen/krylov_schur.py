@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.smalldense import chol_inv_small
 from ..parallel.comm import Comm, SerialComm, norm2
 from ..solvers.base import Operator, safe_divide, hi_precision
 from ..solvers.ortho import cgs2_project, cholqr2
@@ -89,11 +90,14 @@ def _mcholqr(comm, m_op, w):
     k = g.shape[0]
     eps = jnp.finfo(w.dtype).eps
     floor = 10.0 * eps * jnp.maximum(jnp.max(jnp.abs(g)), eps)
-    l = jnp.linalg.cholesky((g + g.T) / 2
-                            + floor * jnp.eye(k, dtype=g.dtype))
+    l, linv = chol_inv_small((g + g.T) / 2
+                             + floor * jnp.eye(k, dtype=g.dtype))
     r = l.T
-    q = lax.linalg.triangular_solve(r, w, left_side=False, lower=False)
-    mq = lax.linalg.triangular_solve(r, mw, left_side=False, lower=False)
+    # one small R⁻¹ + two streaming GEMMs instead of two (n, k)
+    # triangular-solve lowerings (ops/smalldense.py)
+    rinv = linv.T
+    q = jnp.einsum("nk,km->nm", w, rinv, preferred_element_type=w.dtype)
+    mq = jnp.einsum("nk,km->nm", mw, rinv, preferred_element_type=w.dtype)
     return q, mq, r
 
 

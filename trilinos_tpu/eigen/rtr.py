@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.smalldense import chol_inv_small
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cholqr2
@@ -63,13 +64,11 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         when ‖M‖ is small (FE mass diagonals scale like h²)."""
         eps = jnp.finfo(rhs.dtype).eps
         k = gram.shape[0]
-        l = jnp.linalg.cholesky(
+        linv = chol_inv_small(
             (gram + gram.T) / 2
             + (10 * eps) * (jnp.trace(gram) / k)
-            * jnp.eye(k, dtype=gram.dtype))
-        y = lax.linalg.triangular_solve(l, rhs, left_side=True, lower=True)
-        return lax.linalg.triangular_solve(l, y, left_side=True, lower=True,
-                                           transpose_a=True)
+            * jnp.eye(k, dtype=gram.dtype))[1]
+        return linv.T @ (linv @ rhs)
 
     def make_proj(x, mx, gram_mm):
         """Euclidean-orthogonal projector onto {η : (MX)ᵀη = 0}.

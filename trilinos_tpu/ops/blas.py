@@ -23,17 +23,29 @@ import jax.numpy as jnp
 # Solver-grade GEMM precision. TPU's DEFAULT matmul precision feeds the
 # MXU with f32 inputs TRUNCATED TO bf16 (~4e-3 relative error per
 # contraction) — measured on chip as pencil Rayleigh quotients exceeding
-# λmax by 3e-3 and basis-orthonormality drift at the same scale. Every
-# dot/Gram/projection here is tall-skinny and HBM-bandwidth-bound, so the
-# extra MXU passes of HIGHEST are free; correctness-critical reductions
-# (CG/GMRES dots, CholQR Grams, Rayleigh-Ritz projections) must not run
-# at bf16 precision in an f32 solver.
+# λmax by 3e-3 and basis-orthonormality drift at the same scale.
+# Correctness-critical reductions (CG/GMRES dots, CholQR Grams,
+# Rayleigh-Ritz projections) must not run at bf16 precision in an f32
+# solver, so HIGHEST is pinned here.
+# MEASURED COST (v5e, round 5): zero on the headline end-to-end solvers
+# (GMRES(30) 456.6 vs 453.7 iters/s at default; CG unchanged) because
+# their GEMMs sit next to larger work, but ~1.8× on ISOLATED narrow-k
+# fused projection chains (k=8 CGS2 pass: 794 → 438 GB/s; s-step GMRES
+# −7%) — the slowdown is XLA materializing the f32→bf16×3 split operands
+# in HBM, not the extra MXU passes (~16 µs for a 2M×8 Gram).
+# Precision.HIGH recovers only ~9% while losing 20× accuracy (Gram err
+# 1e-5 vs 5e-7), and Pallas kernels with in-VMEM splits only win if the
+# multivectors live in a flat (n·k/128, 128) lane-major layout end-to-end
+# (the (n, k)→flat relayout costs more than the split saves) — both
+# measured and rejected; see docs/PRECISION.md.
 # TT_GEMM_PRECISION=default reverts to the MXU fast path (A/B lever; also
-# disables the hi_precision driver decorator in solvers/base.py).
+# disables the hi_precision driver decorator in solvers/base.py);
+# TT_GEMM_PRECISION=high is the measured-but-not-recommended middle.
 import os as _os
 
-HI = (None if _os.environ.get("TT_GEMM_PRECISION") == "default"
-      else jax.lax.Precision.HIGHEST)
+_PRECS = {"default": None, "high": jax.lax.Precision.HIGH,
+          "highest": jax.lax.Precision.HIGHEST}
+HI = _PRECS[_os.environ.get("TT_GEMM_PRECISION", "highest").lower()]
 
 
 def axpby(alpha, x: jax.Array, beta, y: jax.Array) -> jax.Array:

@@ -49,18 +49,20 @@ def hi_precision(fn: Callable) -> Callable:
     bf16 (~4e-3 relative per contraction — see ops/blas.py HI), which
     poisons Rayleigh-Ritz projections and basis collapses written with
     plain ``@``. The context applies at TRACE time, so inner ``jax.jit``
-    closures created inside the call inherit it. The eigensolver GEMMs
-    are tall-skinny and HBM-bound — the extra MXU passes are free.
+    closures created inside the call inherit it. Measured cost: ~zero on
+    end-to-end solves, up to ~1.8× on isolated narrow-k projection
+    chains (the f32-split operands materialize in HBM — ops/blas.py).
     TT_GEMM_PRECISION=default disables (the ops/blas.py HI lever)."""
     import functools
     import os
 
-    if os.environ.get("TT_GEMM_PRECISION") == "default":
+    mode = os.environ.get("TT_GEMM_PRECISION", "highest").lower()
+    if mode == "default":
         return fn
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(mode):
             return fn(*args, **kwargs)
 
     return wrapped

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.blas import HI
+from ..ops.smalldense import chol_inv_small
 from ..parallel.comm import Comm, SerialComm
 
 # Reference default thresholds (BelosDGKSOrthoManager.hpp:99-107).
@@ -113,9 +114,13 @@ def cholqr(comm: Comm, w: jax.Array, eps: float | None = None):
     scale = jnp.sqrt(jnp.maximum(jnp.diag(g), 1e-300))
     tiny = jnp.asarray(jnp.finfo(w.dtype).tiny, g.dtype)
     floor_val = jnp.maximum(SING_TOL * eps * jnp.max(jnp.abs(g)), tiny)
-    l = jnp.linalg.cholesky(g + floor_val * jnp.eye(k, dtype=g.dtype))
+    # fused small Cholesky + explicit R⁻¹ in one launch (the jnp/lax
+    # tiny-dense lowerings are ~16-32 dependent kernels; smalldense.py),
+    # and the (n, k) triangular solve becomes ONE streaming MXU GEMM
+    l, linv = chol_inv_small(g + floor_val * jnp.eye(k, dtype=g.dtype))
     r = l.T
-    q = lax.linalg.triangular_solve(r, w, left_side=False, lower=False)
+    q = jnp.einsum("nk,km->nm", w, linv.T,
+                   preferred_element_type=w.dtype, precision=HI)
     rank_ok = jnp.diag(r) > jnp.sqrt(floor_val) * 10
     del scale
     return q, r, rank_ok
