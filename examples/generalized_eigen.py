@@ -30,6 +30,10 @@ import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the tunneled-TPU plugin registers itself regardless of the env
+    # var; the config update actually selects the CPU backend
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from trilinos_tpu.eigen import EigenProblem, create_eigensolver
