@@ -45,7 +45,11 @@ import os as _os
 
 _PRECS = {"default": None, "high": jax.lax.Precision.HIGH,
           "highest": jax.lax.Precision.HIGHEST}
-HI = _PRECS[_os.environ.get("TT_GEMM_PRECISION", "highest").lower()]
+_MODE = _os.environ.get("TT_GEMM_PRECISION", "highest").lower()
+if _MODE not in _PRECS:
+    raise ValueError(
+        f"TT_GEMM_PRECISION={_MODE!r}: expected one of {sorted(_PRECS)}")
+HI = _PRECS[_MODE]
 
 
 def axpby(alpha, x: jax.Array, beta, y: jax.Array) -> jax.Array:
