@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.blas import HI
 from ..ops.smalldense import chol_inv_small
 from ..parallel.comm import Comm, SerialComm, norm2
 from ..solvers.base import Operator, safe_divide, hi_precision
@@ -77,7 +78,7 @@ def _extend(op, comm, m, nb):
 def _mproject(comm, v, vm, w):
     """One classical-GS pass in the M inner product: c = (MV)ᵀw."""
     c = comm.psum(jnp.einsum("nm,nk->mk", vm, w,
-                             preferred_element_type=w.dtype))
+                             preferred_element_type=w.dtype, precision=HI))
     return w - v @ c, c
 
 
@@ -86,7 +87,7 @@ def _mcholqr(comm, m_op, w):
     Returns (q, mq, r)."""
     mw = m_op(w)
     g = comm.psum(jnp.einsum("nk,nm->km", w, mw,
-                             preferred_element_type=w.dtype))
+                             preferred_element_type=w.dtype, precision=HI))
     k = g.shape[0]
     eps = jnp.finfo(w.dtype).eps
     floor = 10.0 * eps * jnp.maximum(jnp.max(jnp.abs(g)), eps)
@@ -96,8 +97,10 @@ def _mcholqr(comm, m_op, w):
     # one small R⁻¹ + two streaming GEMMs instead of two (n, k)
     # triangular-solve lowerings (ops/smalldense.py)
     rinv = linv.T
-    q = jnp.einsum("nk,km->nm", w, rinv, preferred_element_type=w.dtype)
-    mq = jnp.einsum("nk,km->nm", mw, rinv, preferred_element_type=w.dtype)
+    q = jnp.einsum("nk,km->nm", w, rinv,
+                    preferred_element_type=w.dtype, precision=HI)
+    mq = jnp.einsum("nk,km->nm", mw, rinv,
+                     preferred_element_type=w.dtype, precision=HI)
     return q, mq, r
 
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.smalldense import chol_inv_small
+from ..ops.smalldense import chol_solve_small
 from ..parallel.comm import Comm, SerialComm
 from ..solvers.base import Operator, hi_precision
 from ..solvers.ortho import cholqr2
@@ -64,11 +64,10 @@ def rtr(op: Operator, n: int, nev: int, *, block: int | None = None,
         when ‖M‖ is small (FE mass diagonals scale like h²)."""
         eps = jnp.finfo(rhs.dtype).eps
         k = gram.shape[0]
-        linv = chol_inv_small(
+        return chol_solve_small(
             (gram + gram.T) / 2
             + (10 * eps) * (jnp.trace(gram) / k)
-            * jnp.eye(k, dtype=gram.dtype))[1]
-        return linv.T @ (linv @ rhs)
+            * jnp.eye(k, dtype=gram.dtype), rhs)
 
     def make_proj(x, mx, gram_mm):
         """Euclidean-orthogonal projector onto {η : (MX)ᵀη = 0}.

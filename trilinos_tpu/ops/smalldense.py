@@ -110,6 +110,10 @@ def chol_inv_small(g: jnp.ndarray, *, interpret: bool = False):
 
     Fallback (CPU meshes, f64, k > UNROLL_MAX) is the unrolled jnp pair.
     Callers wanting R = Lᵀ factors use ``rinv = linv.T``.
+
+    Mosaic lowering verified on a real v5e for every k in 1..32
+    (including non-tile-aligned 3/5/12/17/24/31) — factor and inverse
+    match numpy to ~1e-7.
     """
     from jax.experimental import pallas as pl
 

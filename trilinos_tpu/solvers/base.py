@@ -54,9 +54,9 @@ def hi_precision(fn: Callable) -> Callable:
     chains (the f32-split operands materialize in HBM — ops/blas.py).
     TT_GEMM_PRECISION=default disables (the ops/blas.py HI lever)."""
     import functools
-    import os
 
-    mode = os.environ.get("TT_GEMM_PRECISION", "highest").lower()
+    from ..ops.blas import _MODE as mode  # validated at blas import time
+
     if mode == "default":
         return fn
 
